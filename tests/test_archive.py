@@ -1,0 +1,125 @@
+"""Archive store + replay (cat) + .tri Spark reader tests."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_triton_spark.codec.tri import write_tri_bytes
+from go_triton_spark.plans.archive_store import ArchiveStore, list_dates_from_range
+from go_triton_spark.sources.tri_source import read_tri
+from go_triton_spark.types import EVENTS_SCHEMA
+
+UTC = dt.timezone.utc
+
+
+def test_list_dates_from_range():
+    d = dt.date(2015, 7, 1)
+    assert list_dates_from_range(d, d) == [d]
+    assert len(list_dates_from_range(dt.date(2015, 7, 1), dt.date(2015, 7, 3))) == 3
+    with pytest.raises(ValueError):
+        list_dates_from_range(dt.date(2015, 7, 2), dt.date(2015, 7, 1))
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ArchiveStore(spark, str(tmp_path / "archive"))
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def test_ingest_and_cat_roundtrip(spark, store, sf_dir):
+    ev = _events(spark, sf_dir)
+    when = dt.datetime(2015, 6, 30, 2, 45, tzinfo=UTC)
+    store.ingest_dataframe(ev, "events", "archive", when=when)
+    out = store.cat("events", dt.date(2015, 6, 30))
+    assert out.count() == ev.count()
+    assert set(ev.columns).issubset(set(out.columns))
+
+
+def test_cat_date_pruning(spark, store, sf_dir):
+    ev = _events(spark, sf_dir).limit(10)
+    store.ingest_dataframe(ev, "events", "archive",
+                           when=dt.datetime(2015, 6, 29, 5, tzinfo=UTC))
+    store.ingest_dataframe(ev, "events", "archive",
+                           when=dt.datetime(2015, 6, 30, 5, tzinfo=UTC))
+    one_day = store.cat("events", dt.date(2015, 6, 30))
+    assert one_day.count() == 10
+    both = store.cat("events", dt.date(2015, 6, 29), dt.date(2015, 6, 30))
+    assert both.count() == 20
+    # partition pruning must reach the scan (not a post-filter)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_cat_replay_order(spark, store, sf_dir):
+    ev = _events(spark, sf_dir).limit(5)
+    # two ingests same day, later ts second — replay must preserve file order
+    store.ingest_dataframe(ev.withColumn("event_type", F.lit("first")),
+                           "events", "archive",
+                           when=dt.datetime(2015, 6, 30, 1, tzinfo=UTC))
+    store.ingest_dataframe(ev.withColumn("event_type", F.lit("second")),
+                           "events", "archive",
+                           when=dt.datetime(2015, 6, 30, 2, tzinfo=UTC))
+    rows = store.cat("events", dt.date(2015, 6, 30)).select("event_type").collect()
+    kinds = [r[0] for r in rows]
+    assert kinds[:5] == ["first"] * 5 and kinds[5:] == ["second"] * 5
+
+
+def test_cat_client_guard(spark, store, sf_dir):
+    ev = _events(spark, sf_dir).limit(3)
+    when = dt.datetime(2015, 6, 30, tzinfo=UTC)
+    store.ingest_dataframe(ev, "events", "client_a", when=when)
+    store.ingest_dataframe(ev, "events", "client_b", when=when)
+    with pytest.raises(ValueError, match="Multiple clients"):
+        store.cat("events", dt.date(2015, 6, 30))
+    assert store.cat("events", dt.date(2015, 6, 30), client="client_a").count() == 3
+
+
+def test_cat_json(spark, store, sf_dir):
+    import json
+    ev = _events(spark, sf_dir).limit(2)
+    store.ingest_dataframe(ev, "events", "archive",
+                           when=dt.datetime(2015, 6, 30, tzinfo=UTC))
+    rows = store.cat_json("events", dt.date(2015, 6, 30)).collect()
+    assert len(rows) == 2
+    parsed = json.loads(rows[0]["json"])
+    assert "event_id" in parsed
+
+
+def test_read_tri_spark(spark, tmp_path):
+    recs = [
+        {"event_id": i, "ts": dt.datetime(2020, 1, 1, 12, 0, i, tzinfo=UTC),
+         "user_id": 100 + i, "event_type": "click", "value": i * 1.5,
+         "props": "{}"}
+        for i in range(50)
+    ]
+    day_dir = tmp_path / "tri" / "20200101"
+    day_dir.mkdir(parents=True)
+    (day_dir / "events-archive-1577880000.tri").write_bytes(write_tri_bytes(recs))
+    df = read_tri(spark, str(tmp_path / "tri"), EVENTS_SCHEMA)
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 50
+    assert rows[0]["event_type"] == "click"
+    assert rows[1]["value"] == 1.5
+    assert rows[0]["_archive_date"] == "20200101"
+    assert rows[0]["_archive_sort"] == 1577880000
+    assert rows[3]["ts"] == dt.datetime(2020, 1, 1, 12, 0, 3)
+
+
+def test_read_tri_corrupt_file_skips(spark, tmp_path):
+    from go_triton_spark.codec.msgpack_codec import packb
+    from go_triton_spark.codec.snappy_codec import frame_compress
+    day_dir = tmp_path / "tri" / "20200101"
+    day_dir.mkdir(parents=True)
+    good = [{"event_id": 1, "event_type": "ok"}]
+    (day_dir / "events-archive-100.tri").write_bytes(write_tri_bytes(good))
+    # corrupt: good record then garbage
+    body = frame_compress(packb({"event_id": 2, "event_type": "ok2"}) + b"\xc1junk")
+    (day_dir / "events-archive-200.tri").write_bytes(body)
+    df = read_tri(spark, str(tmp_path / "tri"), EVENTS_SCHEMA)
+    rows = df.orderBy("event_id").collect()
+    assert [r["event_id"] for r in rows] == [1, 2]

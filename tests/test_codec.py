@@ -1,0 +1,205 @@
+"""Codec tests: msgpack, snappy (block + framing), .tri format.
+
+Mirrors the reference's corruption/round-trip scenarios
+(triton/stream_reader_test.go:84-145, store_test.go:84-114,
+archive_test.go:9-74) plus full-format coverage the reference lacks.
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_triton_spark.codec.msgpack_codec import (
+    MsgpackError, packb, unpack_stream, unpackb,
+)
+from go_triton_spark.codec.snappy_codec import (
+    SnappyError, crc32c, frame_compress, frame_decompress,
+    snappy_block_compress, snappy_block_decompress,
+)
+from go_triton_spark.codec.tri import (
+    generate_key_name, parse_key_name, read_tri_bytes, write_tri_bytes,
+)
+
+UTC = dt.timezone.utc
+
+
+# ------------------------------------------------------------------ msgpack
+
+def test_msgpack_scalar_roundtrip():
+    for v in [None, True, False, 0, 1, 127, 128, 255, 256, 65535, 65536,
+              2**32 - 1, 2**32, 2**63 - 1, -1, -32, -33, -128, -129,
+              -32768, -32769, -2**31, -2**63, 0.0, 1.5, -3.25,
+              "", "a", "x" * 31, "x" * 32, "x" * 255, "x" * 70000,
+              b"", b"\x01\x02\x03", b"y" * 300]:
+        obj, pos = unpackb(packb(v))
+        assert obj == v, v
+        assert pos == len(packb(v))
+
+
+def test_msgpack_containers_roundtrip():
+    v = {"object_type": "delivery", "delivery_uuid": "abc-123",
+         "version": 3, "data": {"couriers": ["a", "b", "c"]},
+         "nums": list(range(20)), "nested": [{"k": [1, 2]}, {}]}
+    obj, _ = unpackb(packb(v))
+    assert obj == v
+
+
+def test_msgpack_timestamp_ext():
+    ts = dt.datetime(2015, 6, 30, 2, 45, 0, tzinfo=UTC)
+    obj, _ = unpackb(packb(ts))
+    assert obj == ts
+    ts_us = dt.datetime(2020, 1, 1, 12, 0, 0, 123456, tzinfo=UTC)
+    obj, _ = unpackb(packb(ts_us))
+    assert obj == ts_us
+    pre_epoch = dt.datetime(1960, 1, 1, tzinfo=UTC)
+    obj, _ = unpackb(packb(pre_epoch))
+    assert obj == pre_epoch
+
+
+def test_msgpack_large_containers():
+    big_map = {f"k{i}": i for i in range(70000)}
+    obj, _ = unpackb(packb(big_map))
+    assert obj == big_map
+    big_arr = list(range(70000))
+    obj, _ = unpackb(packb(big_arr))
+    assert obj == big_arr
+
+
+def test_msgpack_corrupt_raises():
+    with pytest.raises(MsgpackError):
+        unpackb(b"\xc1")  # 0xc1 is never used
+    with pytest.raises(MsgpackError):
+        unpackb(packb("hello")[:-2])  # truncated str
+    with pytest.raises(MsgpackError):
+        unpackb(b"\x81\xa1k")  # map missing value
+
+
+def test_msgpack_stream_concatenated():
+    buf = packb({"value": "a"}) + packb({"value": "b"}) + packb({})
+    assert list(unpack_stream(buf)) == [{"value": "a"}, {"value": "b"}, {}]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.recursive(
+    st.none() | st.booleans() | st.integers(-2**63, 2**64 - 1)
+    | st.floats(allow_nan=False) | st.text(max_size=40) | st.binary(max_size=40),
+    lambda children: st.lists(children, max_size=5)
+    | st.dictionaries(st.text(max_size=8), children, max_size=5),
+    max_leaves=20))
+def test_msgpack_property_roundtrip(v):
+    obj, pos = unpackb(packb(v))
+    assert obj == v
+
+
+# ------------------------------------------------------------------- snappy
+
+def test_crc32c_known_vectors():
+    # RFC 3720 / kernel test vectors
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_snappy_block_roundtrip():
+    for data in [b"", b"a", b"hello world" * 100, bytes(range(256)) * 300]:
+        assert snappy_block_decompress(snappy_block_compress(data)) == data
+
+
+def test_snappy_block_decodes_copies():
+    # Hand-built block with a back-reference: "abcdabcdabcd" =
+    # literal "abcd" + copy(offset=4, len=8) (overlapping copy / RLE).
+    # copy1 tag: (offset_hi<<5) | ((len-4)<<2) | 0b01 = 17, offset_lo = 4
+    block = bytes([12]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes([17, 4])
+    assert snappy_block_decompress(block) == b"abcdabcdabcd"
+
+
+def test_snappy_frame_roundtrip():
+    for data in [b"", b"\x01\x02\x03", b"z" * 200000]:
+        assert frame_decompress(frame_compress(data)) == data
+
+
+def test_snappy_frame_concatenated_streams():
+    # The reference writes a NEW framing stream per 1 MiB flush into the
+    # same file (triton/store.go:134); reader must accept concatenation.
+    buf = frame_compress(b"hello ") + frame_compress(b"world")
+    assert frame_decompress(buf) == b"hello world"
+
+
+def test_snappy_frame_crc_enforced():
+    buf = bytearray(frame_compress(b"hello world"))
+    buf[-1] ^= 0xFF  # corrupt payload
+    with pytest.raises(SnappyError):
+        frame_decompress(bytes(buf))
+
+
+# --------------------------------------------------------------------- .tri
+
+def test_parse_key_golden():
+    # archive_test.go:9-40
+    ak = parse_key_name("20150801/test_stream-archive-123455.tri")
+    assert ak.stream_name == "test_stream"
+    assert ak.client_name == "archive"
+    assert ak.t == dt.datetime(2015, 8, 1, tzinfo=UTC)
+    assert ak.sort_value == 123455
+
+
+def test_parse_key_client_with_underscore():
+    # archive_test.go:41-62
+    ak = parse_key_name("20150801/test_stream-store_test-123455.tri")
+    assert ak.stream_name == "test_stream"
+    assert ak.client_name == "store_test"
+
+
+def test_parse_key_invalid():
+    for bad in ["nonsense", "20150801/onlyname-123.tri",
+                "2015/test-client-123.tri", "20150801/test-client-abc.tri"]:
+        with pytest.raises(ValueError):
+            parse_key_name(bad)
+
+
+def test_generate_key_golden():
+    # store_test.go:36-44: store name "test" @ 2015-06-30T02:45Z
+    when = dt.datetime(2015, 6, 30, 2, 45, 0, tzinfo=UTC)
+    assert generate_key_name("test", "", when) == "20150630/test-1435632300.tri"
+    assert (generate_key_name("events", "archive", when)
+            == "20150630/events-archive-1435632300.tri")
+    with pytest.raises(ValueError):
+        generate_key_name("s", "bad-client", when)
+
+
+def test_tri_roundtrip():
+    recs = [{"value": "a"}, {"value": "b"}, {},
+            {"id": 7, "ok": True, "score": 1.5,
+             "ts": dt.datetime(2020, 5, 1, tzinfo=UTC),
+             "data": {"couriers": ["x", "y"]}}]
+    assert read_tri_bytes(write_tri_bytes(recs)) == recs
+
+
+def test_tri_multi_flush_roundtrip():
+    # force many flushes -> concatenated snappy streams in one body
+    recs = [{"i": i, "pad": "p" * 100} for i in range(500)]
+    body = write_tri_bytes(recs, flush_bytes=1024)
+    assert read_tri_bytes(body) == recs
+
+
+def test_tri_corrupt_bad_encoding_skipped():
+    # test_util.go:36-54 "bad encoding": non-msgpack bytes -> skipped
+    from go_triton_spark.codec.snappy_codec import frame_compress as fc
+    body = fc(b"\xc1\xc1 not msgpack at all")
+    assert read_tri_bytes(body) == []
+
+
+def test_tri_corrupt_trailing_garbage_keeps_good_prefix():
+    # "overlength record": valid maps then trailing garbage -> good
+    # records delivered, garbage dropped (stream_reader.go:185-194)
+    from go_triton_spark.codec.snappy_codec import frame_compress as fc
+    good = packb({"value": "a"}) + packb({"value": "b"})
+    body = fc(good + b"\xc1Hello Failure")
+    assert read_tri_bytes(body) == [{"value": "a"}, {"value": "b"}]
+
+
+def test_tri_empty_is_eof():
+    # archive_test.go:64-74: empty object -> immediate EOF
+    assert read_tri_bytes(b"") == []

@@ -1,0 +1,109 @@
+"""Streaming store pipeline tests: ingest, resume, stats, corrupt-skip.
+
+Mirrors the reference scenarios (SURVEY section 5): multi-shard merge ->
+multi-file source; checkpoint resume; corrupt records skipped while
+later good records flow.
+"""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_triton_spark.config import load_config
+from go_triton_spark.engine import TritonEngine
+from go_triton_spark.streaming.store import StorePipeline
+from go_triton_spark.types import EVENTS_SCHEMA
+
+UTC = dt.timezone.utc
+
+
+def _write_events_json(dirpath, records):
+    os.makedirs(dirpath, exist_ok=True)
+    fname = os.path.join(dirpath, f"batch-{len(os.listdir(dirpath))}.json")
+    with open(fname, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return fname
+
+
+def _recs(n, start=0):
+    return [{"event_id": i, "ts": "2020-01-01T00:00:00Z", "user_id": i % 7,
+             "event_type": "click", "value": float(i), "props": "{}"}
+            for i in range(start, start + n)]
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    cfg = load_config(f"""
+events:
+  name: events
+  partition_key: user_id
+  source: file
+  format: json
+  path: {tmp_path}/incoming/events
+""")
+    return TritonEngine(spark, str(tmp_path), config=cfg, client="archive")
+
+
+def test_store_pipeline_end_to_end(engine, tmp_path):
+    _write_events_json(f"{tmp_path}/incoming/events", _recs(20))
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    today = dt.datetime.now(tz=UTC).date()
+    out = engine.cat("events", today)
+    assert out.count() == 20
+    assert set(r[0] for r in out.select("event_id").collect()) == set(range(20))
+
+
+def test_store_pipeline_resume_exactly_once(engine, tmp_path):
+    src = f"{tmp_path}/incoming/events"
+    _write_events_json(src, _recs(10))
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    # new data arrives; restart with same checkpoint -> only new rows added
+    _write_events_json(src, _recs(5, start=100))
+    pipe2 = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe2.await_once()
+    pipe2.stop()
+    today = dt.datetime.now(tz=UTC).date()
+    out = engine.cat("events", today)
+    assert out.count() == 15  # no duplicates of the first 10
+
+
+def test_corrupt_json_records_skipped(engine, tmp_path):
+    """PERMISSIVE json source: bad lines null out, good records flow
+    (reference: decode error -> skip, stream_reader.go:174-194)."""
+    src = f"{tmp_path}/incoming/events"
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "mixed.json"), "w") as f:
+        f.write(json.dumps(_recs(1)[0]) + "\n")
+        f.write("NOT JSON AT ALL{{{\n")
+        f.write(json.dumps(_recs(1, start=5)[0]) + "\n")
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    today = dt.datetime.now(tz=UTC).date()
+    out = engine.cat("events", today).where(F.col("event_id").isNotNull())
+    assert sorted(r[0] for r in out.select("event_id").collect()) == [0, 5]
+
+
+def test_stats_checkpoint_age(engine, tmp_path):
+    _write_events_json(f"{tmp_path}/incoming/events", _recs(3))
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    stats = engine.stats()
+    assert stats, "expected at least one checkpoint stat"
+    key = next(iter(stats))
+    assert key.startswith("archive.events.") and key.endswith(".age")
+    assert 0 <= stats[key] < 3600
+
+
+def test_client_name_dash_rejected(spark, tmp_path):
+    from go_triton_spark.config import StreamConfig
+    with pytest.raises(ValueError, match="client name"):
+        StorePipeline(spark, StreamConfig("s", "k"), "bad-client",
+                      str(tmp_path / "a"), str(tmp_path / "c"))
