@@ -1,0 +1,68 @@
+"""Query registry: (name -> Spark callable + DuckDB oracle SQL).
+
+Every operator the engine claims is registered here and surfaced through
+``__spark_entry__.queries()`` / ``oracle_sql()``. The driver runs both
+sides at sf0.01 and hash-compares (row count + schema + order-insensitive
+value hash, columns sorted by name).
+
+Cross-engine determinism policy (applies to every query in this package):
+
+- **Money/double sums**: per-row expression (IEEE double, identical in
+  both engines) -> CAST to DECIMAL(30,8) (round-half-away in both) ->
+  exact decimal sum -> CAST final to DOUBLE. No float-summation-order
+  divergence can survive this.
+- **Averages**: exact decimal sum cast to double, divided by count
+  (single IEEE division) — never the engine's avg() over doubles.
+- **Top-k / limit**: always a total order (unique tie-break column).
+- **Timestamps in output**: formatted to strings (microsecond precision)
+  or extracted to ints, identically on both sides.
+- **Float outputs** (similarity scores): either omitted from the output
+  (threshold filters emit ids only) or computed with identical
+  operation order and rounded.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+    tags: tuple = ()
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple = ()):
+    """Decorator registering a (spark_fn, oracle_sql) pair."""
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle,
+                                  doc=fn.__doc__ or "", tags=tuple(tags))
+        return fn
+    return wrap
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) parquet columns surface as bigint nanos under
+    # spark.sql.legacy.parquet.nanosAsLong; normalize to microsecond
+    # timestamp_ntz (floor-truncate, matching DuckDB's %f formatting).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load driver tables; single point for read-path tuning."""
+    return [load_table(spark, sf_dir, n) for n in names]

@@ -1,0 +1,179 @@
+"""Scalar function families (SURVEY section 2.2 row 'Scalar fns').
+
+One query per family, exercising functions whose semantics are
+identical across Spark and DuckDB (the oracle is the proof). Families:
+string, date/time, math, conditional, JSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                          AS up_name,
+           lower(c_mktsegment)                    AS lo_seg,
+           substr(c_name, 1, 8)                   AS prefix8,
+           concat(c_name, ':', c_mktsegment)      AS tagged,
+           length(c_name)                         AS name_len,
+           replace(c_name, 'Customer', 'Cust')    AS short_name,
+           trim(concat(' ', c_name, ' '))         AS trimmed,
+           lpad(cast(c_custkey as varchar), 8, '0') AS padded_key,
+           reverse(c_mktsegment)                  AS rev_seg,
+           strpos(c_name, '0')                    AS zero_pos,
+           starts_with(c_name, 'Customer')        AS is_cust
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family."""
+    (c,) = tables(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.concat_ws("", F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tagged"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("short_name"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.instr("c_name", "0").alias("zero_pos"),
+        F.col("c_name").startswith("Customer").alias("is_cust"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                             AS yr,
+           month(o_orderdate)                            AS mo,
+           day(o_orderdate)                              AS dom,
+           quarter(o_orderdate)                          AS qtr,
+           strftime(o_orderdate, '%Y-%m')                AS ym,
+           strftime(o_orderdate, '%Y-%m-%d')             AS ymd,
+           date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS days_to_1999,
+           weekofyear(o_orderdate)                       AS wk
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (formatted output, never raw ts)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ymd"),
+        F.datediff(F.lit("1999-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_1999"),
+        F.weekofyear("o_orderdate").alias("wk"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                         AS abs_disc_delta,
+           cast(ceil(l_extendedprice) as bigint)          AS ceil_price,
+           cast(floor(l_extendedprice) as bigint)         AS floor_price,
+           cast(round(cast(l_extendedprice as decimal(18,2)) * 0.01, 2) as double)
+                                                          AS price_hundreds,
+           cast(l_quantity as bigint) % 7                 AS qty_mod7,
+           power(cast(l_quantity as double), 2)           AS qty_sq,
+           sqrt(cast(l_quantity as double))               AS qty_sqrt,
+           sign(l_discount - 0.05)                        AS disc_sign,
+           greatest(l_tax, l_discount)                    AS max_rate,
+           least(l_tax, l_discount)                       AS min_rate
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (IEEE-deterministic ops only: no libm
+    transcendentals whose ULPs differ between JVM and C)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.ceil("l_extendedprice").cast("long").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("long").alias("floor_price"),
+        # decimal multiply (never divide: DuckDB decimal '/' yields double;
+        # round() over raw doubles disagrees between engines on x.xx5 ties)
+        F.expr("cast(round(cast(l_extendedprice as decimal(18,2)) * 0.01, 2) as double)")
+         .alias("price_hundreds"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.pow(F.col("l_quantity").cast("double"), 2).alias("qty_sq"),
+        F.sqrt(F.col("l_quantity").cast("double")).alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >=  50000 THEN 'medium'
+                ELSE 'small' END                     AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN TRUE
+                ELSE FALSE END                       AS is_hot,
+           if(o_orderstatus = 'F', 'done', 'pending') AS done_flag
+    FROM orders
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/IN/if family."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+         .when(F.col("o_totalprice") >= 150000, "large")
+         .when(F.col("o_totalprice") >= 50000, "medium")
+         .otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open"))
+         .alias("status_or_open"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_hot"),
+        F.when(F.col("o_orderstatus") == "F", "done").otherwise("pending")
+         .alias("done_flag"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') as bigint) AS k_value,
+           event_type
+    FROM events
+    WHERE cast(json_extract_string(props, '$.k') as bigint) > 50
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column (the
+    reference's records are schemaless maps; JSON-typed columns are the
+    batch equivalent, S17's inverse)."""
+    (e,) = tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.select("event_id", k.alias("k_value"), "event_type")
+            .where(k > 50))
