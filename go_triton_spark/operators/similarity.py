@@ -1,1 +1,150 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns (array<float>).
+
+- ``ann_topk_bruteforce``: exact top-k cosine neighbors — the baseline
+  and the oracle-checkable primitive (deterministic double folds +
+  rounded scores + total-order ranking).
+- ``ann_topk_lsh``: sign-random-projection bucketed variant — the
+  100 TB path (candidates from matching hyperplane-sign bands, exact
+  re-scoring of candidates only). Approximate recall -> rows-only
+  check; structure (k rows per query, ordered) is asserted in tests.
+
+All vector math is built-in higher-order functions (zip_with /
+aggregate) — JVM-side, no Python UDF in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+_DIM = 64
+_K = 5
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+_DOT = ("aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+_NQ = ("aggregate(transform(q_emb, x -> cast(x as double) * cast(x as double)), "
+       "cast(0.0 as double), (acc, v) -> acc + v)")
+_NN = ("aggregate(transform(n_emb, x -> cast(x as double) * cast(x as double)), "
+       "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS n_emb FROM embeddings),
+    s AS (
+      SELECT q.query_id, n.neighbor_id,
+             round(
+               (SELECT sum(cast(q.q_emb[i] as double) * cast(n.n_emb[i] as double)
+                           ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+               / sqrt(
+                 (SELECT sum(cast(q.q_emb[i] as double) * cast(q.q_emb[i] as double)
+                             ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+                 * (SELECT sum(cast(n.n_emb[i] as double) * cast(n.n_emb[i] as double)
+                               ORDER BY i) FROM generate_series(1, {_DIM}) t(i))),
+               6) AS score
+      FROM q CROSS JOIN n WHERE q.query_id != n.neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s) t
+    WHERE rank <= {_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against all vectors.
+
+    Plan at scale: queries broadcast (no shuffle of the corpus), one
+    narrow scoring pass, then the window top-k shuffles only
+    (query, neighbor, score) rows. Scores rounded to 6 dp before
+    ranking so both engines rank identical values; neighbor_id breaks
+    ties.
+    """
+    (e,) = tables(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        F.broadcast(q).crossJoin(n)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(
+            F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _K)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) hyperplanes — data-independent."""
+    rng = random.Random(seed)
+    return [[float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@query(
+    "ann_topk_lsh",
+    oracle=None,  # approximate recall — rows-only check (see docstring)
+    tags=("llm", "similarity", "lsh"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via sign-random-projection LSH.
+
+    32 bands x 4 hyperplanes: a corpus vector is a candidate for a
+    query if any band's 4 sign bits all match. Candidates are exactly
+    re-scored; output shape matches ann_topk_bruteforce (fewer rows
+    possible if a bucket starves — that is the approximation).
+    Band shape is tuned for LOW-similarity corpora (top neighbors here
+    sit at cosine ~0.3-0.5): P(candidate | cos=0.4) ~ 0.99 at r=4,b=32
+    vs ~0.33 at r=8,b=16. For near-dup thresholds (cos>=0.9) prefer
+    r=8 bands — fewer candidates, same recall.
+
+    No SQL oracle: recall < 1 by construction. The driver records the
+    rows-only check; tests assert structure and recall >= 0.8 against
+    the brute-force result at smoke scale.
+
+    At 100 TB: the corpus is hashed once (narrow), bucketed
+    (shuffle on 16-bit keys), and each query probes 16 buckets instead
+    of scanning n vectors.
+    """
+    (e,) = tables(spark, sf_dir, "embeddings")
+    n_bands, rows_per_band = 32, 4
+    planes = _hyperplanes(n_bands * rows_per_band, _DIM)
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{w}D" for w in p) + ")" for p in planes) + ")"
+    sig = (
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, r) -> acc * 2 + "
+        f"if(aggregate(zip_with(embedding, element_at({planes_sql}, b * {rows_per_band} + r + 1), "
+        "(x, w) -> cast(x as double) * w), cast(0.0 as double), (a, v) -> a + v) >= 0, 1L, 0L)))"
+    )
+    hashed = e.select("vec_id", "embedding", F.expr(sig).alias("band_sigs"))
+    buckets = hashed.select(
+        "vec_id", "embedding",
+        F.posexplode("band_sigs").alias("band", "sig"))
+    qb = (buckets.where(F.col("vec_id") < _N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+                  "band", "sig"))
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("n_emb"), "band", "sig")
+    cand = (
+        F.broadcast(qb).join(nb, ["band", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "n_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("score", F.round(
+        F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _K)
+            .select("query_id", "neighbor_id", "rank"))

@@ -1,1 +1,169 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators for LLM training-data pipelines.
+
+All run over the ``documents`` table (doc_id, text, lang, source,
+n_chars). Every computation is engine-portable integer/decimal/string
+math so the DuckDB oracle checks values exactly:
+
+- token counting (whitespace split + chars + a BPE-ish estimate)
+- language ID (marker-token heuristic; the real lang column is ground
+  truth to compare against, not an input to the heuristic)
+- quality scoring (length/diversity/stopword ratios)
+- document fingerprinting (md5 canonical hash + prefix bucket)
+
+Scale: all are narrow per-row transforms (no shuffle except final
+aggs) — at 100 TB they pipeline inside one codegen stage per
+partition. The only UDF-free exception is nothing: every op here is
+built-in JVM expressions on purpose (UDFs are the slow path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+#: marker tokens for the language-ID heuristic (per candidate lang)
+_LANG_MARKERS = {
+    "en": ("the", "a"),
+    "tech": ("spark", "query", "data"),
+    "ops": ("stream", "batch", "merge"),
+}
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_tokens,
+           length(text)                                    AS n_chars_measured,
+           n_chars                                         AS n_chars_given,
+           cast(ceil(length(text) / 4.0) as bigint)        AS est_bpe_tokens,
+           len(list_distinct(string_split(text, ' ')))     AS n_unique_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + BPE-ish estimate (chars/4 heuristic
+    from public LLM tokenizer rules of thumb)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_given"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_unique_tokens"),
+    )
+
+
+def _marker_hits_spark(col, token):
+    return F.size(F.filter(col, lambda w: w == F.lit(token)))
+
+
+@query(
+    "text_language_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_filter(ws, w -> w = 'the')) + len(list_filter(ws, w -> w = 'a'))  AS hits_en,
+             len(list_filter(ws, w -> w = 'spark')) + len(list_filter(ws, w -> w = 'query'))
+               + len(list_filter(ws, w -> w = 'data'))                                  AS hits_tech,
+             len(list_filter(ws, w -> w = 'stream')) + len(list_filter(ws, w -> w = 'batch'))
+               + len(list_filter(ws, w -> w = 'merge'))                                 AS hits_ops,
+             len(ws) AS n_tokens
+      FROM t)
+    SELECT doc_id, lang AS lang_actual, hits_en, hits_tech, hits_ops,
+           CASE WHEN hits_tech >= hits_ops AND hits_tech >= hits_en THEN 'tech'
+                WHEN hits_ops  >= hits_en                           THEN 'ops'
+                WHEN hits_en   >  0                                 THEN 'en'
+                ELSE 'unknown' END AS lang_guess
+    FROM h
+    """,
+    tags=("llm", "text"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language/domain ID (n-gram-heuristic family).
+    Deterministic argmax with a fixed priority tie-break."""
+    (d,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    h_en =(_marker_hits_spark(ws, "the") + _marker_hits_spark(ws, "a")).alias("hits_en")
+    h_tech = (_marker_hits_spark(ws, "spark") + _marker_hits_spark(ws, "query")
+              + _marker_hits_spark(ws, "data")).alias("hits_tech")
+    h_ops = (_marker_hits_spark(ws, "stream") + _marker_hits_spark(ws, "batch")
+             + _marker_hits_spark(ws, "merge")).alias("hits_ops")
+    base = d.select("doc_id", F.col("lang").alias("lang_actual"), h_en, h_tech, h_ops)
+    return base.withColumn(
+        "lang_guess",
+        F.when((F.col("hits_tech") >= F.col("hits_ops"))
+               & (F.col("hits_tech") >= F.col("hits_en")), "tech")
+         .when(F.col("hits_ops") >= F.col("hits_en"), "ops")
+         .when(F.col("hits_en") > 0, "en")
+         .otherwise("unknown"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc FROM documents)
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           cast(len(list_distinct(ws)) as double) / len(ws)       AS distinct_ratio,
+           cast(nc - len(ws) + 1 as double) / len(ws)             AS avg_token_len,
+           CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1 ELSE 0 END  AS len_ok,
+           cast(round(
+             cast(len(list_distinct(ws)) as double) / len(ws) * 0.5
+             + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN cast(nc - len(ws) + 1 as double) / len(ws) >= 4.0
+                    THEN 0.2 ELSE 0.0 END, 6) as double)          AS quality
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score: lexical diversity + length-window + token-size
+    components (the public heuristic-filter family: C4/Gopher-style
+    rules, re-expressed over this corpus' features)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    nc = F.length("text")
+    distinct_ratio = nd.cast("double") / n
+    avg_tok = (nc - n + 1).cast("double") / n
+    len_ok = F.when((n >= 20) & (n <= 80), 1).otherwise(0)
+    quality = F.round(
+        distinct_ratio * 0.5
+        + F.when((n >= 20) & (n <= 80), 0.3).otherwise(0.0)
+        + F.when(avg_tok >= 4.0, 0.2).otherwise(0.0), 6).cast("double")
+    return d.select("doc_id", n.alias("n_tokens"),
+                    distinct_ratio.alias("distinct_ratio"),
+                    avg_tok.alias("avg_token_len"),
+                    len_ok.alias("len_ok"),
+                    quality.alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))               AS fingerprint,
+           substr(md5(lower(trim(text))), 1, 4) AS bucket,
+           length(text)                         AS n_chars_measured
+    FROM documents
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint (md5 of normalized text) + a
+    16-bit prefix bucket — the partition key for shuffle-free exact
+    dedup at scale (identical fingerprints land in one bucket)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select("doc_id", fp.alias("fingerprint"),
+                    F.substring(fp, 1, 4).alias("bucket"),
+                    F.length("text").alias("n_chars_measured"))

@@ -1,0 +1,80 @@
+"""LLM-data-pipeline operator tests (dedup, similarity, text, multimodal).
+
+Oracle value-parity is covered by tools/check_correctness.py (and the
+driver); these tests assert structural/semantic properties the oracle
+cannot: LSH recall, signature stability, plumbing shapes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].spark(spark, SF)
+
+
+def test_dedup_exact_keeps_one_per_group(spark):
+    df = _run(spark, "dedup_exact")
+    keepers = df.where("keep").count()
+    groups = df.select("fingerprint").distinct().count()
+    assert keepers == groups
+
+
+def test_minhash_matches_exact_jaccard_pairs(spark):
+    """LSH candidates + exact verify == exact >=0.7 pairs (recall check)."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in _run(spark, "dedup_ngram_jaccard")
+             .where(F.col("inter") * 10 >= F.col("uni") * 7)
+             .select("id_a", "id_b").collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in _run(spark, "dedup_minhash_lsh").collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_is_16_bit_and_stable(spark):
+    rows = _run(spark, "dedup_simhash").collect()
+    assert all(0 <= r["simhash16"] < 65536 for r in rows)
+    # determinism: recomputing yields identical signatures
+    again = {r["doc_id"]: r["simhash16"] for r in _run(spark, "dedup_simhash").collect()}
+    first = {r["doc_id"]: r["simhash16"] for r in rows}
+    assert first == again
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in _run(spark, "ann_topk_bruteforce").collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in _run(spark, "ann_topk_lsh").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_ann_topk_shape(spark):
+    df = _run(spark, "ann_topk_bruteforce")
+    per_query = df.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_query)
+    assert len(per_query) == 10
+
+
+def test_text_quality_bounds(spark):
+    rows = _run(spark, "text_quality_score").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(0.0 < r["distinct_ratio"] <= 1.0 for r in rows)
+
+
+def test_mm_decode_runs_through_pandas(spark):
+    rows = _run(spark, "mm_decode_stub").collect()
+    assert len(rows) == 500
+    assert all(32 <= r["width"] < 352 and r["channels"] == 3 for r in rows)
+
+
+def test_mm_frame_sample_stride(spark):
+    df = _run(spark, "mm_frame_sample")
+    # every doc has frame 0; longer docs have more frames
+    f0 = df.where("frame_idx = 0").count()
+    assert f0 == 500
+    assert df.count() >= f0
