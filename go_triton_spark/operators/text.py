@@ -163,7 +163,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit prefix bucket — the partition key for shuffle-free exact
     dedup at scale (identical fingerprints land in one bucket)."""
     (d,) = tables(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
-    return d.select("doc_id", fp.alias("fingerprint"),
-                    F.substring(fp, 1, 4).alias("bucket"),
-                    F.length("text").alias("n_chars_measured"))
+    return (d.select("doc_id",
+                     F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+                     F.length("text").alias("n_chars_measured"))
+            .select("doc_id", "fingerprint",
+                    F.substring("fingerprint", 1, 4).alias("bucket"),
+                    "n_chars_measured"))
