@@ -22,6 +22,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_revenue",
     "q_top_customers",
+    "q4_priority_check",
+    "q6_revenue_forecast",
+    "q14_promo_share",
+    "q18_large_orders",
     "join_range",
     "agg_basic",
     "agg_cube",
@@ -30,6 +34,8 @@ HEADLINE = [
     "sort_limit",
     "s12_date_range_replay",
     "s15_ordered_replay",
+    "evt_tumbling_window",
+    "evt_session_window",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

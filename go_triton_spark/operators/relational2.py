@@ -1,0 +1,270 @@
+"""Relational surface, part 2: more TPC-H adaptations, subqueries,
+pivot, array/explode ops, deterministic sampling.
+
+Same determinism policy as relational.py (registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+
+def _dsum(expr: str) -> str:
+    return f"cast(sum(cast({expr} as decimal(30,8))) as double)"
+
+
+# =====================================================================
+# More TPC-H adaptations
+# =====================================================================
+
+@query(
+    "q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one late-shipping line
+    (EXISTS -> left-semi join with a non-equi condition)."""
+    o, li = tables(spark, sf_dir, "orders", "lineitem")
+    o = o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+           (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority").agg(F.count("*").alias("order_count")))
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "agg"),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-agg; at scale this is THE pushdown
+    test (all four predicates must reach the parquet scan)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+                 & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.expr(_dsum("l_extendedprice * l_discount")).alias("revenue_delta"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT {_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             AS promo_revenue,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: conditional aggregation over a broadcast
+    dimension join (part is small)."""
+    li, p = tables(spark, sf_dir, "lineitem", "part")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+                 & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN "
+                         "l_extendedprice * (1 - l_discount) ELSE 0.0 END"))
+             .alias("promo_revenue"),
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("total_revenue"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, {_dsum('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(cast(l_quantity as bigint)) > 150)
+    GROUP BY c.c_name, o.o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    tags=("tpch", "join", "subquery", "having"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: HAVING-filtered IN subquery (semi join against
+    an aggregate), then re-aggregate with customer names."""
+    o, c, li = tables(spark, sf_dir, "orders", "customer", "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.expr("sum(cast(l_quantity as bigint))").alias("q"))
+           .where(F.col("q") > 150).select("l_orderkey"))
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.expr(_dsum("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+# =====================================================================
+# Subquery family
+# =====================================================================
+
+@query(
+    "subquery_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT {_dsum('o_totalprice')} / count(*) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders above 1.5x the exact-decimal
+    mean)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT {_dsum('o_totalprice')} / count(*) FROM orders)
+    """)
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey)
+          > 400000
+    """,
+    tags=("subquery",),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates into an
+    aggregate + join — no per-row re-execution)."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    c.createOrReplaceTempView("customer")
+    o.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE (SELECT max(o_totalprice) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) > 400000
+    """)
+
+
+# =====================================================================
+# Pivot / explode / arrays / sampling
+# =====================================================================
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) with pinned pivot values —
+    pinning avoids the extra distinct-values job Spark otherwise runs."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0))
+
+
+@query(
+    "explode_token_counts",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    tags=("explode", "agg", "topk"),
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral view) + global top-k tokens."""
+    (d,) = tables(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok")).limit(20))
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5_tokens,
+           list_contains(string_split(text, ' '), 'spark')        AS mentions_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|')
+                                                                  AS first3_joined
+    FROM documents
+    """,
+    tags=("scalar", "array"),
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: sort/distinct/slice/contains/join."""
+    (d,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sorted_distinct = F.sort_array(F.array_distinct(ws))
+    return d.select(
+        "doc_id",
+        F.slice(sorted_distinct, 1, 5).alias("first5_tokens"),
+        F.array_contains(ws, "spark").alias("mentions_spark"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("first3_joined"),
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE (event_id * 2654435761) % 100 < 10
+    """,
+    tags=("sampling",),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via multiplicative hashing on the key
+    (engine-portable integer math — the reproducible alternative to
+    TABLESAMPLE/rand(), and re-runnable across engines and runs; at
+    scale this is also partition-prunable if the key is the sort key)."""
+    (e,) = tables(spark, sf_dir, "events")
+    return (e.where((F.col("event_id") * 2654435761) % 100 < 10)
+            .select("event_id", "user_id", "event_type"))

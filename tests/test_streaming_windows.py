@@ -1,0 +1,119 @@
+"""Event-time streaming tests: watermark + windowed aggregation and
+foreachBatch .tri export — the operators event_time.py runs in batch,
+proven here through the actual Structured Streaming engine.
+"""
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_triton_spark.types import EVENTS_SCHEMA
+
+UTC = dt.timezone.utc
+
+
+def _write_events(dirpath, records):
+    os.makedirs(dirpath, exist_ok=True)
+    fname = os.path.join(dirpath, f"batch-{len(os.listdir(dirpath))}.json")
+    with open(fname, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00Z", "user_id": 1,
+         "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:05:00Z", "user_id": 2,
+         "event_type": "view", "value": 3.0, "props": "{}"},
+    ])
+    stream = (spark.readStream.format("json").schema(EVENTS_SCHEMA).load(src)
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("total")))
+    q = (stream.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["w"]["start"].hour, r["event_type"]): (r["n"], r["total"])
+            for r in spark.sql("SELECT * FROM win_agg").collect()}
+    assert rows[(0, "click")] == (2, 3.0)
+    assert rows[(1, "view")] == (1, 3.0)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # two sessions for user 1 (gap > 30 min), one for user 2
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T02:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:05:00Z", "user_id": 2,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ])
+    stream = (spark.readStream.format("json").schema(EVENTS_SCHEMA).load(src)
+              .withWatermark("ts", "5 minutes")
+              .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+              .agg(F.count("*").alias("n")))
+    q = (stream.writeStream.format("memory").queryName("sess_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted((r["user_id"], r["n"])
+                  for r in spark.sql("SELECT * FROM sess_agg").collect())
+    assert rows == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_streaming_dropduplicates_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(src, [
+        {"event_id": 7, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 7, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # dup delivery
+        {"event_id": 8, "ts": "2024-01-01T00:01:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+    ])
+    stream = (spark.readStream.format("json").schema(EVENTS_SCHEMA).load(src)
+              .withWatermark("ts", "1 hour")
+              .dropDuplicates(["event_id"]))
+    q = (stream.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"]
+                 for r in spark.sql("SELECT event_id FROM dedup_stream").collect())
+    assert ids == [7, 8]
+
+
+def test_foreachbatch_tri_export(spark, tmp_path):
+    """Streaming -> .tri compat writer via foreachBatch (SURVEY S8's
+    .tri-compat output mode)."""
+    from go_triton_spark.sources.tri_source import read_tri, write_tri
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "tri_out")
+    _write_events(src, [
+        {"event_id": i, "ts": "2024-01-01T00:00:00Z", "user_id": i,
+         "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(10)
+    ])
+    when = dt.datetime(2024, 1, 1, 3, 0, tzinfo=UTC)
+
+    def sink(batch_df, batch_id):
+        write_tri(batch_df.coalesce(1), out_dir, "events", "stream", when=when)
+
+    q = (spark.readStream.format("json").schema(EVENTS_SCHEMA).load(src)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    back = read_tri(spark, out_dir, EVENTS_SCHEMA)
+    assert back.count() == 10
+    assert back.select("_archive_date").first()[0] == "20240101"
