@@ -1,0 +1,212 @@
+"""Relational surface, part 3: ordered-set aggregates, bit aggregates,
+covariance/correlation via exact sums, regexp family, grouping IDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+
+def _dsum(expr: str) -> str:
+    return f"cast(sum(cast({expr} as decimal(30,8))) as double)"
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6)  AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 6)  AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear interpolation
+    at rank (n-1)*p over the sorted values — identical doubles in, same
+    formula, rounded output). At 100 TB prefer approx_percentile (one
+    pass, bounded memory); the exact form is the verifier."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based (KLL/GK) — engine-specific by design
+    tags=("agg", "percentile", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the one-pass bounded-memory scale path for
+    quantiles (rows-only check; exact counterpart is agg_percentiles)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+         .alias("approx_pcts"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("exact_median"),
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS band,
+           bit_or(event_id)  AS bor,
+           bit_xor(event_id) AS bxor
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "bitwise"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (order-insensitive integer ops — trivially
+    deterministic at any parallelism)."""
+    (e,) = tables(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bit_and(event_id)").alias("band"),
+        F.expr("bit_or(event_id)").alias("bor"),
+        F.expr("bit_xor(event_id)").alias("bxor"),
+    )
+
+
+@query(
+    "agg_covariance",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(({_dsum('l_quantity * l_extendedprice')}
+                  - {_dsum('l_quantity')} * {_dsum('l_extendedprice')} / count(*))
+                 / count(*), 6) AS covar_pop_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance via exact decimal sums (the engines'
+    covar_pop over doubles is summation-order-dependent; this form is
+    reproducible at any parallelism — same trick as agg_stats)."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(({_dsum('l_quantity * l_extendedprice')}
+                      - {_dsum('l_quantity')} * {_dsum('l_extendedprice')} / count(*))
+                     / count(*), 6) AS covar_pop_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """)
+
+
+@query(
+    "scalar_regexp",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(props, '"k": ([0-9]+)', 1)      AS k_str,
+           regexp_matches(props, '[0-9][0-9]')            AS has_2digit,
+           regexp_replace(props, '[0-9]+', '#')           AS masked,
+           length(regexp_replace(props, '[^0-9]', '', 'g')) AS n_digits
+    FROM events WHERE event_id < 500
+    """,
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family (extract with group, match test, replace, strip).
+    Patterns restricted to the Java-regex/RE2 common subset."""
+    (e,) = tables(spark, sf_dir, "events")
+    return (e.where(F.col("event_id") < 500).select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_str"),
+        F.col("props").rlike("[0-9][0-9]").alias("has_2digit"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+        F.length(F.regexp_replace("props", "[^0-9]", "")).alias("n_digits"),
+    ))
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish 'NULL because rolled up' from
+    data nulls in cube output."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg((F.grouping("o_orderstatus") * 2
+                  + F.grouping("o_orderpriority")).alias("gid"),
+                 F.count("*").alias("n")))
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH sh AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]
+        || '_' || string_split(text, ' ')[i+2])) AS s FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS a, id_b AS b FROM p WHERE inter * 10 >= uni * 7
+          UNION SELECT id_b, id_a FROM p WHERE inter * 10 >= uni * 7),
+    r AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+      SELECT * FROM reach)
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM r GROUP BY a
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the Jaccard>=0.7
+    pair graph (label propagation to fixpoint — the iterative-algorithm
+    pattern; oracle is a recursive CTE).
+
+    Each iteration: label(v) <- min(label(v), min over neighbors) —
+    converges in O(component diameter) joins. At 100 TB this runs on
+    the candidate-pair graph (tiny relative to the corpus) and
+    checkpoint-truncates lineage every few rounds.
+    """
+    from go_triton_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (id_a, id_b), a < b
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+             .cache())
+    labels = edges.groupBy("a").agg(F.min("b").alias("lbl")) \
+                  .select("a", F.least("a", "lbl").alias("lbl"))
+    for _ in range(10):  # diameter bound for near-dup components
+        prop = (edges.join(labels.withColumnRenamed("a", "b2"),
+                           edges.b == F.col("b2"))
+                .groupBy("a").agg(F.min("lbl").alias("nbr_lbl")))
+        new_labels = (labels.join(prop, "a", "left")
+                      .select("a", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "a")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
