@@ -1,0 +1,131 @@
+"""CLI parity with the reference's ``triton`` command (triton.go).
+
+    python -m go_triton_spark.cli store --stream S [--once]
+    python -m go_triton_spark.cli cat --stream S --start-date YYYYMMDD
+        [--end-date YYYYMMDD] [--client C]
+    python -m go_triton_spark.cli stats [--client C]
+    python -m go_triton_spark.cli shards --stream S
+
+Environment (mirrors triton.go:34-56 env wiring):
+    TRITON_CONFIG  stream-config YAML path    (required for store/cat)
+    TRITON_ROOT    engine root directory      (default ./triton-data;
+                   stands in for TRITON_BUCKET — local/S3A path)
+    TRITON_CLIENT  client name                (default "archive";
+                   '-' rejected, triton.go:224-227)
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import os
+import sys
+
+
+def _engine(schema_needed: bool = False):
+    from go_triton_spark.engine import TritonEngine
+    from go_triton_spark.session import get_spark
+
+    config = os.environ.get("TRITON_CONFIG")
+    root = os.environ.get("TRITON_ROOT", "./triton-data")
+    client = os.environ.get("TRITON_CLIENT", "archive")
+    spark = get_spark("triton-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return TritonEngine(spark, root, config=config, client=client)
+
+
+def cmd_store(args) -> int:
+    from go_triton_spark.types import EVENTS_SCHEMA
+
+    eng = _engine()
+    pipe = eng.store(args.stream, schema=EVENTS_SCHEMA, once=args.once)
+    if args.once:
+        pipe.await_once()
+        pipe.stop()
+    else:
+        try:
+            pipe.query.awaitTermination()
+        except KeyboardInterrupt:  # graceful SIGINT drain (triton.go:117-126)
+            pipe.stop()
+    return 0
+
+
+def cmd_cat(args) -> int:
+    eng = _engine()
+    start = _dt.datetime.strptime(args.start_date, "%Y%m%d").date()
+    end = (_dt.datetime.strptime(args.end_date, "%Y%m%d").date()
+           if args.end_date else None)
+    df = eng.cat_json(args.stream, start, end, client=args.client)
+    for row in df.toLocalIterator():  # streamed, not collect()
+        print(row["json"])
+    return 0
+
+
+def cmd_stats(args) -> int:
+    eng = _engine()
+    for k, v in sorted(eng.stats(client=args.client).items()):
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_shards(args) -> int:
+    """S19 admin helper (triton/stream.go:247-258): list shards.
+
+    Local mode: input partitions of the stream's source dir; with a
+    real Kinesis deployment this calls boto3 describe_stream.
+    """
+    try:
+        import boto3  # noqa: F401
+        have_boto = True
+    except ImportError:
+        have_boto = False
+    if args.region and have_boto:
+        client = __import__("boto3").client("kinesis", region_name=args.region)
+        out = client.describe_stream(StreamName=args.stream)
+        for s in out["StreamDescription"]["Shards"]:
+            print(s["ShardId"])
+        return 0
+    eng = _engine()
+    cfg = eng.config_for(args.stream)
+    path = cfg.options.get("path")
+    if path and os.path.isdir(path):
+        for i, f in enumerate(sorted(os.listdir(path))):
+            print(f"shard-{i:04d}\t{f}")
+    else:
+        print(f"(no local source dir for stream {args.stream})", file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="triton-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_store = sub.add_parser("store", help="stream ingest -> archive")
+    p_store.add_argument("--stream", required=True)
+    p_store.add_argument("--once", action="store_true",
+                         help="drain available input then exit")
+    p_store.set_defaults(fn=cmd_store)
+
+    p_cat = sub.add_parser("cat", help="batch replay as JSON lines")
+    p_cat.add_argument("--stream", required=True)
+    p_cat.add_argument("--start-date", required=True, metavar="YYYYMMDD")
+    p_cat.add_argument("--end-date", metavar="YYYYMMDD")
+    p_cat.add_argument("--client")
+    p_cat.set_defaults(fn=cmd_cat)
+
+    p_stats = sub.add_parser("stats", help="checkpoint ages")
+    p_stats.add_argument("--client")
+    p_stats.set_defaults(fn=cmd_stats)
+
+    p_shards = sub.add_parser("shards", help="list shards (S19)")
+    p_shards.add_argument("--stream", required=True)
+    p_shards.add_argument("--region", help="AWS region (uses boto3 if set)")
+    p_shards.set_defaults(fn=cmd_shards)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

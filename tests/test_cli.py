@@ -1,0 +1,55 @@
+"""CLI end-to-end test: store --once -> cat -> stats via the real CLI
+entry point (subprocess-free: call main() with env patched)."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def cli_env(tmp_path, monkeypatch):
+    cfg = tmp_path / "streams.yaml"
+    cfg.write_text(f"""
+events:
+  name: events
+  partition_key: user_id
+  source: file
+  format: json
+  path: {tmp_path}/incoming/events
+""")
+    monkeypatch.setenv("TRITON_CONFIG", str(cfg))
+    monkeypatch.setenv("TRITON_ROOT", str(tmp_path / "root"))
+    monkeypatch.setenv("TRITON_CLIENT", "clitest")
+    src = tmp_path / "incoming" / "events"
+    src.mkdir(parents=True)
+    with open(src / "b0.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"event_id": i, "ts": "2024-01-01T00:00:00Z",
+                                "user_id": i, "event_type": "click",
+                                "value": 1.0, "props": "{}"}) + "\n")
+    return tmp_path
+
+
+def test_cli_store_cat_stats(spark, cli_env, capsys):
+    from go_triton_spark import cli
+
+    assert cli.main(["store", "--stream", "events", "--once"]) == 0
+    today = dt.datetime.now(dt.timezone.utc).strftime("%Y%m%d")
+    assert cli.main(["cat", "--stream", "events", "--start-date", today]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5
+    assert json.loads(out[0])["event_type"] == "click"
+
+    assert cli.main(["stats"]) == 0
+    out = capsys.readouterr().out
+    assert "clitest.events" in out and ".age:" in out
+
+
+def test_cli_shards_local(spark, cli_env, capsys):
+    from go_triton_spark import cli
+
+    assert cli.main(["shards", "--stream", "events"]) == 0
+    out = capsys.readouterr().out
+    assert "shard-0000" in out
