@@ -16,13 +16,32 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_PKG_SHIPPED = False
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Settings the engine needs when the driver owns the session."""
+    global _PKG_SHIPPED
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down — session.py's builder path sets them
+    if not _PKG_SHIPPED:
+        # mapInPandas closures import go_triton_spark on executors; ship
+        # the package so a session created elsewhere still resolves it
+        try:
+            import shutil
+            import tempfile
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            zip_base = os.path.join(tempfile.gettempdir(), "go_triton_spark_pkg")
+            zip_path = shutil.make_archive(
+                zip_base, "zip", root_dir=here, base_dir="go_triton_spark")
+            spark.sparkContext.addPyFile(zip_path)
+        except Exception:
+            pass  # local path already importable (tests, bench)
+        _PKG_SHIPPED = True
 
 
 def entry(spark: SparkSession) -> DataFrame:

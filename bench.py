@@ -61,8 +61,16 @@ def main() -> int:
     spark = get_spark("go-triton-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan (not counted)
+    # JVM/codegen/scan-path warmup (not counted): a trivial codegen plan
+    # plus one cheap pass over each input table (footer reads + vectorized
+    # reader init) so the first measured query isn't charged for JVM
+    # cold start the others don't pay
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    for t in ("lineitem", "orders", "customer", "part", "supplier",
+              "nation", "region", "events", "documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).limit(1).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -149,9 +149,13 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
             yield out
 
+    # cached: the signature pass feeds both the query and corpus branches
+    # of the bucket join (without cache the numpy pass + Python worker
+    # round-trip runs twice)
     buckets = (e.select("vec_id", "embedding")
                .mapInPandas(hash_batches, schema=sig_schema)
-               .select("vec_id", "band", "sig"))  # keys only through the join
+               .select("vec_id", "band", "sig")
+               .cache())
     qb = (buckets.where(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"), "band", "sig"))
     nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "band", "sig")
