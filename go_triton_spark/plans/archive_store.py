@@ -22,6 +22,7 @@ plain ``spark.read`` is unordered by contract.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,6 +95,10 @@ class ArchiveStore:
         """
         end_date = end_date or start_date
         list_dates_from_range(start_date, end_date)  # validate range
+        if not os.path.isdir(self.root) and "://" not in self.root:
+            raise FileNotFoundError(
+                f"archive root {self.root!r} does not exist — nothing has "
+                f"been stored yet (run the store pipeline first)")
         df = (
             self.spark.read.parquet(self.root)
             .where((F.col("stream") == stream)

@@ -203,3 +203,19 @@ def test_tri_corrupt_trailing_garbage_keeps_good_prefix():
 def test_tri_empty_is_eof():
     # archive_test.go:64-74: empty object -> immediate EOF
     assert read_tri_bytes(b"") == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200000))
+def test_snappy_frame_property_roundtrip(data):
+    assert frame_decompress(frame_compress(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.dictionaries(
+    st.text(min_size=1, max_size=10),
+    st.none() | st.booleans() | st.integers(-2**40, 2**40)
+    | st.floats(allow_nan=False) | st.text(max_size=30),
+    max_size=6), max_size=30))
+def test_tri_property_roundtrip(records):
+    assert read_tri_bytes(write_tri_bytes(records, flush_bytes=256)) == records
