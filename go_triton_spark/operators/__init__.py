@@ -21,6 +21,8 @@ from go_triton_spark.operators import relational2  # noqa: F401,E402
 from go_triton_spark.operators import relational3  # noqa: F401,E402
 from go_triton_spark.operators import scalars  # noqa: F401,E402
 from go_triton_spark.operators import event_time  # noqa: F401,E402
+from go_triton_spark.operators import udfs  # noqa: F401,E402
+from go_triton_spark.operators import timeseries  # noqa: F401,E402
 from go_triton_spark.operators import pipeline_queries  # noqa: F401,E402
 from go_triton_spark.operators import dedup  # noqa: F401,E402
 from go_triton_spark.operators import similarity  # noqa: F401,E402

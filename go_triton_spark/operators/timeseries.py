@@ -1,0 +1,96 @@
+"""Time-series operators: as-of join (the operator Spark lacks as a
+built-in, composed from window functions — SURVEY section 2.2 'as-of').
+
+The merge-pattern implementation: instead of a per-row backward probe
+(quadratic), union both sides tagged, sort within each key by event
+time, and carry the last left-side value forward with
+last(ignorenulls) — one shuffle on the key, linear scan per key.
+At 100 TB this is the only shape that works: the naive
+"join on l.ts <= r.ts then max" explodes quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT event_id AS purchase_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_id
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join within the event stream: for every
+    purchase, the most recent prior click by the same user.
+
+    Single-table form of the merge pattern; the two-table form is
+    identical after a tagged unionByName. Null when no prior click.
+    """
+    (e,) = tables(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carried = e.select(
+        "event_id", "user_id", "event_type",
+        F.last(F.when(F.col("event_type") == "click", F.col("event_id")),
+               ignorenulls=True).over(w).alias("last_click_id"))
+    return (carried.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    "last_click_id"))
+
+
+@query(
+    "asof_join_two_tables",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value, 0 AS is_right FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, value, 1 AS is_right FROM events
+      WHERE event_type = 'error'),
+    carried AS (
+      SELECT user_id, ts, event_id, is_right,
+             last_value(CASE WHEN is_right = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_right, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS asof_click_id
+      FROM tagged)
+    SELECT event_id AS error_id, user_id, asof_click_id
+    FROM carried WHERE is_right = 1
+    """,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_join_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-'table' as-of join via tagged union + merge scan: each error
+    event picks up the latest click at-or-before it (inclusive; left
+    rows sort before right rows at equal timestamps via the tag).
+    This is the general recipe for quotes-vs-trades style as-of joins.
+    """
+    (e,) = tables(spark, sf_dir, "events")
+    left = (e.where(F.col("event_type") == "click")
+            .select("user_id", "ts", "event_id", "value",
+                    F.lit(0).alias("is_right")))
+    right = (e.where(F.col("event_type") == "error")
+             .select("user_id", "ts", "event_id", "value",
+                     F.lit(1).alias("is_right")))
+    tagged = left.unionByName(right)
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_right", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.select(
+        "user_id", "event_id", "is_right",
+        F.last(F.when(F.col("is_right") == 0, F.col("event_id")),
+               ignorenulls=True).over(w).alias("asof_click_id"))
+    return (carried.where(F.col("is_right") == 1)
+            .select(F.col("event_id").alias("error_id"), "user_id",
+                    "asof_click_id"))

@@ -1,0 +1,101 @@
+"""UDF surface (SURVEY section 2.2 'UDF/UDAF/UDTF' row): one
+oracle-checked example per kind, all Arrow-batched (never row-at-a-time
+Python in hot paths).
+
+- scalar pandas_udf  : text normalization
+- grouped-agg pandas_udf (UDAF): integer reduction (numpy int64 —
+  exact, so oracle parity holds; float reductions would need the
+  decimal-sum pattern instead)
+- Python UDTF        : tokenizer emitting (token, idx) rows
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from go_triton_spark.operators.registry import query, tables
+
+
+@pandas_udf(T.StringType())
+def _normalize_text(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("udf",),
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized string normalization)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    return (d.where(F.col("doc_id") < 100)
+            .select("doc_id", _normalize_text("text").alias("norm_text")))
+
+
+@pandas_udf(T.LongType())
+def _sum_ids(v: pd.Series) -> int:
+    return int(v.to_numpy().sum())  # int64: exact at any order
+
+
+@pandas_udf(T.LongType())
+def _count_rows(v: pd.Series) -> int:
+    return len(v)
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT user_id, sum(event_id) AS id_sum, count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    tags=("udf", "udaf"),
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (UDAF): per-group numpy reduction.
+    Spark shuffles by the group key and hands each group's column to
+    the UDF as one Arrow batch."""
+    (e,) = tables(spark, sf_dir, "events")
+    # note: grouped-agg pandas UDFs cannot mix with JVM aggregates in
+    # one agg() — both columns are pandas UDFs here
+    return (e.groupBy("user_id")
+            .agg(_sum_ids("event_id").alias("id_sum"),
+                 _count_rows("event_id").alias("n")))
+
+
+@udtf(returnType="tok: string, idx: int")
+class _Tokenize:
+    def eval(self, doc_id: int, text: str):
+        for i, tok in enumerate(text.split(" ")):
+            yield tok, i
+
+
+@query(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, ws[i] AS tok, cast(i - 1 as integer) AS idx
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE doc_id < 50) t
+    CROSS JOIN generate_series(1, 200) s(i)
+    WHERE i <= len(ws)
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> N output rows.
+    The generator runs per-partition; no driver involvement."""
+    (d,) = tables(spark, sf_dir, "documents")
+    d.where(F.col("doc_id") < 50).createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", _Tokenize)
+    return spark.sql("""
+        SELECT d.doc_id, t.tok, t.idx
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+    """)
