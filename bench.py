@@ -26,6 +26,12 @@ HEADLINE = [
     "q6_revenue_forecast",
     "q14_promo_share",
     "q18_large_orders",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q21_waiting_supplier",
     "join_range",
     "agg_basic",
     "agg_cube",

@@ -25,6 +25,9 @@ class TritonEngine:
     def __init__(self, spark: SparkSession, root: str,
                  config: str | dict[str, StreamConfig] | None = None,
                  client: str = "archive"):
+        if "-" in client:
+            # the archive key delimiter (triton.go:224-227, archive.go:60-63)
+            raise ValueError("client name cannot contain '-' (key delimiter)")
         self.spark = spark
         self.root = root
         self.client = client
