@@ -72,6 +72,12 @@ def main() -> int:
     # reader init) so the first measured query isn't charged for JVM
     # cold start the others don't pay
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    # fork the Arrow Python workers once (reused afterwards) so the first
+    # pandas-UDF query isn't charged for 32 interpreter cold starts
+    def _ident(it):
+        yield from it
+    (spark.range(64).repartition(32).mapInPandas(_ident, schema="id long")
+     .write.format("noop").mode("overwrite").save())
     for t in ("lineitem", "orders", "customer", "part", "supplier",
               "nation", "region", "events", "documents", "embeddings"):
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -267,18 +267,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    bits = (
-        toks.crossJoin(spark.range(16).select(F.col("id").cast("int").alias("i")))
-        .select(
-            "doc_id", "i",
-            F.when(
-                F.expr("instr('89abcdef', substr(md5(tok), i + 1, 1)) > 0"), 1
-            ).otherwise(-1).alias("contrib"))
-    )
-    bitsum = (bits.groupBy("doc_id", "i")
-              .agg(F.when(F.sum("contrib") >= 0, 1).otherwise(0).alias("bit")))
-    return (bitsum.groupBy("doc_id")
-            .agg(F.sum(F.expr("bit * shiftleft(1, i)")).cast("long").alias("simhash16")))
+    # md5 once per token; 16 narrow +/-1 columns instead of a 16x row
+    # explosion — the shuffle carries (doc_id, 16 ints) per token and
+    # map-side combine collapses it to one row per doc before the wire
+    contribs = toks.select(
+        "doc_id",
+        *[F.when(F.expr(f"instr('89abcdef', substr(md5(tok), {i + 1}, 1)) > 0"), 1)
+          .otherwise(-1).alias(f"c{i}") for i in range(16)])
+    sums = contribs.groupBy("doc_id").agg(
+        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(16)])
+    sim_expr = " + ".join(
+        f"(case when s{i} >= 0 then 1 else 0 end) * shiftleft(1, {i})"
+        for i in range(16))
+    return sums.select(
+        "doc_id", F.expr(sim_expr).cast("long").alias("simhash16"))
 
 
 # =====================================================================
