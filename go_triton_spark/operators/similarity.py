@@ -126,14 +126,15 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
         T.StructField("band", T.IntegerType()),
         T.StructField("sig", T.LongType()),
     ])
 
     def hash_batches(batches):
         # vectorized sign projection: (n,64) @ (64,128) -> sign bits ->
-        # one packed key per band; emits (vec, band, key) rows
+        # one packed key per band; emits narrow (vec, band, key) rows
+        # (never the embedding — 32x replication of a 64-float array
+        # through Arrow dominated this stage before)
         weights = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
@@ -143,7 +144,6 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys = bits.reshape(len(pdf), n_bands, rows_per_band) @ weights  # (n, 32)
             out = pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
-                "embedding": np.repeat(pdf["embedding"].to_numpy(), n_bands),
                 "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
                 "sig": keys.reshape(-1),
             })
@@ -154,7 +154,6 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip runs twice)
     buckets = (e.select("vec_id", "embedding")
                .mapInPandas(hash_batches, schema=sig_schema)
-               .select("vec_id", "band", "sig")
                .cache())
     qb = (buckets.where(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"), "band", "sig"))
