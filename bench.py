@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "dedup_levenshtein",
+    "text_chunk",
     "text_token_count",
     "text_quality_score",
     "text_fingerprint",

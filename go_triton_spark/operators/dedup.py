@@ -362,3 +362,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    else pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64"))
 
     return bp.mapInPandas(score_blocks, schema=out_schema)
+
+
+# =====================================================================
+# Blocked edit-distance near-dup
+# =====================================================================
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang
+     AND (a.n_chars // 20) = (b.n_chars // 20)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 8
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with (lang, length-bucket) blocking.
+
+    Levenshtein is O(len^2) per pair, so the join is blocked: only
+    pairs agreeing on language and a 20-char length bucket are scored,
+    and only an 80-char prefix is compared. At 100 TB the block key is
+    the shuffle key — each task scores one block, never the cross
+    product. Both engines apply identical blocking, so the oracle is
+    exact parity, and ``levenshtein`` is built-in on both sides
+    (JVM-side in Spark; no Python in the loop).
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    sel = d.select("doc_id", "lang",
+                   (F.col("n_chars") / 20).cast("long").alias("bucket"),
+                   F.expr("substr(text, 1, 80)").alias("prefix"))
+    # spread the O(pairs * len^2) scoring across tasks: documents is a
+    # small file (1-2 input partitions), so without an explicit
+    # repartition on the block key every levenshtein runs on one core
+    a = (sel.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                    F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"))
+         .repartition(64, "lang_a", "bucket_a"))
+    b = sel.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+                   F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"))
+    return (
+        a.join(F.broadcast(b), (F.col("lang_a") == F.col("lang_b"))
+               & (F.col("bucket_a") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .where(F.col("dist") <= 8)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )

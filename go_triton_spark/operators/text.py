@@ -169,3 +169,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "fingerprint",
                     F.substring("fingerprint", 1, 4).alias("bucket"),
                     "n_chars_measured"))
+
+
+@query(
+    "text_chunk",
+    oracle="""
+    WITH series AS (SELECT unnest(range(0, 64)) AS i)
+    SELECT d.doc_id, cast(s.i as int) AS chunk_id,
+           substr(d.text, cast(s.i * 150 + 1 as int), 200) AS chunk,
+           len(substr(d.text, cast(s.i * 150 + 1 as int), 200)) AS chunk_len
+    FROM documents d CROSS JOIN series s
+    WHERE s.i <= greatest((len(d.text) - 1) // 150, 0)
+    """,
+    tags=("llm", "text", "chunk"),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 200-char windows, stride 150
+    (50-char overlap) — the standard pre-tokenization step of a
+    training-data pipeline.
+
+    Per-row ``sequence`` + ``explode``: fully parallel, no shuffle at
+    all (narrow op), chunk count adapts to each document. The oracle
+    mirrors it with a bounded series + filter because DuckDB's
+    generate_series cannot be correlated.
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(0, int(greatest((length(text) - 1) div 150, 0)))")
+        ).alias("chunk_id"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.expr("substr(text, chunk_id * 150 + 1, 200)").alias("chunk"),
+    )
+    return chunks.withColumn("chunk_len", F.length("chunk").cast("long"))

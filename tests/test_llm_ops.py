@@ -53,6 +53,33 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"LSH recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in _run(spark, "ann_topk_bruteforce").collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in _run(spark, "ann_topk_ivf").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every returned row must be rank-consistent (1..k per query)
+    ranks = _run(spark, "ann_topk_ivf").groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in ranks)
+
+
+def test_text_chunk_reconstructs(spark):
+    """Chunks with overlap stripped re-concatenate to the original text."""
+    import go_triton_spark.operators as ops
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = _run(spark, "text_chunk").orderBy("doc_id", "chunk_id").collect()
+    docs = {r["doc_id"]: r["text"] for r in d.collect()}
+    rebuilt = {}
+    for r in chunks:
+        cur = rebuilt.get(r["doc_id"], "")
+        # stride 150, size 200: keep first 150 chars of every chunk,
+        # the last chunk contributes its full remainder
+        rebuilt[r["doc_id"]] = cur[: r["chunk_id"] * 150] + r["chunk"]
+    assert rebuilt == docs
+
+
 def test_ann_topk_shape(spark):
     df = _run(spark, "ann_topk_bruteforce")
     per_query = df.groupBy("query_id").count().collect()
