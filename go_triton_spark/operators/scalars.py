@@ -177,3 +177,70 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("long")
     return (e.select("event_id", k.alias("k_value"), "event_type")
             .where(k > 50))
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           event_type                    AS type_val,
+           cast(user_id as varchar)      AS uid_val,
+           2                             AS n_keys,
+           'type,uid'                    AS keys_csv,
+           1                             AS n_after_filter
+    FROM events
+    WHERE event_id < 500
+    """,
+    tags=("scalar", "map"),
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function family: map_from_arrays, element_at, size,
+    map_keys, map_filter (lambda on entries). The oracle computes the
+    expected outputs directly from the base columns — what is checked
+    is the VALUES flowing through Spark's map operators, since map
+    cells themselves are not portably hashable across engines."""
+    (e,) = tables(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")))
+    return (e.where(F.col("event_id") < 500)
+            .select(
+                "event_id",
+                F.element_at(m, "type").alias("type_val"),
+                F.element_at(m, "uid").alias("uid_val"),
+                F.size(m).alias("n_keys"),
+                F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+                F.size(F.expr(
+                    "map_filter(map('type', event_type, 'uid', cast(user_id as string)), "
+                    "(k, v) -> k = 'type')")).alias("n_after_filter")))
+
+
+@query(
+    "hof_ops",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> len(w) > 5))
+             AS n_long_tokens,
+           len(list_filter(string_split(text, ' '),
+                           w -> regexp_matches(w, '[0-9]'))) > 0
+             AS has_digit_token,
+           list_sum(list_transform(string_split(text, ' '), w -> len(w)))
+             AS total_token_chars
+    FROM documents
+    """,
+    tags=("scalar", "hof"),
+)
+def hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function family: filter / exists / transform +
+    aggregate lambdas over token arrays — all JVM-evaluated, no UDF.
+    Integer/boolean outputs only (portable across engines)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> length(w) > 5))")
+         .alias("n_long_tokens"),
+        F.expr("exists(split(text, ' '), w -> w rlike '[0-9]')")
+         .alias("has_digit_token"),
+        F.expr("aggregate(transform(split(text, ' '), w -> length(w)), "
+               "0L, (acc, x) -> acc + x)")
+         .alias("total_token_chars"))

@@ -94,3 +94,56 @@ def asof_join_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (carried.where(F.col("is_right") == 1)
             .select(F.col("event_id").alias("error_id"), "user_id",
                     "asof_click_id"))
+
+
+@query(
+    "ts_gapfill_ffill",
+    oracle="""
+    WITH b AS (SELECT cast(floor(epoch(min(ts)) / 3600) as bigint) AS h0,
+                      cast(floor(epoch(max(ts)) / 3600) as bigint) AS h1
+               FROM events),
+    series AS (SELECT unnest(range(0, 100000)) AS i),
+    hours AS (SELECT b.h0 + s.i AS h FROM b, series s WHERE b.h0 + s.i <= b.h1),
+    u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+    per AS (SELECT user_id, cast(floor(epoch(ts) / 3600) as bigint) AS h,
+                   cast(sum(cast(value as decimal(30,8))) as double) AS v,
+                   count(*) AS n
+            FROM events WHERE user_id < 10 GROUP BY 1, 2),
+    grid AS (SELECT u.user_id, hours.h FROM u CROSS JOIN hours)
+    SELECT g.user_id, g.h, coalesce(p.n, 0) AS n_events,
+           last_value(p.v IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid g LEFT JOIN per p USING (user_id, h)
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill — the hypertable-rollup /
+    gap-fill operator of time-series engines, composed from Spark
+    built-ins: dense hour grid (sequence + explode) x user dims,
+    left join of per-hour aggregates, last(ignorenulls) carry-forward.
+
+    At 100 TB: the grid is tiny (hours x users, independent of event
+    count), the event aggregation is partial before its one shuffle,
+    and the fill is a single window scan per user. Hours before a
+    user's first event stay null (no fill source) on both engines.
+    """
+    (ev,) = tables(spark, sf_dir, "events")
+    sel = ev.where(F.col("user_id") < 10)
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    per = (sel.groupBy("user_id", hour.alias("h"))
+           .agg(F.expr("cast(sum(cast(value as decimal(30,8))) as double)").alias("v"),
+                F.count("*").alias("n")))
+    bounds = ev.agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("h0"),
+        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("h1"))
+    hours = bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    users = sel.select("user_id").distinct()
+    grid = hours.crossJoin(F.broadcast(users))
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(per, ["user_id", "h"], "left")
+            .select("user_id", "h",
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.last("v", ignorenulls=True).over(w).alias("v_filled")))
