@@ -65,3 +65,53 @@ def test_agg_has_partial_phase(spark):
     # map-side combine before the shuffle
     plan = _plan(spark, "agg_basic")
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    # every adapted TPC-H query that joins a dimension must broadcast it
+    for name in ("q7_nation_trade_volume", "q8_market_share",
+                 "q9_product_profit", "q10_returned_items",
+                 "q19_discounted_revenue", "q22_idle_customers"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
+
+
+def test_q21_semi_anti_join_shapes(spark):
+    # EXISTS / NOT EXISTS must compile to semi/anti joins, never a
+    # row-exploding inner join + dedup
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan, "EXISTS not a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS not an anti join"
+
+
+def test_q20_having_semi_join(spark):
+    plan = _plan(spark, "q20_heavy_part_suppliers")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_topk_take_ordered(spark):
+    for name in ("q10_returned_items", "q2_min_unit_price_supplier"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k is a global sort"
+
+
+def test_no_cartesian_products(spark):
+    # only intentional 1-row scalar-threshold cross joins are allowed;
+    # they must be BroadcastNestedLoopJoin over a 1-row side, never
+    # CartesianProduct (which shuffles both sides)
+    for name in ("q11_nation_supplier_value", "q15_top_supplier",
+                 "q17_small_quantity_revenue", "q22_idle_customers"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: CartesianProduct"
+
+
+def test_gapfill_single_window_scan(spark):
+    plan = _plan(spark, "ts_gapfill_ffill")
+    assert plan.count("Window") <= 2, "gap-fill: more than one window pass"
+
+
+def test_chunking_is_narrow(spark):
+    # chunking must not shuffle: explode + project only
+    plan = _plan(spark, "text_chunk")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
+    assert not exchanges, "text_chunk introduced a shuffle"
