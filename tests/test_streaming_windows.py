@@ -117,3 +117,70 @@ def test_foreachbatch_tri_export(spark, tmp_path):
     back = read_tri(spark, out_dir, EVENTS_SCHEMA)
     assert back.count() == 10
     assert back.select("_archive_date").first()[0] == "20240101"
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: clicks x purchases within 30 min,
+    both sides watermarked (state is bounded — the only shape that
+    survives unbounded streams)."""
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    _write_events(clicks_dir, [
+        {"event_id": 10, "ts": "2024-01-01T00:05:00Z", "user_id": 1,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T02:00:00Z", "user_id": 2,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+    ])
+    _write_events(buys_dir, [
+        {"event_id": 20, "ts": "2024-01-01T00:25:00Z", "user_id": 1,
+         "event_type": "purchase", "value": 9.0, "props": "{}"},
+        {"event_id": 21, "ts": "2024-01-01T05:00:00Z", "user_id": 2,
+         "event_type": "purchase", "value": 7.0, "props": "{}"},
+    ])
+    clicks = (spark.readStream.format("json").schema(EVENTS_SCHEMA)
+              .load(clicks_dir)
+              .select(F.col("user_id").alias("c_uid"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    buys = (spark.readStream.format("json").schema(EVENTS_SCHEMA)
+            .load(buys_dir)
+            .select(F.col("user_id").alias("b_uid"),
+                    F.col("event_id").alias("buy_id"),
+                    F.col("ts").alias("b_ts"))
+            .withWatermark("b_ts", "1 hour"))
+    joined = clicks.join(
+        buys,
+        (F.col("c_uid") == F.col("b_uid"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("interval 30 minutes")))
+    q = (joined.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [(r["click_id"], r["buy_id"])
+            for r in spark.sql("SELECT * FROM ss_join").collect()]
+    # user 1's purchase lands 20 min after the click (joined);
+    # user 2's lands 3 h after (outside the 30-min band — dropped)
+    assert rows == [(10, 20)]
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: the streaming fact side enriched from a
+    static dimension table (no state, no watermark needed)."""
+    src = str(tmp_path / "src")
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 7,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00Z", "user_id": 8,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ])
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "basic")], ["user_id", "tier"])
+    stream = (spark.readStream.format("json").schema(EVENTS_SCHEMA).load(src)
+              .join(F.broadcast(dim), "user_id"))
+    q = (stream.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["tier"])
+           for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {(1, "gold"), (2, "basic")}
