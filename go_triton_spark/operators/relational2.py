@@ -268,3 +268,65 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = tables(spark, sf_dir, "events")
     return (e.where((F.col("event_id") * 2654435761) % 100 < 10)
             .select("event_id", "user_id", "event_type"))
+
+
+@query(
+    "window_rank_suite",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS tile4,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family: ntile, percent_rank, cume_dist,
+    nth_value (explicit ROWS frame — default frames differ between
+    engines).  percent_rank/cume_dist are single IEEE divisions of
+    integer counts, so doubles match exactly cross-engine."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (c,) = tables(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("tile4"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_richest"))
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           cast(sum(cast(o_totalprice as decimal(30,8)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                as double) AS spend_30d
+    FROM orders
+    """,
+    tags=("window", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: per customer, rolling 30-day spend —
+    RANGE BETWEEN on the epoch-seconds order key (not ROWS: ties and
+    gaps in event time are handled by value distance). One shuffle on
+    the partition key; frame evaluation is a linear per-key scan."""
+    from pyspark.sql import Window
+    (o,) = tables(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-2592000, 0))
+    return (o.withColumn(
+        "spend_30d",
+        F.sum(F.expr("cast(o_totalprice as decimal(30,8))")).over(w)
+         .cast("double"))
+        .select("o_orderkey", "o_custkey", "spend_30d"))
