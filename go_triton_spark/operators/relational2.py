@@ -330,3 +330,49 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("cast(o_totalprice as decimal(30,8))")).over(w)
          .cast("double"))
         .select("o_orderkey", "o_custkey", "spend_30d"))
+
+
+@query(
+    "agg_median_mode_listagg",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             median(o_totalprice) AS median_price,
+             array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses_csv
+      FROM orders GROUP BY o_orderpriority),
+    freq AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+      QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY n DESC, o_orderstatus) = 1)
+    SELECT m.o_orderpriority, m.median_price, m.statuses_csv,
+           f.o_orderstatus AS mode_status
+    FROM med m JOIN freq f USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "ordered-set"),
+)
+def agg_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: median (continuous interpolation — one
+    (a+b)/2 op, portable), deterministic mode (count + window with an
+    explicit tie-break, never the engine's mode() whose ties are
+    arbitrary), and an ordered distinct list-agg."""
+    from pyspark.sql import Window
+    (o,) = tables(spark, sf_dir, "orders")
+    med = (o.groupBy("o_orderpriority")
+           .agg(F.median("o_totalprice").alias("median_price"),
+                F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",")
+                 .alias("statuses_csv")))
+    freq = (o.groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus"))
+    mode = (freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_orderpriority",
+                    F.col("o_orderstatus").alias("mode_status")))
+    return (med.join(mode, "o_orderpriority")
+            .select("o_orderpriority", "median_price", "statuses_csv",
+                    "mode_status")
+            .orderBy("o_orderpriority"))
