@@ -107,3 +107,34 @@ def test_client_name_dash_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="client name"):
         StorePipeline(spark, StreamConfig("s", "k"), "bad-client",
                       str(tmp_path / "a"), str(tmp_path / "c"))
+
+
+def test_rate_limited_ingest_max_files_per_trigger(spark, tmp_path):
+    """S3 parity: the reference rate-limits each shard to one GetRecords
+    batch per poll interval (stream.go:38-39); our file source's
+    max_files_per_trigger is the equivalent knob — each micro-batch
+    consumes a bounded slice of the backlog."""
+    cfg = load_config(f"""
+events:
+  name: events
+  partition_key: user_id
+  source: file
+  format: json
+  path: {tmp_path}/incoming/events
+  max_files_per_trigger: 1
+""")
+    eng = TritonEngine(spark, str(tmp_path), config=cfg, client="archive")
+    for batch in range(3):
+        _write_events_json(f"{tmp_path}/incoming/events", _recs(5, start=batch * 5))
+    pipe = eng.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    # all 15 records land exactly once...
+    today = dt.datetime.now(tz=UTC).date()
+    out = eng.cat("events", today)
+    assert sorted(r[0] for r in out.select("event_id").collect()) == list(range(15))
+    # ...and the availableNow drain processed the backlog in multiple
+    # bounded micro-batches (1 file each), not one unbounded gulp
+    progress = pipe.query  # stopped; read commit log instead
+    commits = os.listdir(f"{tmp_path}/checkpoints/events-archive/commits")
+    assert len([c for c in commits if not c.startswith(".")]) >= 3
