@@ -1,0 +1,116 @@
+"""Corpus-curation operators: quota sampling, benchmark
+decontamination, PII scrubbing — the selection/cleaning stages of a
+training-data pipeline (north-star extensions; the reference has no
+analog, SURVEY section 2.2).
+
+Scale notes:
+- quota sampling is the window top-k shape: one shuffle on the quota
+  key, per-partition heaps, never a global sort
+- decontamination is a broadcast semi/anti join against the (small)
+  benchmark shingle set — the corpus never shuffles
+- PII scrubbing is a narrow projection (regexp, JVM-side)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.dedup import _ORACLE_SHINGLES, _SHINGLES
+
+
+@query(
+    "curate_quota_sample",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) t
+    WHERE rn <= 5
+    ORDER BY lang, n_chars DESC, doc_id
+    """,
+    tags=("llm", "curation", "topk"),
+)
+def curate_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling: keep the top 5 documents per lang
+    by length (stand-in for any quality score). Window top-k — one
+    shuffle on the quota key, per-partition heap."""
+    (d,) = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("lang", "doc_id", "n_chars")
+            .orderBy("lang", F.desc("n_chars"), "doc_id"))
+
+
+@query(
+    "curate_decontaminate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
+    bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id < 5),
+    flagged AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh, unnest(sh.s) AS u(shingle)
+      WHERE sh.doc_id >= 5 AND u.shingle IN (SELECT shingle FROM bench))
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM flagged) AS contaminated
+    FROM documents d WHERE d.doc_id >= 5
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-3-gram with the benchmark set (doc_id < 5 stands in for an
+    eval suite).
+
+    Plan: the benchmark shingle set is tiny -> broadcast; the corpus
+    explodes its shingles only into a semi-join probe (flag), then a
+    left join back onto ids. The corpus text itself never shuffles.
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    sh = (d.select("doc_id", F.split("text", " ").alias("ws"))
+          .select("doc_id", F.expr(_SHINGLES).alias("shingles")))
+    bench = (sh.where(F.col("doc_id") < 5)
+             .select(F.explode("shingles").alias("shingle")).distinct())
+    corpus = sh.where(F.col("doc_id") >= 5)
+    flagged = (corpus.select("doc_id", F.explode("shingles").alias("shingle"))
+               .join(F.broadcast(bench), "shingle", "left_semi")
+               .select("doc_id").distinct()
+               .withColumn("contaminated", F.lit(True)))
+    return (d.where(F.col("doc_id") >= 5)
+            .join(flagged, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
+
+
+@query(
+    "curate_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g'))                AS scrubbed_md5,
+           len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+             + len(regexp_extract_all(text, '[0-9]{6,}'))   AS n_redactions
+    FROM documents
+    """,
+    tags=("llm", "curation", "scalar"),
+)
+def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email-shaped tokens and long digit runs
+    (simple char-class regexes — portable between Java regex and RE2).
+    Output is the md5 of the scrubbed text (narrow) + redaction count.
+    A narrow projection — embarrassingly parallel at any scale."""
+    (d,) = tables(spark, sf_dir, "documents")
+    email = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    nums = "[0-9]{6,}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), nums, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.expr(f"regexp_count(text, '{email}')")
+         + F.expr(f"regexp_count(text, '{nums}')")).cast("long")
+         .alias("n_redactions"))
