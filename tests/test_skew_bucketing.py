@@ -56,3 +56,24 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_equivalence_property(spark):
+    """Property (hypothesis-style over seeded cases): salting never
+    changes the join result — any key distribution, any salt width."""
+    import random
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n_keys = rng.randint(2, 6)
+        # pathological skew: ~70% of big-side rows on one hot key
+        big_rows = [(0 if rng.random() < 0.7 else rng.randrange(n_keys),
+                     rng.randrange(1000)) for _ in range(500)]
+        small_rows = [(k, f"dim-{k}") for k in range(n_keys)]
+        big = spark.createDataFrame(big_rows, ["k", "v"])
+        small = spark.createDataFrame(small_rows, ["k", "name"])
+        for buckets in (1, 4, 16):
+            plain = sorted((r["k"], r["v"], r["name"]) for r in
+                           big.join(small, "k").collect())
+            salted = sorted((r["k"], r["v"], r["name"]) for r in
+                            salted_join(big, small, "k", salt_buckets=buckets).collect())
+            assert salted == plain, f"seed={seed} buckets={buckets}"
