@@ -71,7 +71,7 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                  _count_rows("event_id").alias("n")))
 
 
-@udtf(returnType="tok: string, idx: int")
+@udtf(returnType="tok: string, idx: int", useArrow=True)
 class _Tokenize:
     def eval(self, doc_id: int, text: str):
         for i, tok in enumerate(text.split(" ")):

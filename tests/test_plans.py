@@ -115,3 +115,22 @@ def test_chunking_is_narrow(spark):
     plan = _plan(spark, "text_chunk")
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l]
     assert not exchanges, "text_chunk introduced a shuffle"
+
+
+def test_global_plan_hygiene_no_cartesian_no_row_python(spark):
+    """Every registry query: no CartesianProduct (both sides shuffled
+    and replicated — never acceptable), and no BatchEvalPython
+    (row-at-a-time Python UDF — banned from hot paths; Python is only
+    allowed behind Arrow as ArrowEvalPython / MapInPandas)."""
+    failures = []
+    for name, qd in REGISTRY.items():
+        try:
+            plan = qd.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - surface as failure
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+    assert not failures, "\n".join(failures)
