@@ -130,3 +130,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.expr("substr(text, cast(frame_idx * 64 + 1 as int), 64)"))
                  .alias("frame_hash"))
     )
+
+
+@query(
+    "mm_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           cast(least(octet_length(encode(text)) % 320 + 32, 64) as integer)
+             AS out_width,
+           cast(least(octet_length(encode(text)) % 240 + 32, 64) as integer)
+             AS out_height,
+           cast(least(octet_length(encode(text)) % 320 + 32, 64)
+                * least(octet_length(encode(text)) % 240 + 32, 64) * 3 as bigint)
+             AS out_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: decode (stub) -> clamp to a 64x64 target box ->
+    emit resized dims + payload size. NOTE production swap point:
+    ``img.thumbnail((64, 64))`` in the pandas batch; the batch shape,
+    schema, and partition-parallelism are what this operator proves."""
+    (d,) = tables(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("out_bytes", T.LongType()),
+    ])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c = _fake_decode(bytes(payload))
+                ow, oh = min(w, 64), min(h, 64)
+                out.append((doc_id, ow, oh, ow * oh * c))
+            yield pd.DataFrame(out, columns=["doc_id", "out_width",
+                                             "out_height", "out_bytes"])
+
+    return src.mapInPandas(resize, schema=schema)
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           [cast(octet_length(encode(text)) as bigint),
+            cast(n_chars as bigint),
+            cast(ascii(substr(text, 1, 1)) as bigint),
+            cast(octet_length(encode(text)) % 256 as bigint)] AS features
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "embedding"),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: media payload -> fixed-dim numeric vector
+    (here 4 deterministic byte-level features; production swap point:
+    a vision/audio encoder inside the pandas batch emitting
+    array<float>). The array column is the handoff into the similarity
+    operators (ann_*, dedup_embedding_cosine)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    src = d.select("doc_id", "n_chars", "text",
+                   F.encode("text", "UTF-8").alias("payload"))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.LongType())),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars, text, payload in zip(
+                    pdf["doc_id"], pdf["n_chars"], pdf["text"], pdf["payload"]):
+                b = bytes(payload)
+                rows.append((doc_id, [len(b), int(n_chars),
+                                      ord(text[0]) if text else 0,
+                                      len(b) % 256]))
+            yield pd.DataFrame(rows, columns=["doc_id", "features"])
+
+    return src.mapInPandas(extract, schema=schema)

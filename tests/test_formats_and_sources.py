@@ -73,3 +73,12 @@ def test_rate_source_through_store_pipeline(spark, tmp_path):
         assert n > 0, "rate source produced no archived rows"
     finally:
         q.stop()
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    src.write.format("orc").save(out)
+    back = spark.read.format("orc").load(out)
+    assert sorted(back.collect()) == sorted(src.collect())
+    assert back.schema == src.schema
