@@ -52,6 +52,10 @@ HEADLINE = [
     "ann_topk_ivf",
     "dedup_levenshtein",
     "text_chunk",
+    "curate_decontaminate",
+    "curate_pii_scrub",
+    "ts_gapfill_ffill",
+    "window_range_frame",
     "text_token_count",
     "text_quality_score",
     "text_fingerprint",
