@@ -210,3 +210,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, 'order_epoch_day', cast(epoch(o_orderdate) // 86400 as double)
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("unpivot",),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide numeric columns -> long (key, metric, value)
+    rows via DataFrame.unpivot — the inverse of pivot, a narrow op (no
+    shuffle). Oracle expresses the same reshape as UNION ALL."""
+    (o,) = tables(spark, sf_dir, "orders")
+    wide = (o.where(F.col("o_orderkey") < 2000)
+            .select("o_orderkey",
+                    F.col("o_totalprice").alias("totalprice"),
+                    (F.floor(F.unix_timestamp("o_orderdate") / 86400)
+                     .cast("double")).alias("order_epoch_day")))
+    return wide.unpivot("o_orderkey", ["totalprice", "order_epoch_day"],
+                        "metric", "value")
+
+
+@query(
+    "set_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect_all' AS op, o_custkey, count(*) AS n FROM (
+      SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b) GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', o_custkey, count(*) FROM (
+      SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b) GROUP BY 2
+    """,
+    tags=("setop",),
+)
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (bag semantics): intersectAll keeps
+    duplicate multiplicity min(a,b), exceptAll subtracts multiplicity —
+    distinct-based set ops lose these counts."""
+    (o,) = tables(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    ia = (a.intersectAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
+          .select(F.lit("intersect_all").alias("op"), "o_custkey", "n"))
+    ea = (a.exceptAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
+          .select(F.lit("except_all").alias("op"), "o_custkey", "n"))
+    return ia.unionAll(ea)
