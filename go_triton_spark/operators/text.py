@@ -206,3 +206,29 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, chunk_id * 150 + 1, 200)").alias("chunk"),
     )
     return chunks.withColumn("chunk_len", F.length("chunk").cast("long"))
+
+
+@query(
+    "text_bpe_regex_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS n_bpe_tokens,
+           array_to_string(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')[1:3], '|') AS first3
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization: the GPT-2-family regex shape (letter
+    runs | digit runs | single punctuation) restricted to constructs
+    portable between Java regex and RE2. Counting + inspection of the
+    leftmost matches; the real tokenizer's merge step would run inside
+    a pandas batch downstream."""
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"))
