@@ -184,3 +184,37 @@ def test_stream_static_dimension_join(spark, tmp_path):
     got = {(r["event_id"], r["tier"])
            for r in spark.sql("SELECT * FROM enriched").collect()}
     assert got == {(1, "gold"), (2, "basic")}
+
+
+def test_streaming_document_dedup_and_quality_filter(spark, tmp_path):
+    """The LLM-pipeline ops running through the streaming engine:
+    exact dedup on content fingerprint (dropDuplicates + watermark =
+    bounded state) and a quality gate, over a document stream."""
+    src = str(tmp_path / "docs")
+    docs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    recs = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "text": "a good long document body here"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z", "text": "a good long document body here"},
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z", "text": "tiny"},
+        {"doc_id": 4, "ts": "2024-01-01T00:03:00Z", "text": "another unique document body text"},
+    ]
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.format("json").schema(docs_schema).load(src)
+        .withColumn("fingerprint", F.md5("text"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["fingerprint"])          # streaming exact dedup
+        .where(F.length("text") >= 10))           # streaming quality gate
+    q = (stream.writeStream.format("memory").queryName("doc_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM doc_dedup").collect())
+    # doc 2 is a dup of 1 (same fingerprint); doc 3 fails the gate
+    assert kept == [1, 4]
