@@ -262,3 +262,46 @@ def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = (a.exceptAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
           .select(F.lit("except_all").alias("op"), "o_custkey", "n"))
     return ia.unionAll(ea)
+
+
+@query(
+    "sql_cte_interface",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey FROM customer),
+    spend AS (
+      SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(30,8))) as double)
+               AS total
+      FROM orders GROUP BY o_custkey)
+    SELECT seg.c_mktsegment,
+           count(*) AS n_customers,
+           cast(sum(cast(coalesce(spend.total, 0.0) as decimal(30,8))) as double)
+             AS segment_spend
+    FROM seg LEFT JOIN spend ON spend.o_custkey = seg.c_custkey
+    GROUP BY seg.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sql", "cte"),
+)
+def sql_cte_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string interface (engine.sql path): multi-CTE query over
+    registered views — proves the catalog/text route produces plans
+    identical in semantics to the DataFrame route."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    c.createOrReplaceTempView("_cte_customer")
+    o.createOrReplaceTempView("_cte_orders")
+    return spark.sql("""
+        WITH seg AS (
+          SELECT c_mktsegment, c_custkey FROM _cte_customer),
+        spend AS (
+          SELECT o_custkey,
+                 cast(sum(cast(o_totalprice as decimal(30,8))) as double) AS total
+          FROM _cte_orders GROUP BY o_custkey)
+        SELECT seg.c_mktsegment,
+               count(*) AS n_customers,
+               cast(sum(cast(coalesce(spend.total, 0.0) as decimal(30,8))) as double)
+                 AS segment_spend
+        FROM seg LEFT JOIN spend ON spend.o_custkey = seg.c_custkey
+        GROUP BY seg.c_mktsegment
+        ORDER BY c_mktsegment
+    """)

@@ -82,3 +82,16 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     back = spark.read.format("orc").load(out)
     assert sorted(back.collect()) == sorted(src.collect())
     assert back.schema == src.schema
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Archive schema evolution: a new producer field appears in later
+    files; mergeSchema reads old+new together with nulls backfilled."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "v1"]).write.parquet(out + "/p=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v1", "v2_new"]) \
+        .write.parquet(out + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v1", "v2_new", "p"}
+    rows = {r["id"]: r["v2_new"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
