@@ -99,3 +99,52 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.tok, t.idx
         FROM _udtf_docs d, LATERAL tokenize_udtf(d.doc_id, d.text) t
     """)
+
+
+@query(
+    "grouped_map_demean",
+    oracle="""
+    SELECT event_id, event_type,
+           value - (cast(sum(cast(value as decimal(30,8))) OVER
+                         (PARTITION BY event_type) as double)
+                    / (count(*) OVER (PARTITION BY event_type)))
+             AS value_demeaned
+    FROM events
+    """,
+    tags=("udf", "grouped-map"),
+)
+def grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group feature normalization
+    (demean within event_type). Each group arrives as one pandas
+    DataFrame; output schema is declared. The mean uses an exact
+    decimal sum (python Fraction-free: decimal str round-trip via
+    pandas object sum would drift — so sum int-scaled) to match the
+    oracle's decimal-sum mean bit-for-bit.
+
+    At 100 TB: one shuffle on the group key; groups stream through
+    Arrow. For unbounded groups prefer the pure-window form (the
+    oracle's own plan) — this operator exists to prove the grouped-map
+    API surface.
+    """
+    from decimal import Decimal
+
+    (e,) = tables(spark, sf_dir, "events")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_demeaned", T.DoubleType()),
+    ])
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact decimal mean, matching cast(sum(decimal(30,8)) as
+        # double)/count on the SQL side
+        total = sum(Decimal(repr(v)).quantize(Decimal("1.00000000"))
+                    for v in pdf["value"])
+        mean = float(total) / len(pdf)
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "value_demeaned": pdf["value"] - mean,
+        })
+
+    return e.groupBy("event_type").applyInPandas(demean, schema=schema)
