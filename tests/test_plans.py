@@ -134,3 +134,15 @@ def test_global_plan_hygiene_no_cartesian_no_row_python(spark):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
     assert not failures, "\n".join(failures)
+
+
+def test_join_strategy_hints_respected(spark):
+    """The join-strategy dial: MERGE and SHUFFLE_HASH hints override
+    the planner's default — the manual control used when AQE's choice
+    is wrong for a known workload."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    merge = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+    shash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in shash._jdf.queryExecution().executedPlan().toString()

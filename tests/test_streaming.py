@@ -135,6 +135,5 @@ events:
     assert sorted(r[0] for r in out.select("event_id").collect()) == list(range(15))
     # ...and the availableNow drain processed the backlog in multiple
     # bounded micro-batches (1 file each), not one unbounded gulp
-    progress = pipe.query  # stopped; read commit log instead
     commits = os.listdir(f"{tmp_path}/checkpoints/events-archive/commits")
     assert len([c for c in commits if not c.startswith(".")]) >= 3
