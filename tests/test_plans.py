@@ -146,3 +146,28 @@ def test_join_strategy_hints_respected(spark):
     assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
     shash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     assert "ShuffledHashJoin" in shash._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    plan = _plan(spark, "interval_join_sessions")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # equi-join on (user, bucket) with residual
+
+
+def test_bucketed_interval_join_equals_naive(spark):
+    """Property: bucketing + residual == naive theta join, for bucket
+    widths smaller than, equal to, and larger than the interval span."""
+    import datetime as dt
+    from go_triton_spark.operators.interval_join import bucketed_interval_join
+    base = dt.datetime(2024, 1, 1)
+    pts = [(i, base + dt.timedelta(minutes=17 * i)) for i in range(60)]
+    ivs = [(j, base + dt.timedelta(minutes=45 * j),
+            base + dt.timedelta(minutes=45 * j + 90)) for j in range(12)]
+    p = spark.createDataFrame(pts, ["pid", "pts"])
+    iv = spark.createDataFrame(ivs, ["iid", "istart", "iend"])
+    naive = sorted((r["pid"], r["iid"]) for r in p.join(
+        iv, (p.pts >= iv.istart) & (p.pts < iv.iend)).collect())
+    for bucket in (600, 5400, 86400):
+        got = sorted((r["pid"], r["iid"]) for r in bucketed_interval_join(
+            p, iv, "pts", "istart", "iend", bucket_seconds=bucket).collect())
+        assert got == naive, f"bucket={bucket}"
