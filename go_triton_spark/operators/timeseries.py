@@ -147,3 +147,74 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "h",
                     F.coalesce("n", F.lit(0)).alias("n_events"),
                     F.last("v", ignorenulls=True).over(w).alias("v_filled")))
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END)    AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           count(first_click) AS n_clicked,
+           sum(CASE WHEN first_purchase > first_click
+                    AND first_purchase <= first_click + INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END) AS n_converted_7d
+    FROM firsts
+    """,
+    tags=("timeseries", "funnel", "agg"),
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose first purchase lands within 7 days
+    of their first click. One conditional-min aggregation per user
+    (single shuffle), then a scalar rollup — no self-join, no window.
+    The shape that replaces per-user event-sequence scans at scale."""
+    (ev,) = tables(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+         .alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.sum(F.when((F.col("first_purchase") > F.col("first_click"))
+                     & (F.col("first_purchase")
+                        <= F.col("first_click") + F.expr("INTERVAL 7 DAY")), 1)
+              .otherwise(0)).alias("n_converted_7d"))
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             cast(floor(epoch(ts) / 604800) as bigint) AS week
+      FROM events GROUP BY 1, 2),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT c.cohort_week, wk.week - c.cohort_week AS weeks_since,
+           count(DISTINCT wk.user_id) AS active_users
+    FROM wk JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, weeks_since
+    """,
+    tags=("timeseries", "cohort", "agg"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted per week-offset. Two aggregations + one join on user_id —
+    the distinct-user count shuffles (cohort_week, offset, user) rows,
+    nothing wider."""
+    (ev,) = tables(spark, sf_dir, "events")
+    wk = (ev.select("user_id",
+                    F.floor(F.unix_timestamp("ts") / 604800)
+                     .cast("long").alias("week"))
+          .distinct())
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (wk.join(cohort, "user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+            .agg(F.countDistinct("user_id").alias("active_users"))
+            .orderBy("cohort_week", "weeks_since"))
