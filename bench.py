@@ -55,6 +55,9 @@ HEADLINE = [
     "curate_decontaminate",
     "curate_pii_scrub",
     "ts_gapfill_ffill",
+    "interval_join_sessions",
+    "funnel_click_to_purchase",
+    "cohort_weekly_retention",
     "window_range_frame",
     "text_token_count",
     "text_quality_score",
