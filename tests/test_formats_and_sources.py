@@ -95,3 +95,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v1", "v2_new", "p"}
     rows = {r["id"]: r["v2_new"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_kinesis_adapter_raises_with_guidance(spark):
+    """The Kinesis adapter point (S1): without a connector jar it must
+    fail actionably (bridge guidance), not with a bare ClassNotFound."""
+    from go_triton_spark.config import load_config
+    from go_triton_spark.sources.stream_source import open_stream
+    cfg = load_config("""
+events:
+  name: events-prod
+  region: us-west-1
+  partition_key: user_id
+  source: kinesis
+""")["events"]
+    with pytest.raises(NotImplementedError, match="Kinesis connector"):
+        open_stream(spark, cfg)
+
+
+def test_unknown_source_type_rejected(spark):
+    from go_triton_spark.config import load_config
+    from go_triton_spark.sources.stream_source import open_stream
+    cfg = load_config("""
+events:
+  name: events
+  partition_key: user_id
+  source: carrier_pigeon
+""")["events"]
+    with pytest.raises(ValueError, match="unknown stream source"):
+        open_stream(spark, cfg)
