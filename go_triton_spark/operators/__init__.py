@@ -19,6 +19,7 @@ from go_triton_spark.operators.registry import REGISTRY, QueryDef, query, tables
 from go_triton_spark.operators import relational  # noqa: F401,E402
 from go_triton_spark.operators import relational2  # noqa: F401,E402
 from go_triton_spark.operators import relational3  # noqa: F401,E402
+from go_triton_spark.operators import relational4  # noqa: F401,E402
 from go_triton_spark.operators import relational_tpch  # noqa: F401,E402
 from go_triton_spark.operators import scalars  # noqa: F401,E402
 from go_triton_spark.operators import event_time  # noqa: F401,E402

@@ -1,0 +1,337 @@
+"""Relational surface, part 4: regression aggregates, lateral/ordinality
+explode, sequence generation, discrete percentiles, data profiling,
+TF-IDF ranking, batch sessionization, deterministic stratified sampling.
+
+All absent from the reference (SURVEY §2.2 — go-triton has no relational
+engine; closest surface is the whole-record JSON projection at
+triton.go:351-366). Each is a Spark built-in composition with a DuckDB
+oracle; determinism policy per registry.py (exact decimal sums, rounded
+doubles, total orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_triton_spark.operators.registry import query, tables
+
+
+def _dsum(expr: str) -> str:
+    return f"cast(sum(cast({expr} as decimal(30,8))) as double)"
+
+
+@query(
+    "agg_regression",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             {_dsum('l_quantity')} AS sx,
+             {_dsum('l_extendedprice')} AS sy,
+             {_dsum('l_quantity * l_quantity')} AS sxx,
+             {_dsum('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares regression (slope/intercept of price on quantity)
+    from exact decimal sufficient statistics — the engines' regr_slope
+    over doubles is summation-order-dependent; this form is reproducible
+    at any parallelism. One map-side-combinable pass; scales to 100 TB
+    because the sufficient statistics are 5 numbers per group."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        WITH s AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 {_dsum('l_quantity')} AS sx,
+                 {_dsum('l_extendedprice')} AS sy,
+                 {_dsum('l_quantity * l_quantity')} AS sxx,
+                 {_dsum('l_quantity * l_extendedprice')} AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+                 AS intercept
+        FROM s
+    """)
+
+
+@query(
+    "lateral_posexplode",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("lateral", "explode"),
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view with ordinality). Generator runs
+    inside codegen; no Python. Position comes from the generator, not a
+    window, so there is no shuffle at all — plan is Scan→Filter→Generate."""
+    (d,) = tables(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 200)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    )
+
+
+@query(
+    "array_sequence_explode",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(generate_series(1, cast(o_orderkey % 4 + 1 AS bigint))) AS i
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("lateral", "sequence"),
+)
+def array_sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation via sequence + explode (the Spark idiom for
+    gap-free ranges; DuckDB: generate_series, inclusive on both ends).
+    Bounds kept >= start on both sides — Spark's sequence(a,b) runs
+    descending when b < a while generate_series returns empty."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.explode(F.expr("sequence(1, o_orderkey % 4 + 1)")).alias("i"),
+        )
+    )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT event_type,
+           min(value) FILTER (WHERE cd >= 0.5) AS p50_disc,
+           min(value) FILTER (WHERE cd >= 0.9) AS p90_disc
+    FROM (SELECT event_type, value,
+                 cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+          FROM events)
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentile = smallest value whose cume_dist >= p, built
+    from the ANSI definition directly (window + filtered min) so both
+    engines agree bit-for-bit — their built-in percentile_disc/
+    quantile_disc differ on tie/rounding conventions. Output values are
+    members of the input set: no interpolation arithmetic at all."""
+    (e,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        e.select("event_type", "value", F.cume_dist().over(w).alias("cd"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("min(value) FILTER (WHERE cd >= 0.5)").alias("p50_disc"),
+            F.expr("min(value) FILTER (WHERE cd >= 0.9)").alias("p90_disc"),
+        )
+    )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           cast(min(o_custkey) AS varchar) AS min_v,
+           cast(max(o_custkey) AS varchar) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), min(o_orderpriority),
+           max(o_orderpriority)
+    FROM orders
+    """,
+    tags=("profile", "agg"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (null count, cardinality, bounds)
+    — the first pass any 100 TB curation pipeline runs over a new table.
+    One scan per column here for oracle clarity; the scale path swaps
+    count(DISTINCT) for approx_count_distinct and fuses all columns into
+    a single pass (see agg_approx_distinct)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_null,
+               count(DISTINCT o_custkey) AS n_distinct,
+               cast(min(o_custkey) AS string) AS min_v,
+               cast(max(o_custkey) AS string) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus), min(o_orderstatus),
+               max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority), min(o_orderpriority),
+               max(o_orderpriority)
+        FROM orders
+    """)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks WHERE tok <> ''
+      GROUP BY tok
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln(cast(n.n AS double) / df.df), 6) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Scores are rounded BEFORE
+    ranking so an ulp of ln() divergence cannot flip the order; ties
+    break on the token string (total order). Shape at scale: tf is a
+    map-side-combinable groupBy; df is a small dimension (vocabulary)
+    broadcast back onto tf; the doc-count is a literal broadcast. The
+    only big shuffle is the tf groupBy, partitioned by (doc_id, tok)."""
+    (d,) = tables(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id, sess_id, count(*) AS n_events,
+           round(cast(sum(cast(value AS decimal(30,8))) AS double), 6)
+             AS sess_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    tags=("window", "sessionize"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min-gap rule via lag + running sum of
+    session starts (the classic two-window idiom; the streaming dual is
+    evt_session_window). Ties on ts collapse into one session regardless
+    of tie order, so the result is deterministic. Both windows share the
+    user_id partitioning — one shuffle, two window passes, then a
+    map-side-combinable aggregate on the same keys."""
+    (e,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = e.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.expr("unix_micros(cast(ts AS timestamp)) - "
+                      "unix_micros(cast(lag(ts) OVER "
+                      "(PARTITION BY user_id ORDER BY ts, event_id)"
+                      " AS timestamp))")
+               > 1800000000),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    s = g.select("user_id", "value", F.sum("new_sess").over(w2).alias("sess_id"))
+    return s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,8)")).cast("double"), 6
+        ).alias("sess_value"),
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    GROUP BY lang
+    """,
+    tags=("sampling",),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample via multiplicative hashing
+    on the key (Knuth's 2654435761). Unlike sample()/TABLESAMPLE this is
+    reproducible across engines, partitionings, and reruns — the
+    property a 100 TB curation pipeline needs for auditable subsets.
+    Pure filter: pushes to the scan, no shuffle before the aggregate."""
+    (d,) = tables(spark, sf_dir, "documents")
+    return (
+        d.where((F.col("doc_id") * 2654435761) % 100 < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
