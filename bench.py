@@ -64,6 +64,10 @@ HEADLINE = [
     "text_fingerprint",
     "mm_decode_stub",
     "mm_frame_sample",
+    "tfidf_top_terms",
+    "sessionize_events",
+    "text_gopher_filters",
+    "sample_stratified_hash",
 ]
 
 

@@ -335,3 +335,35 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@query(
+    "scalar_try",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderstatus AS bigint)               AS bad_int,
+           try_cast(cast(o_orderkey AS varchar) AS bigint) AS good_int,
+           try_cast('2026-02-30' AS date)                  AS bad_date,
+           round(o_totalprice / nullif(o_custkey, 0), 6)   AS safe_div,
+           ([10,20,30])[o_orderkey % 5 + 1]                AS maybe_elem
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("scalar", "try"),
+)
+def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family: try_cast (bad string/date -> NULL
+    instead of ANSI error), try_divide (NULL on zero divisor), and
+    try_element_at (NULL past the end). DuckDB spells the last two
+    nullif-division and native out-of-bounds list indexing — semantics
+    align exactly. These are the expressions a 100 TB pipeline wants:
+    one malformed row must never kill a 1000-executor stage."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderstatus AS bigint)").alias("bad_int"),
+        F.expr("try_cast(cast(o_orderkey AS string) AS bigint)").alias("good_int"),
+        F.expr("try_cast('2026-02-30' AS date)").alias("bad_date"),
+        F.round(F.expr("try_divide(o_totalprice, o_custkey)"), 6).alias("safe_div"),
+        F.expr("try_element_at(array(10, 20, 30), "
+               "cast(o_orderkey % 5 + 1 AS int))").alias("maybe_elem"),
+    )

@@ -232,3 +232,76 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_bpe_tokens"),
         F.array_join(F.slice(toks, 1, 3), "|").alias("first3"))
+
+
+@query(
+    "text_gopher_filters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '')
+               AS ts
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts)-1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ), cnt AS (
+      SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+    ), agg AS (
+      SELECT doc_id, max(c) AS top_bg, sum(c) AS tot_bg FROM cnt GROUP BY doc_id
+    ), words AS (
+      SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
+      FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) t GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           round(cast(a.top_bg AS double) / a.tot_bg, 6) AS top_bigram_frac,
+           round(1.0 - cast(w.n_uniq AS double) / w.n_tok, 6) AS dup_word_frac,
+           (cast(a.top_bg AS double) / a.tot_bg <= 0.2
+            AND 1.0 - cast(w.n_uniq AS double) / w.n_tok <= 0.5) AS keep
+    FROM words w JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    fraction of 2-gram mass in the single most frequent bigram, and
+    duplicate-word fraction; ``keep`` applies the thresholds. Integer
+    counts divided once at the end keep both engines bit-identical.
+    Shape at scale: bigram counting is one map-side-combinable groupBy
+    keyed (doc_id, bigram); everything else is per-doc arithmetic — no
+    cross-document shuffle at all, so it scales linearly with corpus
+    size and is safe to fuse ahead of dedup in a curation pipeline."""
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("ts"),
+    )
+    big = (
+        toks.where(F.expr("size(ts) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(ts)-1), "
+                       "i -> concat(ts[i-1], ' ', ts[i]))")
+            ).alias("bg"),
+        )
+    )
+    agg = (
+        big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("tot_bg"))
+    )
+    words = (
+        toks.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_uniq"))
+    )
+    top_frac = F.col("top_bg").cast("double") / F.col("tot_bg")
+    dup_frac = F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_tok")
+    return words.join(agg, "doc_id").select(
+        "doc_id",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("keep"),
+    )
