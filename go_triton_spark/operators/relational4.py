@@ -247,6 +247,31 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(df: DataFrame, key_col: str, ts_col: str, tiebreak_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Assign per-key session ids by the gap rule: a new session starts
+    when the time since the previous event strictly exceeds
+    ``gap_seconds`` (exact microsecond arithmetic — truncating to whole
+    seconds misclassifies fractional-second boundary gaps). Two window
+    passes over one shuffle on ``key_col``; ties on the timestamp share
+    a session regardless of tie order."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    w2 = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = gap_seconds * 1_000_000
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (F.expr(f"unix_micros(cast({ts_col} AS timestamp)) - "
+                  f"unix_micros(cast(lag({ts_col}) OVER "
+                  f"(PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})"
+                  f" AS timestamp))")
+           > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new_sess", new_sess).withColumn(
+        "sess_id", F.sum("_new_sess").over(w2)
+    ).drop("_new_sess")
+
+
 @query(
     "sessionize_events",
     oracle="""
@@ -273,33 +298,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: 30-min-gap rule via lag + running sum of
     session starts (the classic two-window idiom; the streaming dual is
-    evt_session_window). Ties on ts collapse into one session regardless
-    of tie order, so the result is deterministic. Both windows share the
-    user_id partitioning — one shuffle, two window passes, then a
-    map-side-combinable aggregate on the same keys."""
+    evt_session_window). Both windows share the user_id partitioning —
+    one shuffle, two window passes, then a map-side-combinable
+    aggregate on the same keys."""
     (e,) = tables(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w2 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    g = e.select(
-        "user_id",
-        "ts",
-        "value",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.expr("unix_micros(cast(ts AS timestamp)) - "
-                      "unix_micros(cast(lag(ts) OVER "
-                      "(PARTITION BY user_id ORDER BY ts, event_id)"
-                      " AS timestamp))")
-               > 1800000000),
-            1,
-        ).otherwise(0).alias("new_sess"),
-    )
-    s = g.select("user_id", "value", F.sum("new_sess").over(w2).alias("sess_id"))
+    s = sessionize(e.select("user_id", "ts", "value", "event_id"),
+                   "user_id", "ts", "event_id")
     return s.groupBy("user_id", "sess_id").agg(
         F.count("*").alias("n_events"),
         F.round(
