@@ -61,3 +61,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x StatefulProcessor API)
+# ---------------------------------------------------------------------
+
+try:  # Spark >= 4.0 only; keep the module importable elsewhere
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """ValueState version of ``running_user_totals`` on the
+        StatefulProcessor API: explicit typed state handles, timer
+        support, and RocksDB-backed state (the 100 TB path — state
+        lives off-heap per executor and checkpoints incrementally).
+        Requires ``spark.sql.streaming.stateStore.providerClass`` =
+        RocksDBStateStoreProvider, and ``google.protobuf`` in the
+        Python env (the TWS JVM<->Python state protocol); environments
+        without it use ``running_user_totals`` instead."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [total]})
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """``running_user_totals`` through transformWithStateInPandas."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+except ImportError:  # pragma: no cover
+    RunningTotalsProcessor = None
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithStateInPandas needs Spark >= 4.0")
