@@ -371,3 +371,62 @@ def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_element_at(array(10, 20, 30), "
                "cast(o_orderkey % 5 + 1 AS int))").alias("maybe_elem"),
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract(props, '$.k') AS bigint)  AS k_int,
+           cast(json_extract(props, '$.k') AS varchar) IS NOT NULL AS has_k,
+           json_extract(props, '$.missing') IS NULL    AS no_missing
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("scalar", "variant"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get paths — the open-format
+    answer to schemaless records (the reference's map[string]interface{}
+    rows, SURVEY §1.2, land naturally as VARIANT at ingest). DuckDB
+    oracle uses its JSON extraction; outputs are typed ints/bools so
+    parity is exact. At scale VARIANT beats JSON strings: binary-encoded,
+    shreddable, and path access prunes instead of re-parsing text."""
+    (e,) = tables(spark, sf_dir, "events")
+    return e.where(F.col("event_id") < 1000).select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string') IS NOT NULL")
+            .alias("has_k"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string') IS NULL")
+            .alias("no_missing"),
+    )
+
+
+@query(
+    "scalar_collation",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE lower(o_orderpriority) = '1-urgent'
+       OR lower(o_orderpriority) = '5-low'
+    GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "collation"),
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive comparison via Spark 4 collations
+    (UTF8_LCASE) instead of wrapping every predicate in lower() —
+    collation-aware comparison keeps the column's stats usable for
+    pruning where a lower() expression would defeat them. Oracle
+    spells the same predicate with lower(); the grouping key is the
+    raw column on both sides so output parity is exact."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.expr("o_orderpriority COLLATE UTF8_LCASE") == "1-URGENT")
+            | (F.expr("o_orderpriority COLLATE UTF8_LCASE") == "5-LOW")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )

@@ -124,3 +124,19 @@ events:
 """)["events"]
     with pytest.raises(ValueError, match="unknown stream source"):
         open_stream(spark, cfg)
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """XML source (built into Spark 4) round-trips a dimension table;
+    values survive, column order does (XML attributes carry no order
+    guarantee, so compare as sets of tuples by sorted column name)."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_xml")
+    src.write.format("xml").option("rootTag", "nations") \
+        .option("rowTag", "nation").save(out)
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    cols = sorted(src.columns)
+    orig = sorted(map(tuple, src.select(*cols).collect()))
+    got = sorted(map(tuple, back.selectExpr(
+        *[f"cast({c} AS {t})" for c, t in src.select(*cols).dtypes]).collect()))
+    assert got == orig
