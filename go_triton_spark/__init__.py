@@ -18,6 +18,7 @@ checkpointed replay) as an idiomatic Spark engine:
 from go_triton_spark.session import get_spark, builder
 from go_triton_spark.config import StreamConfig, load_config, config_for_name
 from go_triton_spark.engine import TritonEngine
+from go_triton_spark.sources.tri_datasource import register_tri_datasource
 
 __version__ = "0.1.0"
 
@@ -28,4 +29,5 @@ __all__ = [
     "load_config",
     "config_for_name",
     "TritonEngine",
+    "register_tri_datasource",
 ]
