@@ -122,3 +122,65 @@ class ArchiveStore:
         df = self.cat(*args, **kwargs)
         cols = [c for c in df.columns if not c.startswith("_archive")]
         return df.select(F.to_json(F.struct(*cols)).alias("json"))
+
+    # --------------------------------------------------------- maintain
+
+    def compact(self, stream: str, date: _dt.date, client: str,
+                target_file_mb: int = 128) -> dict:
+        """Compact one (stream, client, date) slice's small files.
+
+        Streaming ingest writes >= 1 file per micro-batch per hour
+        partition; at 100 TB that's the classic small-files problem
+        (every downstream scan pays per-file open + listing cost, and
+        the NameNode/object-store listing grows unbounded). Compaction
+        rewrites each hour partition into ``ceil(bytes/target)``
+        files, range-partitioned on ``_archive_sort`` so replay order
+        stays file-local (SURVEY S15).
+
+        Safety: each hour is written to a sibling tmp dir and swapped
+        in with two renames — the partition is never half-written. On
+        a real object store use a table format (Delta/Iceberg
+        rewrite-files) instead of rename; this implementation targets
+        filesystem-backed archives, and concurrent readers of the
+        exact swap instant may need one retry (rename is atomic per
+        path, not across the pair).
+        """
+        import math
+        import shutil
+
+        slice_dir = os.path.join(
+            self.root, f"stream={stream}", f"client={client}",
+            f"date={date.strftime('%Y%m%d')}")
+        if not os.path.isdir(slice_dir):
+            raise FileNotFoundError(f"no archive partition at {slice_dir}")
+        stats = {"hours": 0, "files_before": 0, "files_after": 0, "bytes": 0}
+        for hour_name in sorted(os.listdir(slice_dir)):
+            hour_dir = os.path.join(slice_dir, hour_name)
+            if not (os.path.isdir(hour_dir) and hour_name.startswith("hour=")):
+                continue
+            files = [f for f in os.listdir(hour_dir) if f.endswith(".parquet")]
+            nbytes = sum(os.path.getsize(os.path.join(hour_dir, f))
+                         for f in files)
+            n_out = max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+            if len(files) <= n_out:
+                stats["hours"] += 1
+                stats["files_before"] += len(files)
+                stats["files_after"] += len(files)
+                stats["bytes"] += nbytes
+                continue
+            tmp_dir = hour_dir + "._compact_tmp"
+            old_dir = hour_dir + "._compact_old"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(old_dir, ignore_errors=True)
+            (self.spark.read.parquet(hour_dir)
+                 .repartitionByRange(n_out, "_archive_sort")
+                 .write.parquet(tmp_dir))
+            os.rename(hour_dir, old_dir)
+            os.rename(tmp_dir, hour_dir)
+            shutil.rmtree(old_dir)
+            stats["hours"] += 1
+            stats["files_before"] += len(files)
+            stats["files_after"] += len(
+                [f for f in os.listdir(hour_dir) if f.endswith(".parquet")])
+            stats["bytes"] += nbytes
+        return stats

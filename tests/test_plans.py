@@ -171,3 +171,38 @@ def test_bucketed_interval_join_equals_naive(spark):
         got = sorted((r["pid"], r["iid"]) for r in bucketed_interval_join(
             p, iv, "pts", "istart", "iend", bucket_seconds=bucket).collect())
         assert got == naive, f"bucket={bucket}"
+
+
+def test_compact_merges_small_files(spark, sf_dir, tmp_path):
+    """Three micro-batch-sized ingests -> one file per hour partition
+    after compaction; rows and replay order preserved."""
+    import datetime as dt
+    from go_triton_spark.plans.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(90)
+    when = dt.datetime(2026, 8, 13, 9, 30, tzinfo=dt.timezone.utc)
+    for i in range(3):
+        store.ingest_dataframe(
+            ev.where(f"event_id % 3 = {i}"), "events", "alpha",
+            when=when + dt.timedelta(seconds=i))
+    before = store.cat("events", when.date(), client="alpha")
+    n_rows = before.count()
+    ids_before = [r.event_id for r in before.select("event_id").collect()]
+
+    stats = store.compact("events", when.date(), "alpha", target_file_mb=128)
+    assert stats["files_before"] >= 3 and stats["files_after"] == 1
+
+    after = store.cat("events", when.date(), client="alpha")
+    assert after.count() == n_rows
+    assert sorted(ids_before) == sorted(
+        r.event_id for r in after.select("event_id").collect())
+
+
+def test_compact_missing_partition_raises(spark, tmp_path):
+    import datetime as dt
+    from go_triton_spark.plans.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    with pytest.raises(FileNotFoundError):
+        store.compact("events", dt.date(2026, 1, 1), "alpha")
