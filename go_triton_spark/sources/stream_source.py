@@ -11,6 +11,10 @@ Streaming's equivalents, selected by ``StreamConfig.options['source']``:
 - ``memory`` : not a real source — tests build their own input via
                ``spark.readStream.format("rate")`` or MemoryStream from
                the Scala side; we expose ``file`` for determinism.
+- ``kinesis_sim``: shard-parallel Kinesis simulator (registered Python
+               DataSource, ``sources/kinesis_sim.py``): shard dirs ->
+               input partitions, per-shard file offsets in the query
+               checkpoint, LATEST/TRIM_HORIZON, resharding discovery.
 - ``kinesis``: adapter point for a third-party connector (not bundled;
                OSS Spark has no first-party Kinesis source). We map the
                reference's start positions (LATEST / TRIM_HORIZON /
@@ -52,6 +56,20 @@ def open_stream(spark: SparkSession, cfg: StreamConfig,
         if cfg.options.get("start_position", "TRIM_HORIZON") == "LATEST":
             reader = reader.option("latestFirst", "true")
         return reader.load(path)
+    if source == "kinesis_sim":
+        path = cfg.options.get("path")
+        if not path:
+            raise ValueError(
+                f"stream {cfg.stream_name!r}: kinesis_sim needs options.path")
+        if schema is None:
+            raise ValueError("kinesis_sim requires a declared schema "
+                             "(schema-on-read; SURVEY section 1.3)")
+        from go_triton_spark.sources.kinesis_sim import register_kinesis_sim
+        register_kinesis_sim(spark)
+        return (spark.readStream.format("kinesis_sim").schema(schema)
+                .option("start_position",
+                        cfg.options.get("start_position", "TRIM_HORIZON"))
+                .load(path))
     if source == "rate":
         rows_per_sec = str(cfg.options.get("rows_per_second", 1000))
         return (spark.readStream.format("rate")
