@@ -430,3 +430,58 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "window_moving_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           round(cast(sum(cast(value AS decimal(30,8)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                      AS double)
+                 / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS mavg4,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_id,
+           round(value * 100
+                 / cast(sum(cast(value AS decimal(30,8)))
+                        OVER (PARTITION BY user_id) AS double), 6)
+             AS pct_of_user
+    FROM events WHERE user_id < 50
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame window suite: 4-row moving average (exact decimal
+    sum / frame count — never avg() over doubles), last non-null
+    carry-forward (IGNORE NULLS: 'most recent purchase id as of each
+    event'), and percent-of-total over an unframed partition window.
+    All three share one user_id shuffle; frames are linear per-key
+    scans, so cost is one pass regardless of frame width."""
+    (e,) = tables(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w4 = (Window.partitionBy("user_id").orderBy(*order).rowsBetween(-3, 0))
+    wcum = (Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("user_id")
+    dsum4 = F.sum(F.col("value").cast("decimal(30,8)")).over(w4).cast("double")
+    return e.where(F.col("user_id") < 50).select(
+        "event_id",
+        "user_id",
+        F.round(dsum4 / F.count("*").over(w4), 6).alias("mavg4"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")),
+            ignorenulls=True,
+        ).over(wcum).alias("last_purchase_id"),
+        F.round(
+            F.col("value") * 100
+            / F.sum(F.col("value").cast("decimal(30,8)")).over(wall)
+               .cast("double"),
+            6,
+        ).alias("pct_of_user"),
+    )
