@@ -296,3 +296,50 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _K)
             .select("query_id", "neighbor_id", "rank"))
+
+
+@query(
+    "emb_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), c AS (
+      SELECT label, pos,
+             round(cast(sum(cast(v AS decimal(30,8))) AS double) / count(*), 6)
+               AS cv
+      FROM e GROUP BY label, pos
+    )
+    SELECT label, list(cv ORDER BY pos) AS centroid, count(*) AS dim
+    FROM c GROUP BY label
+    """,
+    tags=("llm", "similarity", "vector"),
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the vector-average primitive
+    under IVF training, cluster drift monitoring, and class
+    prototypes). Dimensions explode to (label, pos, v) rows so the
+    mean is an ordinary map-side-combinable aggregate — exact decimal
+    sums make it partitioning-independent — then each centroid
+    reassembles via a struct-sorted collect_list. Shuffle carries
+    (label, pos) pairs: dim × n_labels cardinality, independent of
+    corpus size."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("cv")
+        )
+    )
+    return per_dim.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
+            .alias("centroid"),
+        F.count("*").alias("dim"),
+    )
