@@ -114,3 +114,61 @@ def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(f"regexp_count(text, '{email}')")
          + F.expr(f"regexp_count(text, '{nums}')")).cast("long")
          .alias("n_redactions"))
+
+
+@query(
+    "curate_canonical_docs",
+    oracle="""
+    WITH sh AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]
+        || '_' || string_split(text, ' ')[i+2])) AS s FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS a, id_b AS b FROM p WHERE inter * 10 >= uni * 7
+          UNION SELECT id_b, id_a FROM p WHERE inter * 10 >= uni * 7),
+    r AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN e ON reach.b = e.a)
+      SELECT * FROM reach),
+    clusters AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM r GROUP BY a),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT cluster_id,
+           min(doc_id) FILTER (WHERE rk = 1) AS kept_doc_id,
+           count(*) AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def curate_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: per near-dup cluster, keep one
+    canonical document (longest text, doc_id tie-break) and count the
+    members it supersedes. Composes the LSH candidate graph ->
+    connected components (dedup_clusters) with an argmax-per-group.
+    At 100 TB the ranked window runs on the clustered subset only —
+    the overwhelming singleton majority never enters the shuffle."""
+    from go_triton_spark.operators.relational3 import dedup_clusters
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    (d,) = tables(spark, sf_dir, "documents")
+    ranked = clusters.join(d.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.expr("min(doc_id) FILTER (WHERE rk = 1)").alias("kept_doc_id"),
+        F.count("*").alias("n_members"),
+    )

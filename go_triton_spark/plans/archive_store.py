@@ -184,3 +184,29 @@ class ArchiveStore:
                 [f for f in os.listdir(hour_dir) if f.endswith(".parquet")])
             stats["bytes"] += nbytes
         return stats
+
+    def expire(self, stream: str, client: str, keep_after: _dt.date) -> dict:
+        """Retention: drop whole date partitions strictly older than
+        ``keep_after``. Partition-dir deletion only — never a scan, so
+        cost is O(partitions dropped), not O(data); the 100 TB
+        lifecycle job this models runs daily next to ``compact``. The
+        reference has no retention at all (archives accumulate in S3
+        forever); this is north-star data-lifecycle surface.
+        """
+        import shutil
+
+        slice_dir = os.path.join(
+            self.root, f"stream={stream}", f"client={client}")
+        cutoff = keep_after.strftime("%Y%m%d")
+        stats = {"dropped": 0, "kept": 0}
+        if not os.path.isdir(slice_dir):
+            return stats
+        for name in sorted(os.listdir(slice_dir)):
+            if not name.startswith("date="):
+                continue
+            if name[len("date="):] < cutoff:
+                shutil.rmtree(os.path.join(slice_dir, name))
+                stats["dropped"] += 1
+            else:
+                stats["kept"] += 1
+        return stats

@@ -206,3 +206,20 @@ def test_compact_missing_partition_raises(spark, tmp_path):
     store = ArchiveStore(spark, str(tmp_path / "arch"))
     with pytest.raises(FileNotFoundError):
         store.compact("events", dt.date(2026, 1, 1), "alpha")
+
+
+def test_expire_drops_only_old_partitions(spark, sf_dir, tmp_path):
+    import datetime as dt
+    from go_triton_spark.plans.archive_store import ArchiveStore
+
+    store = ArchiveStore(spark, str(tmp_path / "arch"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(30)
+    old = dt.datetime(2026, 8, 1, 12, tzinfo=dt.timezone.utc)
+    new = dt.datetime(2026, 8, 13, 12, tzinfo=dt.timezone.utc)
+    store.ingest_dataframe(ev, "events", "alpha", when=old)
+    store.ingest_dataframe(ev, "events", "alpha", when=new)
+
+    stats = store.expire("events", "alpha", keep_after=dt.date(2026, 8, 10))
+    assert stats == {"dropped": 1, "kept": 1}
+    assert store.cat("events", new.date(), client="alpha").count() == 30
+    assert store.cat("events", old.date(), client="alpha").count() == 0
