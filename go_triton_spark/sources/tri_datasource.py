@@ -24,11 +24,15 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -128,6 +132,76 @@ class TriDataSource(DataSource):
     def simpleStreamReader(self, schema: T.StructType) -> TriStreamReader:
         return TriStreamReader(self.options, schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError("tri writer is append-only (archives are "
+                             "immutable, SURVEY S8); use mode('append')")
+        return TriBatchWriter(self.options, schema)
+
 
 def register_tri_datasource(spark) -> None:
     spark.dataSource.register(TriDataSource)
+
+
+@dataclass
+class TriCommitMessage(WriterCommitMessage):
+    staged: str | None = None
+    final: str | None = None
+
+
+class TriBatchWriter(DataSourceWriter):
+    """``df.write.format("tri")`` — one reference-keyed archive file per
+    input partition (the writer analogue of S8/S9: partition = rotation
+    unit, key grammar per triton/store.go:97-104). Files are written to
+    a staging name and renamed on commit; abort removes staged files,
+    so a failed job leaves no partial archives."""
+
+    def __init__(self, options, schema):
+        self.root = options.get("path")
+        self.stream = options.get("stream", "stream")
+        self.client = options.get("client", "archive")
+        if not self.root:
+            raise ValueError("tri writer requires .save(path)")
+        if "-" in self.client:
+            raise ValueError("client name cannot contain '-' (key "
+                             "delimiter, triton.go:224-227)")
+        self.schema_ = schema
+        ts = options.get("unix_ts")
+        self.base_ts = int(ts) if ts else None
+
+    def write(self, iterator) -> TriCommitMessage:
+        import datetime as _dt
+
+        from pyspark import TaskContext
+
+        from go_triton_spark.codec.tri import write_tri_bytes
+
+        pid = TaskContext.get().partitionId()
+        base = self.base_ts
+        if base is None:
+            base = int(_dt.datetime.now(tz=_dt.timezone.utc).timestamp())
+        when = _dt.datetime.fromtimestamp(base, tz=_dt.timezone.utc)
+        names = [f.name for f in self.schema_.fields]
+        recs = []
+        for row in iterator:
+            recs.append({n: row[n] for n in names if row[n] is not None})
+        if not recs:
+            return TriCommitMessage()
+        key = (f"{when.strftime('%Y%m%d')}/"
+               f"{self.stream}-{self.client}-{base + pid}.tri")
+        full = os.path.join(self.root, key)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        staged = full + ".staged"
+        with open(staged, "wb") as f:
+            f.write(write_tri_bytes(recs))
+        return TriCommitMessage(staged=staged, final=full)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if getattr(m, "staged", None):
+                os.rename(m.staged, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if getattr(m, "staged", None) and os.path.exists(m.staged):
+                os.remove(m.staged)

@@ -99,3 +99,36 @@ def test_tri_stream_incremental_files(registered, events_df, tmp_path):
     assert len(got2) == second.count()  # only the new file's rows
     assert {r.event_id for r in got1} | {r.event_id for r in got2} == \
         {r.event_id for r in events_df.select("event_id").collect()}
+
+
+def test_tri_format_write_path(registered, events_df, tmp_path):
+    """df.write.format('tri'): reference key grammar, commit-rename
+    atomicity (no .staged leftovers), read-back parity."""
+    spark = registered
+    out = str(tmp_path / "arch_w")
+    (events_df.repartition(3).write.format("tri")
+     .option("stream", "events").option("client", "alpha")
+     .option("unix_ts", "1765000000")
+     .mode("append").save(out))
+    files = []
+    for root, _d, fs in os.walk(out):
+        files.extend(os.path.join(root, f) for f in fs)
+    assert all(f.endswith(".tri") for f in files)  # no .staged leftovers
+    assert len(files) == 3  # one archive per partition
+    assert all(os.path.basename(f).startswith("events-alpha-176500000")
+               for f in files)
+    back = spark.read.format("tri").schema(EVENTS_SCHEMA).load(out)
+    assert sorted(r.event_id for r in back.select("event_id").collect()) == \
+        sorted(r.event_id for r in events_df.select("event_id").collect())
+
+
+def test_tri_format_write_rejects_overwrite_and_dash_client(
+        registered, events_df, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="append-only"):
+        (events_df.write.format("tri").option("stream", "events")
+         .mode("overwrite").save(str(tmp_path / "x")))
+    with pytest.raises(Exception, match="client"):
+        (events_df.write.format("tri").option("stream", "events")
+         .option("client", "with-dash").mode("append")
+         .save(str(tmp_path / "y")))
