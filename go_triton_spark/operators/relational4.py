@@ -485,3 +485,66 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_of_user"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT event_id,
+                      CASE WHEN event_id % 7 = 0 THEN NULL
+                           ELSE event_id % 5 END AS k
+               FROM events WHERE event_id < 200),
+         b AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE o_orderkey % 5 END AS k
+               FROM orders WHERE o_orderkey < 50)
+    SELECT a.event_id, b.o_orderkey, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics a keyed
+    merge of optional attributes needs. <=> stays a hash-joinable
+    equality (Catalyst plans BHJ/SMJ on the coalesced key), unlike an
+    OR-of-IS-NULLs rewrite which degrades to nested-loop."""
+    (e,) = tables(spark, sf_dir, "events")
+    (o,) = tables(spark, sf_dir, "orders")
+    a = e.where(F.col("event_id") < 200).select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+         .otherwise(F.col("event_id") % 5).alias("k"))
+    b = o.where(F.col("o_orderkey") < 50).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+         .otherwise(F.col("o_orderkey") % 5).alias("k"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        "event_id", "o_orderkey", a["k"].alias("k"))
+
+
+@query(
+    "agg_bool_conditional",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99) AS any_gt99,
+           count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS users_high
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "bool"),
+)
+def agg_bool_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: filtered count (count_if),
+    every/any quantifiers, and conditional distinct-count — all
+    map-side-combinable single-bit or small-state aggregates, the
+    cheapest possible shuffles at scale."""
+    (e,) = tables(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("count_if(value > 50)").alias("n_high"),
+        F.expr("every(value >= 0)").alias("all_nonneg"),
+        F.expr("any(value > 99)").alias("any_gt99"),
+        F.countDistinct(
+            F.when(F.col("value") > 50, F.col("user_id"))).alias("users_high"),
+    )
