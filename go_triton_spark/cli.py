@@ -5,6 +5,12 @@
         [--end-date YYYYMMDD] [--client C]
     python -m go_triton_spark.cli stats [--client C]
     python -m go_triton_spark.cli shards --stream S
+    python -m go_triton_spark.cli compact --stream S --date YYYYMMDD
+    python -m go_triton_spark.cli expire --stream S --keep-after YYYYMMDD
+
+``compact``/``expire`` are archive-maintenance additions (no reference
+counterpart — go-triton archives accumulate unmanaged); both print one
+JSON stats line.
 
 Environment (mirrors triton.go:34-56 env wiring):
     TRITON_CONFIG  stream-config YAML path    (required for store/cat)
@@ -97,6 +103,29 @@ def cmd_shards(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    eng = _engine()
+    date = _dt.datetime.strptime(args.date, "%Y%m%d").date()
+    client = args.client or os.environ.get("TRITON_CLIENT", "archive")
+    physical = eng.configs.get(args.stream)
+    name = physical.stream_name if physical else args.stream
+    stats = eng.archive.compact(name, date, client,
+                                target_file_mb=args.target_mb)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    eng = _engine()
+    keep_after = _dt.datetime.strptime(args.keep_after, "%Y%m%d").date()
+    client = args.client or os.environ.get("TRITON_CLIENT", "archive")
+    physical = eng.configs.get(args.stream)
+    name = physical.stream_name if physical else args.stream
+    stats = eng.archive.expire(name, client, keep_after)
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="triton-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -122,6 +151,19 @@ def main(argv: list[str] | None = None) -> int:
     p_shards.add_argument("--stream", required=True)
     p_shards.add_argument("--region", help="AWS region (uses boto3 if set)")
     p_shards.set_defaults(fn=cmd_shards)
+
+    p_compact = sub.add_parser("compact", help="merge small archive files")
+    p_compact.add_argument("--stream", required=True)
+    p_compact.add_argument("--date", required=True, metavar="YYYYMMDD")
+    p_compact.add_argument("--client")
+    p_compact.add_argument("--target-mb", type=int, default=128)
+    p_compact.set_defaults(fn=cmd_compact)
+
+    p_expire = sub.add_parser("expire", help="drop date partitions older than cutoff")
+    p_expire.add_argument("--stream", required=True)
+    p_expire.add_argument("--keep-after", required=True, metavar="YYYYMMDD")
+    p_expire.add_argument("--client")
+    p_expire.set_defaults(fn=cmd_expire)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -53,3 +53,22 @@ def test_cli_shards_local(spark, cli_env, capsys):
     assert cli.main(["shards", "--stream", "events"]) == 0
     out = capsys.readouterr().out
     assert "shard-0000" in out
+
+
+def test_cli_compact_and_expire(spark, cli_env, capsys):
+    from go_triton_spark.cli import main
+
+    # three ingests -> small files; compact then expire via the CLI
+    for _ in range(3):
+        assert main(["store", "--stream", "events", "--once"]) == 0
+    today = dt.datetime.now(tz=dt.timezone.utc).strftime("%Y%m%d")
+    assert main(["compact", "--stream", "events", "--date", today]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] >= 1
+
+    tomorrow = (dt.datetime.now(tz=dt.timezone.utc)
+                + dt.timedelta(days=1)).strftime("%Y%m%d")
+    assert main(["expire", "--stream", "events", "--keep-after", tomorrow]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"dropped": 1, "kept": 0}
