@@ -40,6 +40,7 @@ class TritonEngine:
         self.archive = ArchiveStore(spark, os.path.join(root, "archive"))
         self.checkpoint_root = os.path.join(root, "checkpoints")
         self._pipelines: dict[str, StorePipeline] = {}
+        self._monitor = None
 
     # ------------------------------------------------------------ config
 
@@ -90,6 +91,17 @@ class TritonEngine:
     def stats(self, client: str | None = None) -> dict[str, int]:
         """``triton stats``: checkpoint ages (S18)."""
         return checkpoint_stats(self.spark, self.checkpoint_root, client)
+
+    def stream_stats(self) -> dict[str, dict]:
+        """Per-query micro-batch progress (rows/sec, batch durations) —
+        the Spark-native upgrade of checkpoint-age monitoring. The
+        listener installs on first call; queries started after that
+        report here keyed by query name."""
+        if self._monitor is None:
+            from go_triton_spark.streaming.monitor import ProgressMonitor
+
+            self._monitor = ProgressMonitor.install(self.spark)
+        return self._monitor.progress()
 
     # ----------------------------------------------------------- queries
 

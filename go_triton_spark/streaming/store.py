@@ -65,6 +65,7 @@ class StorePipeline:
         out = self._with_partitions(src)
         writer = (
             out.writeStream.format("parquet")
+            .queryName(f"store-{self.cfg.stream_name}-{self.client}")
             .partitionBy("stream", "client", "date", "hour")
             .option("path", self.archive_root)
             .option("checkpointLocation",

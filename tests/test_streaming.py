@@ -137,3 +137,24 @@ events:
     # bounded micro-batches (1 file each), not one unbounded gulp
     commits = os.listdir(f"{tmp_path}/checkpoints/events-archive/commits")
     assert len([c for c in commits if not c.startswith(".")]) >= 3
+
+
+def test_stream_stats_progress_monitor(engine, tmp_path):
+    """StreamingQueryListener progress: after an ingest the engine
+    reports per-query rows/sec + batch durations keyed by query name."""
+    engine.stream_stats()  # install listener before the query starts
+    _write_events_json(f"{tmp_path}/incoming/events", _recs(12))
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    # listener bus is async; poll briefly
+    import time
+    for _ in range(40):
+        stats = engine.stream_stats()
+        key = "store-events-archive"
+        if key in stats and stats[key]["num_input_rows"] > 0:
+            break
+        time.sleep(0.25)
+    assert key in stats, stats
+    assert stats[key]["num_input_rows"] == 12
+    assert "addBatch" in stats[key]["duration_ms"]
