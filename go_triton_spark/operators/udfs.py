@@ -148,3 +148,39 @@ def grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
 
     return e.groupBy("event_type").applyInPandas(demean, schema=schema)
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, length(text) AS n_chars_arrow,
+           len(string_split(text, ' ')) AS n_tokens_arrow
+    FROM documents
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch path — RecordBatches processed
+    with pyarrow.compute directly, no pandas materialization (the
+    variant to reach for when the per-batch work is columnar kernels:
+    ~2× less peak memory than mapInPandas on wide batches). Here the
+    kernel computes char and whitespace-token counts per document."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    (d,) = tables(spark, sf_dir, "documents")
+
+    def counts(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            n_chars = pc.utf8_length(text)
+            n_tokens = pc.list_value_length(
+                pc.split_pattern(text, pattern=" "))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index("doc_id")),
+                 pc.cast(n_chars, pa.int64()),
+                 pc.cast(n_tokens, pa.int64())],
+                names=["doc_id", "n_chars_arrow", "n_tokens_arrow"])
+
+    return d.select("doc_id", "text").mapInArrow(
+        counts, "doc_id long, n_chars_arrow long, n_tokens_arrow long")
