@@ -172,3 +172,55 @@ def curate_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min(doc_id) FILTER (WHERE rk = 1)").alias("kept_doc_id"),
         F.count("*").alias("n_members"),
     )
+
+
+@query(
+    "curate_pipeline_end_to_end",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, text,
+             1.0 - cast(len(list_distinct(ts)) AS double) / len(ts) AS dup_frac
+      FROM toks WHERE len(ts) > 0
+    ), kept AS (
+      SELECT doc_id, lang, text FROM q WHERE dup_frac <= 0.5
+    ), uniq AS (
+      SELECT min(doc_id) AS doc_id, lang
+      FROM kept GROUP BY md5(text), lang
+    ), sampled AS (
+      SELECT * FROM uniq WHERE (doc_id * 2654435761) % 100 < 50
+    )
+    SELECT lang, count(*) AS n_final, min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM sampled GROUP BY lang
+    """,
+    tags=("llm", "curation", "pipeline"),
+)
+def curate_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass: quality gate (duplicate-word
+    fraction) -> exact dedup (md5 canonical = min doc_id) -> ~50%
+    deterministic hash sample -> per-language accounting. One lazy
+    plan: Catalyst fuses the filter chain into the scan, the only
+    shuffles are the dedup groupBy and the final small aggregate —
+    the shape a 100 TB curation job actually runs, stages chained
+    without materialization between them."""
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "text",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("ts"))
+    q = toks.where(F.expr("size(ts) > 0")).select(
+        "doc_id", "lang", "text",
+        (F.lit(1.0) - F.expr("cast(size(array_distinct(ts)) AS double)")
+         / F.expr("size(ts)")).alias("dup_frac"))
+    kept = q.where(F.col("dup_frac") <= 0.5)
+    uniq = (kept.groupBy(F.md5("text").alias("h"), F.col("lang"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    sampled = uniq.where((F.col("doc_id") * 2654435761) % 100 < 50)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_final"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -223,3 +223,21 @@ def test_expire_drops_only_old_partitions(spark, sf_dir, tmp_path):
     assert stats == {"dropped": 1, "kept": 1}
     assert store.cat("events", new.date(), client="alpha").count() == 30
     assert store.cat("events", old.date(), client="alpha").count() == 0
+
+
+def test_observe_inline_metrics(spark, sf_dir):
+    """df.observe: data-quality counters collected during the query —
+    no second scan over 100 TB to know what a job filtered out."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = Observation("curation_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.expr("cast(n_chars < 20 AS long)")).alias("too_short"))
+    kept = observed.where("n_chars >= 20")
+    n_kept = kept.count()
+    assert obs.get["rows_seen"] == docs.count()
+    assert obs.get["rows_seen"] - obs.get["too_short"] == n_kept
