@@ -15,7 +15,6 @@ reference's monitoring surface:
 
 from __future__ import annotations
 
-import json
 import os
 import time
 

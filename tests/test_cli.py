@@ -3,7 +3,6 @@ entry point (subprocess-free: call main() with env patched)."""
 
 import datetime as dt
 import json
-import os
 
 import pytest
 

@@ -8,7 +8,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from go_triton_spark.config import StreamConfig, load_config
-from go_triton_spark.engine import TritonEngine
 from go_triton_spark.plans.archive_store import ArchiveStore
 from go_triton_spark.sources.stream_source import open_stream
 

@@ -5,7 +5,6 @@ driver); these tests assert structural/semantic properties the oracle
 cannot: LSH recall, signature stability, plumbing shapes.
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from go_triton_spark.operators import REGISTRY

@@ -2,7 +2,6 @@
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from go_triton_spark.operators.skew import salted_join, write_bucketed

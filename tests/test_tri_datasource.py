@@ -9,7 +9,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from go_triton_spark.codec.tri import generate_key_name
 from go_triton_spark.sources.tri_datasource import register_tri_datasource
 from go_triton_spark.sources.tri_source import read_tri, write_tri
 from go_triton_spark.types import EVENTS_SCHEMA
