@@ -68,6 +68,12 @@ HEADLINE = [
     "sessionize_events",
     "text_gopher_filters",
     "sample_stratified_hash",
+    "window_moving_stats",
+    "emb_centroids",
+    "curate_canonical_docs",
+    "curate_pipeline_end_to_end",
+    "udf_map_in_arrow",
+    "scalar_variant",
 ]
 
 
