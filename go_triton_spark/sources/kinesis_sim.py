@@ -3,8 +3,10 @@ simulates a Kinesis stream on a directory tree (PySpark 4 DataSource
 API, full ``DataSourceStreamReader`` — not the single-threaded Simple
 variant).
 
-Layout: ``<root>/<shardId>/<seq>.jsonl`` — one subdirectory per shard,
-JSON-lines files appended in sequence order. The mapping onto the
+Layout: ``<root>/<shardId>/<seq>.jsonl`` (or ``.msgpack``: concatenated
+msgpack maps, the reference's actual wire format) — one subdirectory
+per shard, files appended in sequence order. Payload format is the
+``format`` option (``jsonl`` default, ``msgpack``). The mapping onto the
 reference (SURVEY §2.1):
 
 - S1 shard scan: each shard directory becomes its own input partition
@@ -50,9 +52,9 @@ def _list_shards(root: str) -> list[str]:
         d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
 
 
-def _shard_files(root: str, shard: str) -> list[str]:
+def _shard_files(root: str, shard: str, ext: str = ".jsonl") -> list[str]:
     d = os.path.join(root, shard)
-    return sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+    return sorted(f for f in os.listdir(d) if f.endswith(ext))
 
 
 def _coerce(v, dt: T.DataType):
@@ -83,16 +85,22 @@ class KinesisSimStreamReader(DataSourceStreamReader):
             raise ValueError("kinesis_sim requires .load(path) (shard dirs)")
         self.schema_ = schema
         self.start_position = options.get("start_position", "TRIM_HORIZON").upper()
+        self.fmt = options.get("format", "jsonl").lower()
+        if self.fmt not in ("jsonl", "msgpack"):
+            raise ValueError(f"kinesis_sim format must be jsonl or msgpack, "
+                             f"got {self.fmt!r}")
+        self.ext = ".jsonl" if self.fmt == "jsonl" else ".msgpack"
 
     # offsets are {shard: n_files_consumed}
     def initialOffset(self) -> dict:
         shards = _list_shards(self.root)
         if self.start_position == "LATEST":
-            return {s: len(_shard_files(self.root, s)) for s in shards}
+            return {s: len(_shard_files(self.root, s, self.ext))
+                    for s in shards}
         return {s: 0 for s in shards}
 
     def latestOffset(self) -> dict:
-        return {s: len(_shard_files(self.root, s))
+        return {s: len(_shard_files(self.root, s, self.ext))
                 for s in _list_shards(self.root)}
 
     def partitions(self, start: dict, end: dict):
@@ -108,20 +116,41 @@ class KinesisSimStreamReader(DataSourceStreamReader):
         if not part.shard:
             return
         fields = self.schema_.fields
-        for fname in _shard_files(part.root, part.shard)[part.begin:part.end]:
-            with open(os.path.join(part.root, part.shard, fname)) as fh:
+        names = _shard_files(part.root, part.shard, self.ext)
+        for fname in names[part.begin:part.end]:
+            fpath = os.path.join(part.root, part.shard, fname)
+            for rec in self._records(fpath):
+                if not isinstance(rec, dict):
+                    continue
+                yield tuple(
+                    _coerce(rec.get(f.name), f.dataType) for f in fields)
+
+    def _records(self, fpath: str):
+        if self.fmt == "jsonl":
+            with open(fpath) as fh:
                 for line in fh:
                     line = line.strip()
                     if not line:
                         continue
                     try:
-                        rec = json.loads(line)
+                        yield json.loads(line)
                     except ValueError:
                         continue  # corrupt-skip (S5)
-                    if not isinstance(rec, dict):
-                        continue
-                    yield tuple(
-                        _coerce(rec.get(f.name), f.dataType) for f in fields)
+        else:
+            # concatenated msgpack maps: the reference wire format
+            # (decode per stream_reader.go:173; skip semantics :174-194)
+            from go_triton_spark.codec.msgpack_codec import (
+                MsgpackError, unpackb)
+
+            with open(fpath, "rb") as fh:
+                data = fh.read()
+            pos = 0
+            while pos < len(data):
+                try:
+                    rec, pos = unpackb(data, pos)
+                except MsgpackError:
+                    break  # trailing undecodable bytes: skip rest (S5)
+                yield rec
 
     def commit(self, end: dict) -> None:
         pass

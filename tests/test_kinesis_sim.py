@@ -92,3 +92,33 @@ events:
     pipe.stop()
     out = eng.cat("events", dt.datetime.now(tz=dt.timezone.utc).date())
     assert {r.event_id for r in out.select("event_id").collect()} == set(range(10))
+
+
+def test_msgpack_payload_format(spark, tmp_path):
+    """format=msgpack: concatenated msgpack maps per file (the
+    reference's wire format), timestamps surviving as datetimes and
+    trailing corrupt bytes skipped (S5)."""
+    import datetime as dt
+
+    from go_triton_spark.codec.msgpack_codec import packb
+
+    root = str(tmp_path / "k")
+    os.makedirs(f"{root}/shardId-000")
+    ts = dt.datetime(2026, 8, 13, 9, 0, tzinfo=dt.timezone.utc)
+    body = b"".join(
+        packb({"event_id": i, "ts": ts, "user_id": i, "event_type": "click",
+               "value": float(i), "props": "{}"})
+        for i in range(4)) + b"\xc1\xff"  # trailing undecodable bytes
+    with open(f"{root}/shardId-000/000000.msgpack", "wb") as f:
+        f.write(body)
+
+    register_kinesis_sim(spark)
+    captured = []
+    q = (spark.readStream.format("kinesis_sim").schema(EVENTS_SCHEMA)
+         .option("format", "msgpack").load(root)
+         .writeStream.foreachBatch(lambda df, b: captured.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.event_id for r in captured) == [0, 1, 2, 3]
+    assert all(r.ts is not None for r in captured)

@@ -218,3 +218,35 @@ def test_streaming_document_dedup_and_quality_filter(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM doc_dedup").collect())
     # doc 2 is a dup of 1 (same fingerprint); doc 3 fails the gate
     assert kept == [1, 4]
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup state is TTL'd by the
+    event-time watermark instead of kept forever — the bounded-state
+    form of streaming exact dedup (keys can recur after the horizon
+    passes; state size is bounded by keys-per-watermark-window, the
+    property that makes streaming dedup viable at 100 TB/day)."""
+    import json as _json
+    import os as _os
+
+    from go_triton_spark.types import EVENTS_SCHEMA
+
+    src = str(tmp_path / "src_ddww")
+    _os.makedirs(src)
+    rows = []
+    for i in range(6):
+        rows.append({"event_id": i % 3,  # each id appears twice
+                     "ts": f"2026-08-13T09:00:0{i}Z", "user_id": i,
+                     "event_type": "click", "value": 1.0, "props": "{}"})
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows))
+
+    captured = []
+    stream = spark.readStream.format("json").schema(EVENTS_SCHEMA).load(src)
+    q = (stream.withWatermark("ts", "10 minutes")
+         .dropDuplicatesWithinWatermark(["event_id"])
+         .writeStream.foreachBatch(lambda df, b: captured.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt_ddww"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.event_id for r in captured) == [0, 1, 2]
