@@ -1,0 +1,33 @@
+"""Results must not depend on parallelism: every aggregate uses exact
+decimal sums and every ranking a total order (registry.py policy), so
+rerunning at a different shuffle-partition count must produce identical
+rows. This is the property that lets a 100 TB cluster repartition
+freely (AQE, scale-up, skew splitting) without changing answers."""
+
+import pytest
+
+from go_triton_spark.operators import REGISTRY
+
+# one representative per shape: agg, window, join, dedup, text, pipeline
+REPRESENTATIVES = [
+    "q1_pricing_summary",
+    "agg_regression",
+    "window_moving_stats",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "tfidf_top_terms",
+    "curate_pipeline_end_to_end",
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_stable_across_shuffle_partitions(spark, sf_dir, name):
+    qd = REGISTRY[name]
+    base = sorted(map(tuple, qd.spark(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = sorted(map(tuple, qd.spark(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == again
