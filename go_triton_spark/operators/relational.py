@@ -210,7 +210,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join, dimension broadcast."""
+    """Inner equi-join with the dimension side broadcast: the fact
+    table never shuffles — at 100 TB the only data movement is the
+    few-MB dimension to each executor (plan test asserts BHJ)."""
     c, o = tables(spark, sf_dir, "customer", "orders")
     return (o.where(F.col("o_totalprice") > 250000)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -244,7 +246,9 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS)."""
+    """Left-semi join (EXISTS): emits each left row at most once and
+    ships only the join key of the right side — no row explosion, the
+    scale-safe form of existence filtering."""
     c, o = tables(spark, sf_dir, "customer", "orders")
     return c.join(o.where(F.col("o_orderpriority") == "1-URGENT"),
                   c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
@@ -279,7 +283,9 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join of two aggregates."""
+    """Full outer join of two pre-aggregated sides: aggregating before
+    joining shrinks both inputs to group cardinality first, so the
+    join state is keys, not raw rows."""
     c, s = tables(spark, sf_dir, "customer", "supplier")
     cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count("*").alias("customers"))
     sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count("*").alias("suppliers"))
@@ -403,7 +409,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions."""
+    """CUBE over two dimensions: Spark expands grouping sets map-side
+    (Expand operator) then runs one partial+final aggregate — 4 result
+    granularities for a single shuffle."""
     (o,) = tables(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -586,7 +594,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "topk"),
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 priciest parts per brand."""
+    """Top-k per group via row_number over a partitioned window: one
+    shuffle on the group key, per-key linear scan, never a global
+    sort; ties broken by key for determinism."""
     (p,) = tables(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (p.select("p_brand", "p_partkey", "p_name", "p_retailprice",
@@ -641,7 +651,9 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set",),
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION DISTINCT."""
+    """UNION DISTINCT: dedup runs as a hash aggregate on the union —
+    partial map-side combine before the shuffle carries only distinct
+    keys per partition."""
     c, s = tables(spark, sf_dir, "customer", "supplier")
     return (c.select(F.col("c_nationkey").alias("nationkey"))
             .union(s.select(F.col("s_nationkey").alias("nationkey"))).distinct())
@@ -657,7 +669,9 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("set",),
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics)."""
+    """INTERSECT (distinct semantics): compiles to a left-semi join of
+    the distinct sides — set membership without materializing either
+    side fully."""
     c, s = tables(spark, sf_dir, "customer", "supplier")
     return (c.select(F.col("c_nationkey").alias("nationkey"))
             .intersect(s.select(F.col("s_nationkey").alias("nationkey"))))

@@ -33,7 +33,10 @@ from go_triton_spark.operators.registry import query, tables
     tags=("scalar", "string"),
 )
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function family."""
+    """String function family (upper/lower/substr/trim/concat/length
+    and friends) restricted to constructs with identical semantics in
+    Spark and DuckDB; all codegen'd row-local expressions — zero
+    shuffle, scan-fused at any scale."""
     (c,) = tables(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -142,7 +145,9 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "conditional"),
 )
 def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/coalesce/nullif/IN/if family."""
+    """CASE/coalesce/nullif/IN/if family: null-propagation and
+    branching semantics proven against the oracle; row-local, fused
+    into the scan by codegen."""
     (o,) = tables(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
