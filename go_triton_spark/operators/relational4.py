@@ -548,3 +548,45 @@ def agg_bool_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("value") > 50, F.col("user_id"))).alias("users_high"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT least(cast(floor((value - lo) / ((hi - lo) / 10)) AS bigint), 9)
+             AS bucket,
+           count(*) AS n,
+           round(min(value), 6) AS bucket_min,
+           round(max(value), 6) AS bucket_max
+    FROM events CROSS JOIN b
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram", "profile"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 10-bucket histogram: bounds from one aggregate pass
+    broadcast as a 1-row cross join, bucketing as pure arithmetic on
+    the second pass (identical float ops both engines; the max value
+    clamps into the last bucket). Two scans total — at 100 TB the
+    first pass can reuse parquet column stats instead (min/max from
+    footer metadata, making it one scan)."""
+    (e,) = tables(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 10
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+                F.lit(9),
+            ).alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("bucket_min"),
+            F.round(F.max("value"), 6).alias("bucket_max"),
+        )
+    )
