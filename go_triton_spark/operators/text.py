@@ -305,3 +305,45 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_word_frac"),
         ((top_frac <= 0.2) & (dup_frac <= 0.5)).alias("keep"),
     )
+
+
+@query(
+    "text_ngram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts)-1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ), cnt AS (
+      SELECT bg, count(*) AS n FROM big GROUP BY bg
+    )
+    SELECT bg, n FROM (
+      SELECT bg, n, row_number() OVER (ORDER BY n DESC, bg) AS rk FROM cnt) t
+    WHERE rk <= 20
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 bigram counts — the corpus-statistics pass behind
+    Zipf sanity checks, stopword discovery, and boilerplate detection.
+    One map-side-combinable count keyed by bigram, then TakeOrdered
+    top-k (per-partition heaps, no global sort); ties break on the
+    bigram string so the cut is deterministic."""
+    (d,) = tables(spark, sf_dir, "documents")
+    big = (
+        d.select(F.expr("filter(split(lower(text), ' '), t -> t <> '')")
+                  .alias("ts"))
+        .where(F.expr("size(ts) >= 2"))
+        .select(F.explode(
+            F.expr("transform(sequence(1, size(ts)-1), "
+                   "i -> concat(ts[i-1], ' ', ts[i]))")).alias("bg"))
+    )
+    return (
+        big.groupBy("bg").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bg"))
+        .limit(20)
+    )
