@@ -590,3 +590,30 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("bucket_max"),
         )
     )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n,
+           round(cast(sum(cast(value AS decimal(30,8))) AS double), 6)
+             AS total_value
+    FROM events GROUP BY ALL
+    """,
+    tags=("agg", "sql-sugar"),
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL sugar): non-aggregate select
+    items become the grouping key implicitly — same plan as the
+    explicit form (one partial+final hash aggregate), proven by the
+    shared oracle."""
+    (e,) = tables(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT event_type, user_id % 10 AS user_bucket,
+               count(*) AS n,
+               round(cast(sum(cast(value AS decimal(30,8))) AS double), 6)
+                 AS total_value
+        FROM events GROUP BY ALL
+    """)
