@@ -218,3 +218,39 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
             .agg(F.countDistinct("user_id").alias("active_users"))
             .orderBy("cohort_week", "weeks_since"))
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    SELECT event_id AS click_id, user_id,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             OVER w AS next_purchase_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             OVER w - epoch_us(ts) AS us_to_purchase
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    QUALIFY event_type = 'click'
+    """,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the time of the next purchase by
+    the same user and the microsecond time-to-conversion (null when the
+    user never purchases again). Backward as-of carries the last value;
+    forward flips the frame to FOLLOWING and takes min(event time) over
+    it — min is order-independent inside the frame, so ties need no
+    special casing. One shuffle on user_id, one linear pass."""
+    (e,) = tables(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(1, Window.unboundedFollowing))
+    ts_us = F.expr("unix_micros(cast(ts AS timestamp))")
+    purchase_us = F.when(F.col("event_type") == "purchase", ts_us)
+    carried = e.select(
+        "event_id", "user_id", "event_type",
+        F.min(purchase_us).over(w).alias("next_purchase_us"),
+        (F.min(purchase_us).over(w) - ts_us).alias("us_to_purchase"))
+    return (carried.where(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    "next_purchase_us", "us_to_purchase"))
