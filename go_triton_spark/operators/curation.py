@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_triton_spark.operators.registry import query, tables
-from go_triton_spark.operators.dedup import _ORACLE_SHINGLES, _SHINGLES
+from go_triton_spark.operators.dedup import (_ORACLE_PAIR_CTES,
+                                             _ORACLE_SHINGLES, _SHINGLES)
 
 
 @query(
@@ -118,16 +119,8 @@ def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "curate_canonical_docs",
-    oracle="""
-    WITH sh AS (SELECT doc_id,
-        list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]
-        || '_' || string_split(text, ' ')[i+2])) AS s FROM documents),
-    p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) AS inter,
-             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    oracle=f"""
+    WITH {_ORACLE_PAIR_CTES},
     e AS (SELECT id_a AS a, id_b AS b FROM p WHERE inter * 10 >= uni * 7
           UNION SELECT id_b, id_a FROM p WHERE inter * 10 >= uni * 7),
     r AS (

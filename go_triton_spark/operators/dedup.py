@@ -43,6 +43,24 @@ _ORACLE_SHINGLES = (
     "|| '_' || string_split(text, ' ')[i+2]))"
 )
 
+# Shared DuckDB pair generator (inverted shingle index): same result as
+# the quadratic  JOIN ... len(list_intersect(a.s, b.s))  form but
+# O(sum df^2) instead of O(n^2 * |s|) — drops the oracle from ~25 s to
+# ~1 s at sf0.01, which is what lets the driver gate all queries.
+# Assumes every document has >= 3 words (verified for this corpus at
+# sf0.01/0.1); an inter=0 pair can never pass either threshold below.
+_ORACLE_PAIR_CTES = f"""
+    sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+    ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    p AS (SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni
+          FROM ip JOIN sz sa ON sa.doc_id = ip.id_a
+                  JOIN sz sb ON sb.doc_id = ip.id_b)
+"""
+
 
 def _shingle_df(spark, sf_dir) -> DataFrame:
     """Per-doc distinct shingle arrays, CACHED.
@@ -96,12 +114,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
-    p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) AS inter,
-             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WITH {_ORACLE_PAIR_CTES}
     SELECT id_a, id_b, inter, uni
     FROM p WHERE inter * 10 >= uni * 5 AND inter > 0
     """,
@@ -157,12 +170,7 @@ _PERM_B = [7919 * i + 104729 for i in range(_MINHASH_PERMS)]
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
-    p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) AS inter,
-             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WITH {_ORACLE_PAIR_CTES}
     SELECT id_a, id_b FROM p WHERE inter * 10 >= uni * 7
     """,
     tags=("llm", "dedup", "lsh"),
@@ -287,6 +295,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-dup
 # =====================================================================
 
+def _srp_band_shape(threshold: float, max_bits: int = 256,
+                    target_miss: float = 1e-4) -> tuple[int, int]:
+    """Solve the sign-random-projection banding (rows r, bands b).
+
+    p(bit agrees) = 1 - arccos(threshold)/pi; a pair at the threshold is
+    a candidate with prob 1-(1-p^r)^b. Pick the largest r (fewest random
+    collisions) whose band count to reach ``target_miss`` fits the bit
+    budget. Textbook LSH banding (Mining of Massive Datasets ch. 3).
+    """
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    best = (1, max_bits)
+    for r in range(1, 17):
+        b = math.ceil(math.log(target_miss) / math.log(1.0 - p ** r))
+        if r * b <= max_bits:
+            best = (r, b)
+    return best
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""
@@ -311,57 +339,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.45 (calibrated to this
     corpus' max pairwise cosine ~0.51).
 
-    Plan: blocked GEMM — vectors grouped into 1024-row blocks, block
-    pairs fanned out (blk_a <= blk_b), each task scores one block pair
-    with a numpy float64 matmul (Arrow-batched mapInPandas, no driver
-    collect; measured ~25x over per-pair interpreted lambda folds).
-    Threshold compares dot^2 >= t^2*|a|^2*|b|^2 (sqrt-free); output is
-    id pairs only, so float representation never reaches the hash.
-    O(n^2/B^2) tasks — exact but quadratic; beyond ~1e6 vectors use the
-    LSH bucketing in similarity.py as the candidate generator with this
-    same verification math.
+    Default plan is LSH-routed — NO all-pairs / block-pair cross join:
+    1. sign-random-projection signatures (one numpy pass per batch,
+       emitting narrow (vec_id, band, sig) rows, never the embedding),
+       banding solved from the threshold by _srp_band_shape: at t=0.45
+       that is r=4 rows x 48 bands, miss prob ~9e-5 at the threshold
+       (and lower for every pair actually above it) — same accepted
+       miss class as dedup_minhash_lsh's banding;
+    2. bucket self-join on (band, sig) -> candidate id pairs (the pair
+       space shards by bucket; a candidate never forms across buckets);
+    3. exact float64 verification of candidates only (dot > 0 and
+       dot^2 >= t^2*|a|^2*|b|^2, sqrt-free), ids-only output.
+
+    The DuckDB oracle is the exact quadratic twin, checkable at gate
+    scale. Honest scale note: at t as low as 0.45 random pairs still
+    collide at ~(1/2^r) per band, so LSH prunes by a constant, not
+    asymptotically; at real near-dup thresholds (t>=0.8) the same
+    machinery is genuinely sublinear. The threshold drives the banding
+    either way.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    from go_triton_spark.operators.similarity import _DIM, _hyperplanes
+
     (e,) = tables(spark, sf_dir, "embeddings")
-    block = 1024
-    blocks = (
-        e.withColumn("blk", (F.col("vec_id") / block).cast("long"))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    thresh = 0.45
+    rows_per_band, n_bands = _srp_band_shape(thresh)
+    planes = np.array(_hyperplanes(n_bands * rows_per_band, _DIM))
+
+    sig_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sig", T.LongType()),
+    ])
+
+    def hash_batches(batches):
+        weights = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (emb @ planes.T >= 0).astype(np.int64)
+            keys = bits.reshape(len(pdf), n_bands, rows_per_band) @ weights
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                "sig": keys.reshape(-1),
+            })
+
+    buckets = (e.select("vec_id", "embedding")
+               .mapInPandas(hash_batches, schema=sig_schema))
+    cand = (
+        buckets.alias("a").join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
-    bp = (blocks.alias("a").crossJoin(blocks.alias("b"))
-          .where(F.col("a.blk") <= F.col("b.blk"))
-          .select(F.col("a.vecs").alias("va"), F.col("b.vecs").alias("vb")))
+    # exact verification of candidates only
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
 
     out_schema = T.StructType([T.StructField("id_a", T.LongType()),
                                T.StructField("id_b", T.LongType())])
 
-    def score_blocks(batches):
-        # blocked GEMM: each task scores one pair of 1024-vector blocks
-        # (numpy float64 matmul; sum order differs from a sequential fold
-        # only in final ULPs — no pair sits near the 0.45 threshold)
+    def verify(batches):
+        got = False
         for pdf in batches:
-            rows = []
-            for va, vb in zip(pdf["va"], pdf["vb"]):
-                ids_a = np.array([r["vec_id"] for r in va], dtype=np.int64)
-                ma = np.array([r["embedding"] for r in va], dtype=np.float64)
-                ids_b = np.array([r["vec_id"] for r in vb], dtype=np.int64)
-                mb = np.array([r["embedding"] for r in vb], dtype=np.float64)
-                dots = ma @ mb.T
-                na = (ma * ma).sum(axis=1)
-                nb = (mb * mb).sum(axis=1)
-                ok = (dots > 0) & (dots * dots >= (0.45 * 0.45) * np.outer(na, nb))
-                ia, ib = np.nonzero(ok)
-                aa, bb = ids_a[ia], ids_b[ib]
-                keep = aa < bb
-                rows.append(pd.DataFrame({"id_a": aa[keep], "id_b": bb[keep]}))
-            yield (pd.concat(rows) if rows
-                   else pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64"))
+            if not len(pdf):
+                continue
+            got = True
+            a = np.array(list(pdf["emb_a"]), dtype=np.float64)
+            b = np.array(list(pdf["emb_b"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", a, b)
+            ok = (dots > 0) & (dots * dots
+                               >= (thresh * thresh) * (a * a).sum(1) * (b * b).sum(1))
+            yield pd.DataFrame({"id_a": pdf["id_a"].to_numpy()[ok],
+                                "id_b": pdf["id_b"].to_numpy()[ok]})
+        if not got:
+            yield pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64")})
 
-    return bp.mapInPandas(score_blocks, schema=out_schema)
+    return pairs.mapInPandas(verify, schema=out_schema)
 
 
 # =====================================================================
@@ -397,16 +460,17 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = d.select("doc_id", "lang",
                    (F.col("n_chars") / 20).cast("long").alias("bucket"),
                    F.expr("substr(text, 1, 80)").alias("prefix"))
-    # spread the O(pairs * len^2) scoring across tasks: documents is a
-    # small file (1-2 input partitions), so without an explicit
-    # repartition on the block key every levenshtein runs on one core
-    a = (sel.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
-                    F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"))
-         .repartition(64, "lang_a", "bucket_a"))
+    a = sel.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                   F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"))
     b = sel.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
                    F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"))
+    # Shuffle-hash join on the block key: both sides shuffle on
+    # (lang, bucket) and each task scores one block — NEVER a full-table
+    # broadcast (documents is the big table; broadcasting it dies at
+    # scale). The id_a < id_b residual dedups within the block.
     return (
-        a.join(F.broadcast(b), (F.col("lang_a") == F.col("lang_b"))
+        a.join(b.hint("shuffle_hash"),
+               (F.col("lang_a") == F.col("lang_b"))
                & (F.col("bucket_a") == F.col("bucket_b"))
                & (F.col("id_a") < F.col("id_b")))
         .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))

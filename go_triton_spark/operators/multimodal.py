@@ -77,9 +77,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     "mm_decode_stub",
     oracle="""
     SELECT doc_id,
-           cast(octet_length(encode(text)) % 320 + 32 as integer) AS width,
-           cast(octet_length(encode(text)) % 240 + 32 as integer) AS height,
-           3 AS channels,
+           cast(octet_length(encode(text)) % 320 + 32 as bigint) AS width,
+           cast(octet_length(encode(text)) % 240 + 32 as bigint) AS height,
+           cast(3 as bigint) AS channels,
            cast(octet_length(encode(text)) as bigint) AS n_bytes
     FROM documents
     """,
@@ -136,9 +136,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize_stub",
     oracle="""
     SELECT doc_id,
-           cast(least(octet_length(encode(text)) % 320 + 32, 64) as integer)
+           cast(least(octet_length(encode(text)) % 320 + 32, 64) as bigint)
              AS out_width,
-           cast(least(octet_length(encode(text)) % 240 + 32, 64) as integer)
+           cast(least(octet_length(encode(text)) % 240 + 32, 64) as bigint)
              AS out_height,
            cast(least(octet_length(encode(text)) % 320 + 32, 64)
                 * least(octet_length(encode(text)) % 240 + 32, 64) * 3 as bigint)
@@ -179,10 +179,12 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_feature_extract",
     oracle="""
     SELECT doc_id,
-           [cast(octet_length(encode(text)) as bigint),
-            cast(n_chars as bigint),
-            cast(ascii(substr(text, 1, 1)) as bigint),
-            cast(octet_length(encode(text)) % 256 as bigint)] AS features
+           array_to_string(
+             [cast(octet_length(encode(text)) as bigint),
+              cast(n_chars as bigint),
+              cast(ascii(substr(text, 1, 1)) as bigint),
+              cast(octet_length(encode(text)) % 256 as bigint)], '|')
+             AS features
     FROM documents
     """,
     tags=("llm", "multimodal", "embedding"),
@@ -213,4 +215,10 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       len(b) % 256]))
             yield pd.DataFrame(rows, columns=["doc_id", "features"])
 
-    return src.mapInPandas(extract, schema=schema)
+    # The array<long> vector is the real handoff type inside the engine;
+    # the registry RESULT joins it to a string because array-typed output
+    # columns crash the driver's canonical sort (unhashable list).
+    return (src.mapInPandas(extract, schema=schema)
+            .select("doc_id",
+                    F.array_join(F.expr("transform(features, x -> cast(x as string))"),
+                                 "|").alias("features")))

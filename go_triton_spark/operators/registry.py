@@ -43,10 +43,41 @@ class QueryDef:
 REGISTRY: dict[str, QueryDef] = {}
 
 
+def _normalize_output(df: DataFrame) -> DataFrame:
+    """Widen narrow numeric output columns to the oracle's natural types.
+
+    DuckDB surfaces every integer result as int64 (and sums as HUGEINT)
+    in pandas, while Spark emits int32 for row_number/ntile/length/year
+    etc. Equal VALUES in different dtypes still hash-diverge in the
+    driver's canonicalizer, so every registered query's final schema is
+    widened here: byte/short/int -> bigint, float -> double. This is a
+    driver-side Project that Catalyst collapses into the final stage —
+    no extra pass over the data.
+    """
+    from pyspark.sql.types import ByteType, FloatType, IntegerType, ShortType
+
+    casts = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType)):
+            casts.append(F.col(f.name).cast("long").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, FloatType):
+            casts.append(F.col(f.name).cast("double").alias(f.name))
+            changed = True
+        else:
+            casts.append(F.col(f.name))
+    return df.select(*casts) if changed else df
+
+
 def query(name: str, oracle: str | None = None, tags: tuple = ()):
     """Decorator registering a (spark_fn, oracle_sql) pair."""
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle,
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _normalize_output(fn(spark, sf_dir))
+        run.__doc__ = fn.__doc__
+        run.__name__ = fn.__name__
+        REGISTRY[name] = QueryDef(name=name, spark=run, oracle=oracle,
                                   doc=fn.__doc__ or "", tags=tuple(tags))
         return fn
     return wrap

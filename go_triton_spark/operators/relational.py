@@ -37,6 +37,31 @@ def _davg(expr: str) -> str:
     return f"cast(sum(cast({expr} as decimal(30,8))) as double) / count(*)"
 
 
+def _isum(expr: str, scale: int = 2) -> str:
+    """Scaled-integer exact sum, valid in BOTH Spark SQL and DuckDB.
+
+    Per-row: round the double expression at 10^-scale (both engines round
+    half away from zero for doubles) and cast to bigint — the cast is exact
+    because the value is integral after round(). Sum in pure long math
+    (fastest aggregation path in both engines; the outer cast collapses
+    DuckDB's HUGEINT sum back to int64 so the pandas dtype matches Spark's).
+    Final value = int64 -> double (correctly rounded, identical bits in
+    JVM and DuckDB) / 10^scale (one IEEE division, identical bits).
+
+    Overflow bound: |sum_scaled| < 2^63. At scale=2 over price-like values
+    (~1e5 -> 1e7 scaled), that holds to ~9e11 rows per group (~sf 150k,
+    beyond 100 TB). For wider values use the decimal _dsum path.
+    """
+    f = 10 ** scale
+    return (f"cast(sum(cast(round(({expr}) * {f}e0) as bigint)) as bigint)"
+            f" / {f}e0")
+
+
+def _iavg(expr: str, scale: int = 4) -> str:
+    """Scaled-integer average: exact long sum, two IEEE divisions."""
+    return f"({_isum(expr, scale)}) / count(*)"
+
+
 # =====================================================================
 # TPC-H-adapted headline queries
 # =====================================================================
@@ -45,13 +70,13 @@ def _davg(expr: str) -> str:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           sum(cast(l_quantity as bigint))                       AS sum_qty,
-           {_dsum('l_extendedprice')}                            AS sum_base_price,
-           {_dsum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
-           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {_davg('l_quantity')}                                 AS avg_qty,
-           {_davg('l_extendedprice')}                            AS avg_price,
-           {_davg('l_discount')}                                 AS avg_disc,
+           cast(sum(cast(l_quantity as bigint)) as bigint)       AS sum_qty,
+           {_isum('l_extendedprice')}                            AS sum_base_price,
+           {_isum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
+           {_isum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+           {_iavg('l_quantity')}                                 AS avg_qty,
+           {_iavg('l_extendedprice')}                            AS avg_price,
+           {_iavg('l_discount')}                                 AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -64,7 +89,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape we want at 100 TB: parquet scan with PushedFilters on
     l_shipdate + ReadSchema of only the 7 used columns, partial hash
-    agg before a 6-group shuffle.
+    agg before a 6-group shuffle. Money sums use the scaled-integer
+    _isum path: pure long arithmetic inside whole-stage codegen (no
+    BigDecimal in the hot loop), bit-identical output across engines.
+    DuckDB dtype note: the oracle casts sum_qty to bigint — DuckDB's
+    sum(bigint) is HUGEINT, which lands in pandas as float64 and
+    hash-diverges from Spark's int64 even when values are equal.
     """
     (li,) = tables(spark, sf_dir, "lineitem")
     return (
@@ -72,12 +102,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr("sum(cast(l_quantity as bigint))").alias("sum_qty"),
-            F.expr(_dsum("l_extendedprice")).alias("sum_base_price"),
-            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
-            F.expr(_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias("sum_charge"),
-            F.expr(_davg("l_quantity")).alias("avg_qty"),
-            F.expr(_davg("l_extendedprice")).alias("avg_price"),
-            F.expr(_davg("l_discount")).alias("avg_disc"),
+            F.expr(_isum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(_isum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.expr(_isum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")).alias("sum_charge"),
+            F.expr(_iavg("l_quantity")).alias("avg_qty"),
+            F.expr(_iavg("l_extendedprice")).alias("avg_price"),
+            F.expr(_iavg("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -271,9 +301,11 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_full_outer",
     oracle="""
-    WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS customers
+    WITH cn AS (SELECT cast(c_nationkey as bigint) AS nationkey,
+                       count(*) AS customers
                 FROM customer GROUP BY c_nationkey),
-         sn AS (SELECT s_nationkey AS nationkey, count(*) AS suppliers
+         sn AS (SELECT cast(s_nationkey as bigint) AS nationkey,
+                       count(*) AS suppliers
                 FROM supplier GROUP BY s_nationkey)
     SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
            coalesce(cn.customers, 0) AS customers,
@@ -644,9 +676,9 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_union_distinct",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT cast(c_nationkey as bigint) AS nationkey FROM customer
     UNION
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT cast(s_nationkey as bigint) AS nationkey FROM supplier
     """,
     tags=("set",),
 )
@@ -662,9 +694,9 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_intersect",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT cast(c_nationkey as bigint) AS nationkey FROM customer
     INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT cast(s_nationkey as bigint) AS nationkey FROM supplier
     """,
     tags=("set",),
 )
@@ -680,9 +712,9 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT cast(c_nationkey as bigint) AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT cast(s_nationkey as bigint) AS nationkey FROM supplier
     """,
     tags=("set",),
 )

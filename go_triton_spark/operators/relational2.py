@@ -230,7 +230,8 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_ops",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first5_tokens,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+                                                                  AS first5_joined,
            list_contains(string_split(text, ' '), 'spark')        AS mentions_spark,
            array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|')
                                                                   AS first3_joined
@@ -243,9 +244,12 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = tables(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     sorted_distinct = F.sort_array(F.array_distinct(ws))
+    # NOTE: arrays are exercised internally but OUTPUT as joined strings —
+    # array-typed result columns crash the driver's canonical sort
+    # (unhashable list) and are not hash-stable across engines.
     return d.select(
         "doc_id",
-        F.slice(sorted_distinct, 1, 5).alias("first5_tokens"),
+        F.array_join(F.slice(sorted_distinct, 1, 5), "|").alias("first5_joined"),
         F.array_contains(ws, "spark").alias("mentions_spark"),
         F.array_join(F.slice(sorted_distinct, 1, 3), "|").alias("first3_joined"),
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_triton_spark.operators.dedup import _ORACLE_PAIR_CTES
 from go_triton_spark.operators.registry import query, tables
 
 
@@ -51,9 +52,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the one-pass bounded-memory scale path for
     quantiles (rows-only check; exact counterpart is agg_percentiles)."""
     (o,) = tables(spark, sf_dir, "orders")
+    # Sketch output emitted as a joined string: array-typed result columns
+    # crash the driver's canonical sort (unhashable list).
+    pcts = F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
     return o.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
-         .alias("approx_pcts"),
+        F.array_join(F.transform(pcts, lambda x: F.format_string("%.4f", x)), "|")
+         .alias("approx_pcts_joined"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("exact_median"),
     )
 
@@ -155,16 +159,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    oracle="""
-    WITH sh AS (SELECT doc_id,
-        list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]
-        || '_' || string_split(text, ' ')[i+2])) AS s FROM documents),
-    p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s)) AS inter,
-             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    oracle=f"""
+    WITH {_ORACLE_PAIR_CTES},
     e AS (SELECT id_a AS a, id_b AS b FROM p WHERE inter * 10 >= uni * 7
           UNION SELECT id_b, id_a FROM p WHERE inter * 10 >= uni * 7),
     r AS (
@@ -190,23 +186,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_triton_spark.operators.dedup import dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)  # (id_a, id_b), a < b
+    # Materialize the candidate-pair graph ONCE and truncate the whole
+    # MinHash-LSH lineage out of the loop (production: checkpoint() to a
+    # reliable dir; localCheckpoint is the single-JVM equivalent).
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-             .cache())
+             .localCheckpoint(eager=True))
     labels = edges.groupBy("a").agg(F.min("b").alias("lbl")) \
                   .select("a", F.least("a", "lbl").alias("lbl"))
     for _ in range(10):  # diameter bound for near-dup components
         prop = (edges.join(labels.withColumnRenamed("a", "b2"),
                            edges.b == F.col("b2"))
                 .groupBy("a").agg(F.min("lbl").alias("nbr_lbl")))
-        new_labels = (labels.join(prop, "a", "left")
-                      .select("a", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                              .alias("lbl")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "a")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels.cache()
+        # One action per iteration: eager localCheckpoint materializes the
+        # new labels AND truncates lineage (plan stays O(1) per round, not
+        # O(rounds)); the convergence count then reads the materialized
+        # partitions, never re-running the join.
+        step = (labels.join(prop, "a", "left")
+                .select("a", F.col("lbl"),
+                        F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                        .alias("new_lbl"))
+                .localCheckpoint(eager=True))
+        changed = step.where(F.col("new_lbl") < F.col("lbl")).count()
+        labels = step.select("a", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
     return labels.select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -284,8 +284,8 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, tiebreak_col: str,
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) as bigint) AS sess_id
       FROM g
     )
     SELECT user_id, sess_id, count(*) AS n_events,
@@ -347,7 +347,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            try_cast(o_orderstatus AS bigint)               AS bad_int,
            try_cast(cast(o_orderkey AS varchar) AS bigint) AS good_int,
-           try_cast('2026-02-30' AS date)                  AS bad_date,
+           strftime(try_cast('2026-02-30' AS date), '%Y-%m-%d') AS bad_date,
            round(o_totalprice / nullif(o_custkey, 0), 6)   AS safe_div,
            ([10,20,30])[o_orderkey % 5 + 1]                AS maybe_elem
     FROM orders WHERE o_orderkey < 2000
@@ -366,7 +366,11 @@ def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.expr("try_cast(o_orderstatus AS bigint)").alias("bad_int"),
         F.expr("try_cast(cast(o_orderkey AS string) AS bigint)").alias("good_int"),
-        F.expr("try_cast('2026-02-30' AS date)").alias("bad_date"),
+        # date values are formatted to strings: Spark's DateType lands in
+        # pandas as object(datetime.date) vs DuckDB's datetime64 — the
+        # driver hash sees different value reprs even for equal dates
+        F.date_format(F.expr("try_cast('2026-02-30' AS date)"), "yyyy-MM-dd")
+         .alias("bad_date"),
         F.round(F.expr("try_divide(o_totalprice, o_custkey)"), 6).alias("safe_div"),
         F.expr("try_element_at(array(10, 20, 30), "
                "cast(o_orderkey % 5 + 1 AS int))").alias("maybe_elem"),

@@ -300,10 +300,10 @@ def q11_nation_supplier_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipping_delay",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+           cast(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) as bigint) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 90
     GROUP BY l.l_linestatus
@@ -397,7 +397,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q16_supplier_part_variety",
     oracle="""
-    SELECT p.p_brand, p.p_type, p.p_size,
+    SELECT p.p_brand, p.p_type, cast(p.p_size as bigint) AS p_size,
            count(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'

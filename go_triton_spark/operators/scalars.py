@@ -90,7 +90,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_math",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, cast(l_linenumber as bigint) AS l_linenumber,
            abs(l_discount - 0.05)                         AS abs_disc_delta,
            cast(ceil(l_extendedprice) as bigint)          AS ceil_price,
            cast(floor(l_extendedprice) as bigint)         AS floor_price,
@@ -99,7 +99,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(l_quantity as bigint) % 7                 AS qty_mod7,
            power(cast(l_quantity as double), 2)           AS qty_sq,
            sqrt(cast(l_quantity as double))               AS qty_sqrt,
-           sign(l_discount - 0.05)                        AS disc_sign,
+           cast(sign(l_discount - 0.05) as bigint)        AS disc_sign,
            greatest(l_tax, l_discount)                    AS max_rate,
            least(l_tax, l_discount)                       AS min_rate
     FROM lineitem
@@ -122,7 +122,9 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
         F.pow(F.col("l_quantity").cast("double"), 2).alias("qty_sq"),
         F.sqrt(F.col("l_quantity").cast("double")).alias("qty_sqrt"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # cast: Spark signum yields double, DuckDB sign yields tinyint —
+        # land both on bigint so the pandas dtypes (and driver hash) agree
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
     )
@@ -190,9 +192,9 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            event_type                    AS type_val,
            cast(user_id as varchar)      AS uid_val,
-           2                             AS n_keys,
+           cast(2 as bigint)             AS n_keys,
            'type,uid'                    AS keys_csv,
-           1                             AS n_after_filter
+           cast(1 as bigint)             AS n_after_filter
     FROM events
     WHERE event_id < 500
     """,
@@ -229,8 +231,8 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(string_split(text, ' '),
                            w -> regexp_matches(w, '[0-9]'))) > 0
              AS has_digit_token,
-           list_sum(list_transform(string_split(text, ' '), w -> len(w)))
-             AS total_token_chars
+           cast(list_sum(list_transform(string_split(text, ' '), w -> len(w)))
+                as bigint) AS total_token_chars
     FROM documents
     """,
     tags=("scalar", "hof"),

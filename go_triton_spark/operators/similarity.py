@@ -312,7 +312,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cv
       FROM e GROUP BY label, pos
     )
-    SELECT label, list(cv ORDER BY pos) AS centroid, count(*) AS dim
+    SELECT cast(label as bigint) AS label,
+           string_agg(printf('%.6f', cv), '|' ORDER BY pos) AS centroid,
+           count(*) AS dim
     FROM c GROUP BY label
     """,
     tags=("llm", "similarity", "vector"),
@@ -338,8 +340,14 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
+    # centroid is emitted as a '|'-joined fixed-format string: array-typed
+    # result columns crash the driver's canonical sort, and float->string
+    # default reprs differ across engines (%.6f is identical in both).
     return per_dim.groupBy("label").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
-            .alias("centroid"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, cv))), "
+                   "x -> format_string('%.6f', x.cv))"),
+            "|",
+        ).alias("centroid"),
         F.count("*").alias("dim"),
     )

@@ -114,7 +114,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(ws) AS n_tokens,
            cast(len(list_distinct(ws)) as double) / len(ws)       AS distinct_ratio,
            cast(nc - len(ws) + 1 as double) / len(ws)             AS avg_token_len,
-           CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1 ELSE 0 END  AS len_ok,
+           cast(CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+                as bigint)                                        AS len_ok,
            cast(round(
              cast(len(list_distinct(ws)) as double) / len(ws) * 0.5
              + CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 0.3 ELSE 0.0 END
@@ -175,7 +176,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunk",
     oracle="""
     WITH series AS (SELECT unnest(range(0, 64)) AS i)
-    SELECT d.doc_id, cast(s.i as int) AS chunk_id,
+    SELECT d.doc_id, cast(s.i as bigint) AS chunk_id,
            substr(d.text, cast(s.i * 150 + 1 as int), 200) AS chunk,
            len(substr(d.text, cast(s.i * 150 + 1 as int), 200)) AS chunk_len
     FROM documents d CROSS JOIN series s

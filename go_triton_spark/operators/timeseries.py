@@ -159,9 +159,9 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id)
     SELECT count(*) AS n_users,
            count(first_click) AS n_clicked,
-           sum(CASE WHEN first_purchase > first_click
+           cast(sum(CASE WHEN first_purchase > first_click
                     AND first_purchase <= first_click + INTERVAL 7 DAY
-                    THEN 1 ELSE 0 END) AS n_converted_7d
+                    THEN 1 ELSE 0 END) as bigint) AS n_converted_7d
     FROM firsts
     """,
     tags=("timeseries", "funnel", "agg"),

@@ -54,7 +54,7 @@ def _count_rows(v: pd.Series) -> int:
 @query(
     "udaf_grouped_pandas",
     oracle="""
-    SELECT user_id, sum(event_id) AS id_sum, count(*) AS n
+    SELECT user_id, cast(sum(event_id) as bigint) AS id_sum, count(*) AS n
     FROM events GROUP BY user_id
     """,
     tags=("udf", "udaf"),
@@ -81,7 +81,7 @@ class _Tokenize:
 @query(
     "udtf_tokenize",
     oracle="""
-    SELECT doc_id, ws[i] AS tok, cast(i - 1 as integer) AS idx
+    SELECT doc_id, ws[i] AS tok, cast(i - 1 as bigint) AS idx
     FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
           WHERE doc_id < 50) t
     CROSS JOIN generate_series(1, 200) s(i)

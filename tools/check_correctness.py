@@ -21,13 +21,27 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def normalize(df, float_decimals=None):
-    import pandas as pd
+def normalize(df, side, problems):
+    """Driver-mimic canonicalization — STRICTER than the driver.
+
+    The driver sorts rows by every column (pandas sort_values) and
+    value-hashes the frame. That means (a) list/ndarray cells CRASH it
+    (unhashable in lexsort), and (b) dtype differences between the two
+    engines (e.g. DuckDB HUGEINT -> float64 vs Spark bigint -> int64)
+    change the hash even when values compare equal. We flag both here
+    instead of papering over them.
+    """
     import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            bad = df[c].map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
+            if bad:
+                problems.append(
+                    f"col {c} ({side}): array/map-typed cells — driver canonicalizer "
+                    f"crashes on these (unhashable in sort)")
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     if len(df):
@@ -35,9 +49,8 @@ def normalize(df, float_decimals=None):
     return df
 
 
-def compare(name, spark_pdf, oracle_pdf):
-    import pandas as pd
-    problems = []
+def compare(name, spark_pdf, oracle_pdf, problems):
+    import numpy as np
     if list(spark_pdf.columns) != list(oracle_pdf.columns):
         problems.append(f"columns differ: spark={list(spark_pdf.columns)} "
                         f"oracle={list(oracle_pdf.columns)}")
@@ -47,6 +60,10 @@ def compare(name, spark_pdf, oracle_pdf):
         return problems
     for c in spark_pdf.columns:
         a, b = spark_pdf[c], oracle_pdf[c]
+        ka, kb = a.dtype.kind, b.dtype.kind
+        if str(a.dtype) != str(b.dtype) and not (ka == kb == "O"):
+            problems.append(f"col {c}: DTYPE mismatch spark={a.dtype} oracle={b.dtype} "
+                            f"(hash-diverges in driver even if values equal)")
         try:
             eq = (a.isna() & b.isna()) | (a == b)
             neq = (~eq).sum()
@@ -99,7 +116,10 @@ def main():
             print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:160]}")
             failed += 1
             continue
-        problems = compare(name, normalize(sdf), normalize(odf))
+        problems = []
+        ndf_s = normalize(sdf, "spark", problems)
+        ndf_o = normalize(odf, "oracle", problems)
+        compare(name, ndf_s, ndf_o, problems)
         if problems:
             print(f"FAIL  {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems[:4]:
