@@ -33,4 +33,44 @@ from go_triton_spark.operators import multimodal  # noqa: F401,E402
 from go_triton_spark.operators import curation  # noqa: F401,E402
 from go_triton_spark.operators import interval_join  # noqa: F401,E402
 
+
+def _category(qd) -> str:
+    """Coverage category for gate ordering (LLM families split out)."""
+    tags = qd.tags or ("misc",)
+    if "llm" in tags:
+        rest = [t for t in tags if t != "llm"]
+        return "llm-" + (rest[0] if rest else "misc")
+    return tags[0]
+
+
+def _reorder_registry() -> None:
+    """Rebuild REGISTRY so every category appears within ANY prefix.
+
+    The driver's correctness gate walks ``queries()`` in registration
+    order and may stop after a budgeted prefix (round 1 stopped at 50 of
+    137, leaving whole families unchecked). Round-robin across
+    categories guarantees a prefix of k*n_categories queries covers
+    every category ~k times. The flagship stays first.
+    """
+    by_cat: dict[str, list] = {}
+    for name, qd in REGISTRY.items():
+        by_cat.setdefault(_category(qd), []).append(name)
+    order = ["q1_pricing_summary"]
+    cats = sorted(by_cat)
+    idx = {c: 0 for c in cats}
+    while len(order) < len(REGISTRY):
+        for c in cats:
+            names = by_cat[c]
+            while idx[c] < len(names) and names[idx[c]] in order:
+                idx[c] += 1
+            if idx[c] < len(names):
+                order.append(names[idx[c]])
+                idx[c] += 1
+    reordered = {name: REGISTRY[name] for name in order}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
+
+
+_reorder_registry()
+
 __all__ = ["REGISTRY", "QueryDef", "query", "tables"]

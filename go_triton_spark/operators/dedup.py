@@ -315,48 +315,82 @@ def _srp_band_shape(threshold: float, max_bits: int = 256,
     return best
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH ev AS (
-      SELECT vec_id, cast(unnest(embedding) as double) AS x,
-             generate_subscripts(embedding, 1) AS i
-      FROM embeddings),
-    nrm AS (SELECT vec_id, sum(x * x ORDER BY i) AS n2 FROM ev GROUP BY vec_id),
-    dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x ORDER BY a.i) AS dot
-      FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
-      GROUP BY a.vec_id, b.vec_id)
-    SELECT id_a, id_b
-    FROM dots
-    JOIN nrm na ON na.vec_id = dots.id_a
-    JOIN nrm nb ON nb.vec_id = dots.id_b
-    WHERE dot > 0 AND dot * dot >= 0.45 * 0.45 * na.n2 * nb.n2
-    """,
-    tags=("llm", "dedup", "embedding"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.45 (calibrated to this
-    corpus' max pairwise cosine ~0.51).
+def _srp_prunes(threshold: float) -> bool:
+    """Does SRP banding actually prune at this threshold?
 
-    Default plan is LSH-routed — NO all-pairs / block-pair cross join:
+    Expected bands a RANDOM pair (cosine ~0) collides in is b * 2^-r.
+    If that is >= 0.5 the candidate set approaches all-pairs and the
+    'LSH' plan is brute force plus shuffle overhead — measured 16x
+    slower than blocked GEMM at sf0.1 for t=0.45. Real systems make the
+    same call: exhaustive (GEMM) search for low thresholds / high
+    recall, bucketed LSH for high-similarity near-dup mining.
+    """
+    r, b = _srp_band_shape(threshold)
+    return b * (2.0 ** -r) < 0.5
+
+
+def _cosine_pairs_gemm(e: DataFrame, thresh: float) -> DataFrame:
+    """Exact all-pairs scoring as blocked GEMM.
+
+    Vectors group into 1024-row blocks, block pairs fan out
+    (blk_a <= blk_b), each task scores one block pair with a numpy
+    float64 matmul (Arrow-batched mapInPandas, no driver collect).
+    Threshold compares dot^2 >= t^2*|a|^2*|b|^2 (sqrt-free); output is
+    id pairs only, so float representation never reaches the hash.
+    O(n^2/B^2) tasks — exact and embarrassingly parallel; the optimal
+    plan when the threshold is too low for LSH to prune.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    block = 1024
+    blocks = (
+        e.withColumn("blk", (F.col("vec_id") / block).cast("long"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    )
+    bp = (blocks.alias("a").crossJoin(blocks.alias("b"))
+          .where(F.col("a.blk") <= F.col("b.blk"))
+          .select(F.col("a.vecs").alias("va"), F.col("b.vecs").alias("vb")))
+
+    out_schema = T.StructType([T.StructField("id_a", T.LongType()),
+                               T.StructField("id_b", T.LongType())])
+
+    def score_blocks(batches):
+        # numpy float64 matmul; sum order differs from a sequential fold
+        # only in final ULPs — no pair sits near the threshold
+        for pdf in batches:
+            rows = []
+            for va, vb in zip(pdf["va"], pdf["vb"]):
+                ids_a = np.array([r["vec_id"] for r in va], dtype=np.int64)
+                ma = np.array([r["embedding"] for r in va], dtype=np.float64)
+                ids_b = np.array([r["vec_id"] for r in vb], dtype=np.int64)
+                mb = np.array([r["embedding"] for r in vb], dtype=np.float64)
+                dots = ma @ mb.T
+                na = (ma * ma).sum(axis=1)
+                nb = (mb * mb).sum(axis=1)
+                ok = (dots > 0) & (dots * dots >= (thresh * thresh) * np.outer(na, nb))
+                ia, ib = np.nonzero(ok)
+                aa, bb = ids_a[ia], ids_b[ib]
+                keep = aa < bb
+                rows.append(pd.DataFrame({"id_a": aa[keep], "id_b": bb[keep]}))
+            yield (pd.concat(rows) if rows
+                   else pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64"))
+
+    return bp.mapInPandas(score_blocks, schema=out_schema)
+
+
+def _cosine_pairs_srp(e: DataFrame, thresh: float) -> DataFrame:
+    """SRP-banded LSH candidates + exact float64 verification.
+
     1. sign-random-projection signatures (one numpy pass per batch,
-       emitting narrow (vec_id, band, sig) rows, never the embedding),
-       banding solved from the threshold by _srp_band_shape: at t=0.45
-       that is r=4 rows x 48 bands, miss prob ~9e-5 at the threshold
-       (and lower for every pair actually above it) — same accepted
-       miss class as dedup_minhash_lsh's banding;
-    2. bucket self-join on (band, sig) -> candidate id pairs (the pair
-       space shards by bucket; a candidate never forms across buckets);
-    3. exact float64 verification of candidates only (dot > 0 and
-       dot^2 >= t^2*|a|^2*|b|^2, sqrt-free), ids-only output.
-
-    The DuckDB oracle is the exact quadratic twin, checkable at gate
-    scale. Honest scale note: at t as low as 0.45 random pairs still
-    collide at ~(1/2^r) per band, so LSH prunes by a constant, not
-    asymptotically; at real near-dup thresholds (t>=0.8) the same
-    machinery is genuinely sublinear. The threshold drives the banding
-    either way.
+       emitting narrow (vec_id, band, sig) rows, never the embedding);
+       banding (r rows x b bands) solved from the threshold by
+       _srp_band_shape for miss prob <= 1e-4 at the threshold;
+    2. bucket self-join on (band, sig) -> candidate id pairs;
+    3. exact verification of candidates only, ids-only output.
+    Genuinely sublinear when _srp_prunes(thresh) holds (t >= ~0.7).
     """
     import numpy as np
     import pandas as pd
@@ -364,8 +398,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_triton_spark.operators.similarity import _DIM, _hyperplanes
 
-    (e,) = tables(spark, sf_dir, "embeddings")
-    thresh = 0.45
     rows_per_band, n_bands = _srp_band_shape(thresh)
     planes = np.array(_hyperplanes(n_bands * rows_per_band, _DIM))
 
@@ -427,6 +459,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.mapInPandas(verify, schema=out_schema)
 
 
+def embedding_cosine_pairs(e: DataFrame, thresh: float) -> DataFrame:
+    """Cosine>=thresh pair mining with threshold-aware plan routing:
+    SRP-banded LSH when the banding solver certifies real pruning at
+    this threshold, exact blocked GEMM otherwise (low thresholds, where
+    any banding's candidate set approaches all-pairs anyway)."""
+    if _srp_prunes(thresh):
+        return _cosine_pairs_srp(e, thresh)
+    return _cosine_pairs_gemm(e, thresh)
+
+
+# Native list_inner_product keeps the oracle exact-twin semantics (float64
+# dot, sqrt-free threshold) at ~100x the speed of the unnest self-join —
+# the driver's per-query oracle budget matters for full-registry coverage.
+# Summation-order ULP wobble cannot flip membership: no corpus pair sits
+# near the threshold (same argument as the Spark-side numpy matmul).
+_EMB_COS_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_inner_product(a.v, b.v) AS dot
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b
+    FROM dots
+    JOIN nrm na ON na.vec_id = dots.id_a
+    JOIN nrm nb ON nb.vec_id = dots.id_b
+    WHERE dot > 0 AND dot * dot >= {t} * {t} * na.n2 * nb.n2
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_EMB_COS_ORACLE.format(t="0.45"),
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.45 (calibrated to this
+    corpus' max pairwise cosine ~0.51; the router picks blocked GEMM
+    here because no banding prunes at t=0.45 — see _srp_prunes). The
+    DuckDB oracle is the exact quadratic twin."""
+    (e,) = tables(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, 0.45)
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=_EMB_COS_ORACLE.format(t="0.9"),
+    tags=("llm", "dedup", "embedding", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at the classic near-dup threshold
+    (cosine >= 0.9): the router certifies SRP banding prunes here
+    (r=8 x 28 bands -> a random pair collides in ~0.1 bands), so the
+    plan is signatures -> bucket join -> exact verify, with NO
+    all-pairs stage. This corpus has no 0.9-cosine pairs (empty result,
+    exact-oracle-checked); tests plant synthetic near-dup vectors and
+    assert the pairs are found (recall) — see test_llm_ops.py."""
+    (e,) = tables(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, 0.9)
+
+
 # =====================================================================
 # Blocked edit-distance near-dup
 # =====================================================================
@@ -460,18 +555,26 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = d.select("doc_id", "lang",
                    (F.col("n_chars") / 20).cast("long").alias("bucket"),
                    F.expr("substr(text, 1, 80)").alias("prefix"))
-    a = sel.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
-                   F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"))
-    b = sel.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
-                   F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"))
-    # Shuffle-hash join on the block key: both sides shuffle on
-    # (lang, bucket) and each task scores one block — NEVER a full-table
+    # Salted shuffle join on the block key: plain (lang, bucket) has few
+    # distinct values and a skewed size distribution, so an unsalted
+    # shuffle join collapses the O(|block|^2 * len^2) edit-distance work
+    # onto a handful of tasks (measured 10x slower at sf0.1). Side a
+    # carries salt = id % S; side b replicates each row S times — every
+    # block's pair space shards across S tasks. NEVER a full-table
     # broadcast (documents is the big table; broadcasting it dies at
     # scale). The id_a < id_b residual dedups within the block.
+    salts = 16
+    a = sel.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+                   F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"),
+                   F.pmod(F.col("doc_id"), F.lit(salts)).alias("salt_a"))
+    b = sel.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+                   F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"))
+    b = b.withColumn("salt_b", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
     return (
         a.join(b.hint("shuffle_hash"),
                (F.col("lang_a") == F.col("lang_b"))
                & (F.col("bucket_a") == F.col("bucket_b"))
+               & (F.col("salt_a") == F.col("salt_b"))
                & (F.col("id_a") < F.col("id_b")))
         .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
         .where(F.col("dist") <= 8)

@@ -104,3 +104,29 @@ def test_mm_frame_sample_stride(spark):
     f0 = df.where("frame_idx = 0").count()
     assert f0 == 500
     assert df.count() >= f0
+
+
+def test_embedding_lsh_recall_on_planted_neardups(spark, tmp_path):
+    """The SRP-banded path (cosine >= 0.9, where banding genuinely
+    prunes) must recover planted near-duplicate vector pairs."""
+    import numpy as np
+
+    from go_triton_spark.operators.dedup import (_srp_prunes,
+                                                 embedding_cosine_pairs)
+
+    assert _srp_prunes(0.9) and not _srp_prunes(0.45)
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((100, 64))
+    # plant 5 near-dup pairs: ids (i, 100+i), cosine ~0.995
+    planted = base[:5] + 0.1 * rng.standard_normal((5, 64))
+    vecs = np.vstack([base, planted]).astype("float32")
+    rows = [(int(i), v.tolist(), 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_cosine_pairs(
+               spark.read.parquet(str(tmp_path / "embeddings.parquet")), 0.9
+           ).collect()}
+    assert {(i, 100 + i) for i in range(5)} <= got
