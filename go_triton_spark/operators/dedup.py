@@ -555,21 +555,50 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = d.select("doc_id", "lang",
                    (F.col("n_chars") / 20).cast("long").alias("bucket"),
                    F.expr("substr(text, 1, 80)").alias("prefix"))
-    # Salted shuffle join on the block key: plain (lang, bucket) has few
-    # distinct values and a skewed size distribution, so an unsalted
-    # shuffle join collapses the O(|block|^2 * len^2) edit-distance work
-    # onto a handful of tasks (measured 10x slower at sf0.1). Side a
-    # carries salt = id % S; side b replicates each row S times — every
-    # block's pair space shards across S tasks. NEVER a full-table
+    # SIZE-AWARE salted shuffle join on the block key. Plain (lang,
+    # bucket) has few distinct values and a skewed size distribution,
+    # so an unsalted shuffle join can collapse the O(|block|^2 * len^2)
+    # edit-distance work onto a handful of tasks. But a FLAT salt
+    # constant replicates the whole b-side S times even when every
+    # block is small (round 2 measured 4x suite cost at sf0.1). So the
+    # salt count is derived per block from its pair count: a map-side-
+    # combined count over (lang, bucket) — a few hundred rows at any
+    # scale — is broadcast back onto both sides; a block gets
+    # ceil(pairs / PAIR_BUDGET) salts, i.e. 1 (no replication) until
+    # its pair space exceeds one task's comparison budget. Side a
+    # carries salt = id % salts; side b replicates each row exactly its
+    # block's salts times — every oversized block's pair space shards
+    # across tasks, small blocks pay nothing. NEVER a full-table
     # broadcast (documents is the big table; broadcasting it dies at
     # scale). The id_a < id_b residual dedups within the block.
-    salts = 16
-    a = sel.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
-                   F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"),
-                   F.pmod(F.col("doc_id"), F.lit(salts)).alias("salt_a"))
-    b = sel.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
-                   F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"))
-    b = b.withColumn("salt_b", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    pair_budget = 50_000  # levenshtein comparisons per task (~100us each)
+    stats = (sel.groupBy("lang", "bucket").agg(F.count("*").alias("n"))
+             .select("lang", "bucket",
+                     F.greatest(F.lit(1), F.least(F.lit(64), F.ceil(
+                         (F.col("n").cast("double") * F.col("n"))
+                         / F.lit(2.0 * pair_budget)))).cast("int").alias("salts")))
+    blocked = sel.join(F.broadcast(stats), ["lang", "bucket"])
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"),
+        F.pmod(F.col("doc_id"), F.col("salts")).alias("salt_a"))
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"),
+        F.explode(F.sequence(F.lit(0), F.col("salts") - 1)).alias("salt_b"))
+    # CRITICAL: the dist<=8 filter lands in the join as a residual
+    # condition, so levenshtein runs inside the join's tasks — and AQE
+    # coalesces the join's shuffle to ONE partition here because the
+    # shuffled BYTES are tiny while the COMPUTE (levenshtein ~ 100us per
+    # 80x80 pair) is not, serializing every comparison (measured: the
+    # entire 14s round-2 cost was one task). An explicit-N repartition
+    # on exactly the join keys pins the partitioning: AQE never
+    # coalesces a user-specified repartition, and EnsureRequirements
+    # adds no further exchange since both sides already hash on the
+    # equi-keys.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = a.repartition(nparts, "lang_a", "bucket_a", "salt_a")
+    b = b.repartition(nparts, "lang_b", "bucket_b", "salt_b")
     return (
         a.join(b.hint("shuffle_hash"),
                (F.col("lang_a") == F.col("lang_b"))
@@ -579,5 +608,11 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
         .where(F.col("dist") <= 8)
         .select("id_a", "id_b", "dist")
-        .orderBy("id_a", "id_b")
+        # near-dup pairs are sparse relative to the corpus, so the
+        # ordered output is tiny: repartition(1)+sortWithinPartitions
+        # sorts AFTER the shuffle barrier. A global orderBy would run
+        # the range-partitioner's SAMPLING pass, executing the whole
+        # join+levenshtein plan twice (measured 2x cost).
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )

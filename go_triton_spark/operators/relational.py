@@ -72,11 +72,11 @@ def _iavg(expr: str, scale: int = 4) -> str:
     SELECT l_returnflag, l_linestatus,
            cast(sum(cast(l_quantity as bigint)) as bigint)       AS sum_qty,
            {_isum('l_extendedprice')}                            AS sum_base_price,
-           {_isum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
-           {_isum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
-           {_iavg('l_quantity')}                                 AS avg_qty,
-           {_iavg('l_extendedprice')}                            AS avg_price,
-           {_iavg('l_discount')}                                 AS avg_disc,
+           {_dsum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
+           {_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+           {_iavg('l_quantity', 2)}                              AS avg_qty,
+           {_iavg('l_extendedprice', 2)}                         AS avg_price,
+           {_iavg('l_discount', 2)}                              AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -89,9 +89,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape we want at 100 TB: parquet scan with PushedFilters on
     l_shipdate + ReadSchema of only the 7 used columns, partial hash
-    agg before a 6-group shuffle. Money sums use the scaled-integer
-    _isum path: pure long arithmetic inside whole-stage codegen (no
-    BigDecimal in the hot loop), bit-identical output across engines.
+    agg before a 6-group shuffle. Sum-precision policy (exact-answer,
+    not just gate-consistent): sum_base_price and the averages are over
+    2-decimal inputs, so the scaled-integer path at scale=2 is EXACT
+    (pure long math in whole-stage codegen; overflow bound ~9e11 rows
+    per group, beyond 100 TB). sum_disc_price / sum_charge are 4- and
+    6-decimal PRODUCTS — scale=4/6 integer sums would overflow int64 at
+    ~9e9 / ~9e7 rows per group (below the 100 TB target), and scale=2
+    would round per-row and drift from the true answer — so those two
+    columns use the exact DECIMAL(30,8) sum instead.
     DuckDB dtype note: the oracle casts sum_qty to bigint — DuckDB's
     sum(bigint) is HUGEINT, which lands in pandas as float64 and
     hash-diverges from Spark's int64 even when values are equal.
@@ -103,11 +109,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("sum(cast(l_quantity as bigint))").alias("sum_qty"),
             F.expr(_isum("l_extendedprice")).alias("sum_base_price"),
-            F.expr(_isum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
-            F.expr(_isum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")).alias("sum_charge"),
-            F.expr(_iavg("l_quantity")).alias("avg_qty"),
-            F.expr(_iavg("l_extendedprice")).alias("avg_price"),
-            F.expr(_iavg("l_discount")).alias("avg_disc"),
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.expr(_dsum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")).alias("sum_charge"),
+            F.expr(_iavg("l_quantity", 2)).alias("avg_qty"),
+            F.expr(_iavg("l_extendedprice", 2)).alias("avg_price"),
+            F.expr(_iavg("l_discount", 2)).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -20,17 +20,31 @@ def test_queries_and_oracles_consistent(spark):
     assert df.count() > 0
 
 
-def test_registry_prefix_covers_every_category():
-    """The driver gates queries() in registration order and may stop
-    after a budgeted prefix — every SURVEY section-2 category and LLM
-    family must therefore land inside even a small window."""
-    from go_triton_spark.operators import REGISTRY, _category
+def test_registry_prefix_front_loads_unchecked_queries():
+    """The driver gates queries() in registration order and stops after
+    a budgeted prefix (~50), so one round can't check all 138. The
+    registry orders: flagship first, then every query that has never
+    earned a green CORRECTNESS row (round-robin across categories for
+    spread), then the already-green ones — so the union over rounds
+    converges to full driver coverage."""
+    from go_triton_spark.operators import REGISTRY, _category, _driver_green
 
     names = list(REGISTRY)
     assert names[0] == "q1_pricing_summary"  # flagship leads
-    all_cats = {_category(qd) for qd in REGISTRY.values()}
-    window_cats = {_category(REGISTRY[n]) for n in names[:30]}
-    assert window_cats == all_cats
+    green = _driver_green()
+    rest = names[1:]
+    pending = [n for n in rest if n not in green]
+    # every never-green query precedes every already-green query
+    if pending:
+        last_pending = max(rest.index(n) for n in pending)
+        first_green = min((rest.index(n) for n in rest if n in green),
+                          default=len(rest))
+        assert last_pending < first_green or not green
+    # round-robin spread: a prefix of the pending tier the size of the
+    # category count touches every pending category
+    pending_cats = {_category(REGISTRY[n]) for n in pending}
+    window = pending[:len(pending_cats)]
+    assert {_category(REGISTRY[n]) for n in window} == pending_cats
 
 
 def test_registry_outputs_have_no_narrow_or_array_columns(spark):
