@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from go_triton_spark.operators.registry import query, tables
 from go_triton_spark.operators.dedup import (_ORACLE_PAIR_CTES,
-                                             _ORACLE_SHINGLES, _SHINGLES)
+                                             _ORACLE_SHINGLES, _SHINGLES,
+                                             _shingle_df)
 
 
 @query(
@@ -71,8 +72,9 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join back onto ids. The corpus text itself never shuffles.
     """
     (d,) = tables(spark, sf_dir, "documents")
-    sh = (d.select("doc_id", F.split("text", " ").alias("ws"))
-          .select("doc_id", F.expr(_SHINGLES).alias("shingles")))
+    # shared cached shingle DF (same cache entry the dedup family uses;
+    # also partition-spread so the HOF shingle transform parallelizes)
+    sh = _shingle_df(spark, sf_dir)
     bench = (sh.where(F.col("doc_id") < 5)
              .select(F.explode("shingles").alias("shingle")).distinct())
     corpus = sh.where(F.col("doc_id") >= 5)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import query, spread, tables
 
 # Spark-side shared expressions ------------------------------------------------
 # (operate on a pre-split `ws` column: re-evaluating split(text) inside the
@@ -73,7 +73,8 @@ def _shingle_df(spark, sf_dir) -> DataFrame:
     count; at cluster scale this is a cheap MEMORY_AND_DISK dataset.
     """
     (d,) = tables(spark, sf_dir, "documents")
-    return (d.select("doc_id", F.split("text", " ").alias("ws"))
+    return (spread(d, spark)
+            .select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
             .cache())
 
@@ -552,9 +553,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM-side in Spark; no Python in the loop).
     """
     (d,) = tables(spark, sf_dir, "documents")
-    sel = d.select("doc_id", "lang",
-                   (F.col("n_chars") / 20).cast("long").alias("bucket"),
-                   F.expr("substr(text, 1, 80)").alias("prefix"))
+    sel = spread(d, spark).select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 20).cast("long").alias("bucket"),
+        F.expr("substr(text, 1, 80)").alias("prefix"))
     # SIZE-AWARE salted shuffle join on the block key. Plain (lang,
     # bucket) has few distinct values and a skewed size distribution,
     # so an unsalted shuffle join can collapse the O(|block|^2 * len^2)

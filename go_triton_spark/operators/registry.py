@@ -97,3 +97,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load driver tables; single point for read-path tuning."""
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a compute-heavy input up to the session parallelism.
+
+    Single-file local inputs scan as ONE partition, so every downstream
+    interpreted expression (higher-order functions, levenshtein, UDFs)
+    runs in one task — and AQE won't widen it because the BYTES are
+    small even when the COMPUTE is not. At cluster scale a 100 TB table
+    already scans as thousands of partitions, so this is a no-op there
+    (the repartition only fires when the scan has fewer partitions than
+    the configured parallelism)."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < nparts:
+        return df.repartition(nparts)
+    return df
