@@ -47,8 +47,11 @@ _ORACLE_SHINGLES = (
 # the quadratic  JOIN ... len(list_intersect(a.s, b.s))  form but
 # O(sum df^2) instead of O(n^2 * |s|) — drops the oracle from ~25 s to
 # ~1 s at sf0.01, which is what lets the driver gate all queries.
-# Assumes every document has >= 3 words (verified for this corpus at
-# sf0.01/0.1); an inter=0 pair can never pass either threshold below.
+# Assumes every document has >= 3 words — otherwise two empty-shingle
+# docs form an inter=0, uni=0 pair that vacuously passes the ratio
+# thresholds in the quadratic form but is absent here. The assumption
+# is ENFORCED by test_corpus_every_document_has_three_words for every
+# gated corpus (sf0.001/0.01/0.1), so a testdata change fails loudly.
 _ORACLE_PAIR_CTES = f"""
     sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -382,48 +385,48 @@ def _cosine_pairs_gemm(e: DataFrame, thresh: float) -> DataFrame:
     return bp.mapInPandas(score_blocks, schema=out_schema)
 
 
-def _cosine_pairs_srp(e: DataFrame, thresh: float) -> DataFrame:
-    """SRP-banded LSH candidates + exact float64 verification.
+def _srp_stride(n_bands: int) -> int:
+    """Window stride spreading n_bands coordinate windows over _DIM."""
+    from go_triton_spark.operators.similarity import _DIM
 
-    1. sign-random-projection signatures (one numpy pass per batch,
-       emitting narrow (vec_id, band, sig) rows, never the embedding);
-       banding (r rows x b bands) solved from the threshold by
-       _srp_band_shape for miss prob <= 1e-4 at the threshold;
+    return max(1, _DIM // n_bands)
+
+
+def _cosine_pairs_srp(e: DataFrame, thresh: float) -> DataFrame:
+    """Sign-projection-banded LSH candidates + exact float64 verify.
+
+    1. deterministic sign-bit signatures: band i packs the sign bits of
+       ``r`` coordinates in an overlapping window (stride spreads the
+       ``b`` windows over the 64 dims); banding (r rows x b bands)
+       solved from the threshold by _srp_band_shape (independence-model
+       miss prob <= 1e-4 at the threshold; window overlap correlates
+       bands, so treat that as an estimate — the ORACLE never depends
+       on it, see dedup_embedding_lsh). Pure JVM column arithmetic —
+       no Python, and DuckDB can replicate it bit-for-bit;
     2. bucket self-join on (band, sig) -> candidate id pairs;
     3. exact verification of candidates only, ids-only output.
-    Genuinely sublinear when _srp_prunes(thresh) holds (t >= ~0.7).
+    Genuinely sublinear when _srp_prunes(thresh) holds (t >= ~0.82;
+    at 0.8 the solver's (r=6, b=32) already expects 0.5 random
+    collisions per pair — see _srp_prunes).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from go_triton_spark.operators.similarity import _DIM, _hyperplanes
+    from go_triton_spark.operators.similarity import _sign_sig_sql
 
     rows_per_band, n_bands = _srp_band_shape(thresh)
-    planes = np.array(_hyperplanes(n_bands * rows_per_band, _DIM))
-
-    sig_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("sig", T.LongType()),
-    ])
-
-    def hash_batches(batches):
-        weights = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (emb @ planes.T >= 0).astype(np.int64)
-            keys = bits.reshape(len(pdf), n_bands, rows_per_band) @ weights
-            yield pd.DataFrame({
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
-                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
-                "sig": keys.reshape(-1),
-            })
-
-    buckets = (e.select("vec_id", "embedding")
-               .mapInPandas(hash_batches, schema=sig_schema))
+    stride = _srp_stride(n_bands)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', "
+        + _sign_sig_sql("element_at(embedding, %d)", b, rows_per_band, stride)
+        + ")"
+        for b in range(n_bands))
+    buckets = (e.select(
+        "vec_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"),
+                F.col("bk.sig").alias("sig")))
     cand = (
         buckets.alias("a").join(
             buckets.alias("b"),
@@ -506,19 +509,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(e, 0.45)
 
 
+def _emb_lsh_oracle(thresh: float) -> str:
+    """Algorithm-twin oracle for the SRP-banded path: replicates the
+    deterministic banding, candidate join, and exact verification, so
+    the driver comparison is exact EVEN IF a true pair misses every
+    band (the prior exact-cosine oracle only matched because this
+    corpus has no pairs in the miss-probability window — a corpus with
+    one would have flaked the gate; recall belongs to tests, not the
+    oracle)."""
+    from go_triton_spark.operators.similarity import _sign_sig_sql
+
+    rows_per_band, n_bands = _srp_band_shape(thresh)
+    stride = _srp_stride(n_bands)
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + _sign_sig_sql("embedding[%d]", b, rows_per_band, stride)
+        + " AS sig FROM embeddings"
+        for b in range(n_bands))
+    return f"""
+    WITH sig AS ({sig_rows}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS v
+      FROM embeddings),
+    nrm AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e)
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    JOIN nrm na ON na.vec_id = c.id_a
+    JOIN nrm nb ON nb.vec_id = c.id_b
+    WHERE list_inner_product(ea.v, eb.v) > 0
+      AND list_inner_product(ea.v, eb.v) * list_inner_product(ea.v, eb.v)
+          >= {thresh} * {thresh} * na.n2 * nb.n2
+"""
+
+
 @query(
     "dedup_embedding_lsh",
-    oracle=_EMB_COS_ORACLE.format(t="0.9"),
+    oracle=_emb_lsh_oracle(0.9),
     tags=("llm", "dedup", "embedding", "lsh"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at the classic near-dup threshold
     (cosine >= 0.9): the router certifies SRP banding prunes here
-    (r=8 x 28 bands -> a random pair collides in ~0.1 bands), so the
-    plan is signatures -> bucket join -> exact verify, with NO
-    all-pairs stage. This corpus has no 0.9-cosine pairs (empty result,
-    exact-oracle-checked); tests plant synthetic near-dup vectors and
-    assert the pairs are found (recall) — see test_llm_ops.py."""
+    (solver yields r=8 x 27 bands -> a random pair collides in ~0.1
+    bands), so the plan is signatures -> bucket join -> exact verify,
+    with NO all-pairs stage. The oracle replicates the deterministic
+    banding + verify (algorithm twin), so the gate cannot flake on a
+    corpus with pairs inside the banding's miss-probability window;
+    recall is asserted on planted near-dups in test_llm_ops.py."""
     (e,) = tables(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(e, 0.9)
 

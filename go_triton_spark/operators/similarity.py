@@ -3,18 +3,17 @@
 - ``ann_topk_bruteforce``: exact top-k cosine neighbors — the baseline
   and the oracle-checkable primitive (deterministic double folds +
   rounded scores + total-order ranking).
-- ``ann_topk_lsh``: sign-random-projection bucketed variant — the
-  100 TB path (candidates from matching hyperplane-sign bands, exact
-  re-scoring of candidates only). Approximate recall -> rows-only
-  check; structure (k rows per query, ordered) is asserted in tests.
+- ``ann_topk_lsh``: sign-projection bucketed variant — the 100 TB
+  path (candidates from matching sign-bit bands, exact re-scoring of
+  candidates only). The banding is deterministic column arithmetic,
+  so the DuckDB oracle replicates the algorithm exactly and the
+  driver hash-checks it; recall vs the true top-k is a test assert.
 
 All vector math is built-in higher-order functions (zip_with /
 aggregate) — JVM-side, no Python UDF in the scoring loop.
 """
 
 from __future__ import annotations
-
-import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -85,76 +84,108 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
-def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic Rademacher (+/-1) hyperplanes — data-independent."""
-    rng = random.Random(seed)
-    return [[float(rng.choice((-1, 1))) for _ in range(dim)] for _ in range(n_planes)]
+# --- sign-projection banding, shared between Spark and the oracle ----
+# Band b packs the sign bits of ``rows`` coordinates starting at offset
+# stride*b, wrapping at dim. Axis-aligned sign projections are a
+# degenerate-but-valid SRP family; crucially they are PURE COLUMN
+# ARITHMETIC, so DuckDB can replicate the bucketing bit-for-bit and the
+# driver gets a full rows+schema+hash check of the exact algorithm
+# (candidates -> exact rescore/verify) rather than a rows-only pass.
+# Overlapping windows trade band independence for band count; the gate
+# never depends on the (approximate) recall math because the oracle is
+# the algorithm twin — recall is asserted separately in tests.
+_LSH_BANDS_ANN = 32
+_LSH_ROWS_ANN = 4
+
+
+def _sign_band_indices(band: int, rows: int, stride: int,
+                       dim: int = _DIM) -> list[int]:
+    """0-based embedding indices feeding one band's sign bits."""
+    return [(stride * band + r) % dim for r in range(rows)]
+
+
+def _sign_sig_sql(one_based_col: str, band: int, rows: int, stride: int,
+                  dim: int = _DIM) -> str:
+    """Packed sign-bit key for one band; valid Spark SQL AND DuckDB SQL
+    (element access is spelled by the caller via one_based_col % d)."""
+    terms = [
+        f"(CASE WHEN {one_based_col % (i + 1)} >= 0 THEN {1 << (rows - 1 - r)} ELSE 0 END)"
+        for r, i in enumerate(_sign_band_indices(band, rows, stride, dim))
+    ]
+    return " + ".join(terms)
+
+
+def _ann_sig_sql(one_based_col: str, band: int) -> str:
+    return _sign_sig_sql(one_based_col, band, _LSH_ROWS_ANN, 2)
+
+
+def _ann_oracle() -> str:
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_ann_sig_sql('embedding[%d]', b)} AS sig "
+        f"FROM embeddings"
+        for b in range(_LSH_BANDS_ANN))
+    return f"""
+    WITH sig AS ({sig_rows}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM sig q JOIN sig n ON q.band = n.band AND q.sig = n.sig
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> n.vec_id),
+    s AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(
+               (SELECT sum(cast(q.embedding[i] as double) * cast(n.embedding[i] as double)
+                           ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+               / sqrt(
+                 (SELECT sum(cast(q.embedding[i] as double) * cast(q.embedding[i] as double)
+                             ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+                 * (SELECT sum(cast(n.embedding[i] as double) * cast(n.embedding[i] as double)
+                               ORDER BY i) FROM generate_series(1, {_DIM}) t(i))),
+               6) AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s) t
+    WHERE rank <= {_K}
+    """
 
 
 @query(
     "ann_topk_lsh",
-    oracle=None,  # approximate recall — rows-only check (see docstring)
+    oracle=_ann_oracle(),
     tags=("llm", "similarity", "lsh"),
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k via sign-random-projection LSH.
+    """Approximate cosine top-k via sign-projection LSH banding.
 
-    32 bands x 4 hyperplanes: a corpus vector is a candidate for a
-    query if any band's 4 sign bits all match. Candidates are exactly
-    re-scored; output shape matches ann_topk_bruteforce (fewer rows
-    possible if a bucket starves — that is the approximation).
-    Band shape is tuned for LOW-similarity corpora (top neighbors here
-    sit at cosine ~0.3-0.5): P(candidate | cos=0.4) ~ 0.99 at r=4,b=32
-    vs ~0.33 at r=8,b=16. For near-dup thresholds (cos>=0.9) prefer
-    r=8 bands — fewer candidates, same recall.
+    32 bands x 4 sign bits (overlapping coordinate windows, stride 2):
+    a corpus vector is a candidate for a query iff some band's 4 sign
+    bits all match; candidates are exactly re-scored and ranked. The
+    banding is deterministic column arithmetic, so the DuckDB oracle
+    replicates the ALGORITHM exactly (same candidates, same rescoring,
+    same total-order ranking) and the driver hash-checks it fully;
+    recall vs the true top-k (ann_topk_bruteforce) is asserted >= 0.8
+    in test_llm_ops.py — the approximation lives there, not in the
+    oracle comparison.
 
-    No SQL oracle: recall < 1 by construction. The driver records the
-    rows-only check; tests assert structure and recall >= 0.8 against
-    the brute-force result at smoke scale.
-
-    At 100 TB: the corpus is hashed once (narrow), bucketed
-    (shuffle on 16-bit keys), and each query probes 16 buckets instead
-    of scanning n vectors.
+    At 100 TB: the corpus is hashed once (narrow JVM projection, no
+    Python), bucketed (shuffle on small (band, sig) keys), and each
+    query probes 32 buckets instead of scanning n vectors; only
+    candidates pay the exact 64-dim rescore.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     (e,) = tables(spark, sf_dir, "embeddings")
-    n_bands, rows_per_band = 32, 4
-    planes = np.array(_hyperplanes(n_bands * rows_per_band, _DIM))  # (128, 64)
-
-    sig_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("sig", T.LongType()),
-    ])
-
-    def hash_batches(batches):
-        # vectorized sign projection: (n,64) @ (64,128) -> sign bits ->
-        # one packed key per band; emits narrow (vec, band, key) rows
-        # (never the embedding — 32x replication of a 64-float array
-        # through Arrow dominated this stage before)
-        weights = 1 << np.arange(rows_per_band - 1, -1, -1, dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (emb @ planes.T >= 0).astype(np.int64)  # (n, 128)
-            keys = bits.reshape(len(pdf), n_bands, rows_per_band) @ weights  # (n, 32)
-            out = pd.DataFrame({
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
-                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
-                "sig": keys.reshape(-1),
-            })
-            yield out
-
-    # cached: the signature pass feeds both the query and corpus branches
-    # of the bucket join (without cache the numpy pass + Python worker
-    # round-trip runs twice)
-    buckets = (e.select("vec_id", "embedding")
-               .mapInPandas(hash_batches, schema=sig_schema)
-               .cache())
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', "
+        + _ann_sig_sql("element_at(embedding, %d)", b) + ")"
+        for b in range(_LSH_BANDS_ANN))
+    buckets = (e.select(
+        "vec_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"),
+                F.col("bk.sig").alias("sig")))
     qb = (buckets.where(F.col("vec_id") < _N_QUERIES)
           .select(F.col("vec_id").alias("query_id"), "band", "sig"))
     nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "band", "sig")
@@ -164,30 +195,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # re-attach embeddings to candidates only, then numpy re-score
+    # exact rescore of candidates only — same JVM fold as bruteforce
     qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
-    pairs = cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
-
-    score_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("score", T.DoubleType()),
-    ])
-
-    def rescore(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf["q_emb"]), dtype=np.float64)
-            n = np.array(list(pdf["n_emb"]), dtype=np.float64)
-            dots = np.einsum("ij,ij->i", q, n)
-            score = dots / np.sqrt((q * q).sum(1) * (n * n).sum(1))
-            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
-                                "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                                "score": np.round(score, 6)})
-
-    scored = pairs.mapInPandas(rescore, schema=score_schema)
+    scored = (cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
+              .withColumn("score", F.round(
+                  F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _K)
@@ -342,7 +355,14 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # centroid is emitted as a '|'-joined fixed-format string: array-typed
     # result columns crash the driver's canonical sort, and float->string
-    # default reprs differ across engines (%.6f is identical in both).
+    # default reprs differ across engines. %.6f is NOT universally
+    # identical (Java formats HALF_UP, DuckDB printf rounds half-even:
+    # a value exactly half at the 7th decimal, e.g. 0.0078125, would
+    # format as .007813 vs .007812) — but cv is already round(...,6) on
+    # BOTH sides, so the formatted double sits within ~1 ulp of a
+    # 6-decimal value and the 7th-decimal-half case cannot arise from
+    # the rounded input. Accepted residual risk: none for post-round
+    # values; do not drop the inner round.
     return per_dim.groupBy("label").agg(
         F.array_join(
             F.expr("transform(array_sort(collect_list(struct(pos, cv))), "

@@ -16,6 +16,21 @@ def _run(spark, name):
     return REGISTRY[name].spark(spark, SF)
 
 
+def test_corpus_every_document_has_three_words(spark):
+    """Guard for the inverted-index oracle rewrite (_ORACLE_PAIR_CTES):
+    it only emits pairs with inter > 0, which equals the quadratic
+    list-intersect form ONLY when no two documents both have an empty
+    shingle set (an empty-empty pair has inter=0, uni=0 and would
+    vacuously satisfy inter*10 >= uni*7). That requires >= 3 words per
+    document. Assert it on every gated corpus so a testdata change
+    fails HERE, not as an opaque oracle mismatch."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        d = spark.read.parquet(sf + "/documents.parquet")
+        n_short = d.where(F.size(F.split("text", " ")) < 3).count()
+        assert n_short == 0, f"{sf}: {n_short} docs with < 3 words"
+
+
 def test_dedup_exact_keeps_one_per_group(spark):
     df = _run(spark, "dedup_exact")
     keepers = df.where("keep").count()
