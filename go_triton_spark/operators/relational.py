@@ -509,18 +509,30 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE                      AS sketch_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). No SQL oracle: sketch
-    estimates are engine-specific by design; the exact counterpart is
-    covered by agg_basic.n_customers. At 100 TB this is THE distinct
-    operator (bounded memory, one pass)."""
+    """approx_count_distinct (HyperLogLog++). Sketch ESTIMATES are
+    engine-specific by design, so the raw estimate can't be hashed
+    against DuckDB; instead the query emits the exact count plus
+    ``sketch_ok`` = |approx - exact| <= 5% of exact (5x the configured
+    rsd=0.01 — far outside HLL++'s documented error at any size). The
+    oracle asserts TRUE, so a misbehaving sketch hash-fails the gate
+    while the comparison stays deterministic. At 100 TB this is THE
+    distinct operator (bounded memory, one pass)."""
     (o,) = tables(spark, sf_dir, "orders")
     return (o.groupBy("o_orderstatus")
-            .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-                 F.countDistinct("o_custkey").alias("exact_customers")))
+            .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+                 F.countDistinct("o_custkey").alias("exact_customers"))
+            .select("o_orderstatus", "exact_customers",
+                    (F.abs(F.col("approx") - F.col("exact_customers"))
+                     <= 0.05 * F.col("exact_customers")).alias("sketch_ok")))
 
 
 # =====================================================================

@@ -45,21 +45,36 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based (KLL/GK) — engine-specific by design
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+           TRUE                                       AS sketch_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("agg", "percentile", "approx"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the one-pass bounded-memory scale path for
-    quantiles (rows-only check; exact counterpart is agg_percentiles)."""
+    quantiles. Sketch values are engine-specific (GK vs t-digest), so
+    the query emits the exact median plus ``sketch_ok`` = every approx
+    percentile (p in {0.5, 0.9, 0.99} at accuracy 10000, rank error
+    1e-4) lies within the exact [p-0.01, p+0.01] quantile envelope —
+    100x the guaranteed rank error. The oracle asserts TRUE: a
+    misbehaving sketch hash-fails the gate deterministically; the
+    exact counterpart query is agg_percentiles."""
     (o,) = tables(spark, sf_dir, "orders")
-    # Sketch output emitted as a joined string: array-typed result columns
-    # crash the driver's canonical sort (unhashable list).
     pcts = F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
-    return o.groupBy("o_orderstatus").agg(
-        F.array_join(F.transform(pcts, lambda x: F.format_string("%.4f", x)), "|")
-         .alias("approx_pcts_joined"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("exact_median"),
-    )
+    lo = F.expr("percentile(o_totalprice, array(0.49, 0.89, 0.98))")
+    hi = F.expr("percentile(o_totalprice, array(0.51, 0.91, 1.0))")
+    return (o.groupBy("o_orderstatus")
+            .agg(pcts.alias("ap"), lo.alias("lo"), hi.alias("hi"),
+                 F.round(F.expr("percentile(o_totalprice, 0.5)"), 6)
+                  .alias("exact_median"))
+            .select(
+                "o_orderstatus", "exact_median",
+                F.expr("forall(sequence(0, 2), "
+                       "i -> ap[i] >= lo[i] AND ap[i] <= hi[i])")
+                 .alias("sketch_ok")))
 
 
 @query(

@@ -207,9 +207,68 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank"))
 
 
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    """Algorithm-twin oracle for IVF: recomputes the deterministic seed
+    centroids from the table, assigns cells, probes, and rescores with
+    the same sequential fold order as the Spark side (sum ... ORDER BY
+    i is the proven bit-exact twin of Spark's aggregate fold — same
+    pattern as ann_topk_bruteforce)."""
+    dot = ("(SELECT sum(cast({a}[i] as double) * cast({b}[i] as double) "
+           f"ORDER BY i) FROM generate_series(1, {_DIM}) t(i))")
+    return f"""
+    WITH tot AS (SELECT count(*) AS n FROM embeddings),
+    cents0 AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % (SELECT greatest(n // {_IVF_CELLS}, 1) FROM tot) = 0
+      ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM cents0),
+    d AS (
+      SELECT e.vec_id, c.cell,
+             {dot.format(a='e.embedding', b='c.cv')}
+             / sqrt({dot.format(a='e.embedding', b='e.embedding')}
+                    * {dot.format(a='c.cv', b='c.cv')}) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM d) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS rn
+        FROM d WHERE vec_id < {_N_QUERIES}) t WHERE rn <= {_IVF_PROBE}),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.query_id),
+    s AS (
+      SELECT c.query_id, c.neighbor_id,
+             round({dot.format(a='q.embedding', b='n.embedding')}
+                   / sqrt({dot.format(a='q.embedding', b='q.embedding')}
+                          * {dot.format(a='n.embedding', b='n.embedding')}),
+                   6) AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s) t
+    WHERE rank <= {_K}
+    """
+
+
 @query(
     "ann_topk_ivf",
-    oracle=None,  # approximate recall — rows-only check (see docstring)
+    oracle=_ivf_oracle(),
     tags=("llm", "similarity", "ivf"),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,91 +279,56 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent but collect-bounded: n_cells * dim floats on the
     driver, constant at any corpus size). Each query probes its
     ``n_probe`` nearest cells; only those cells' vectors are exactly
-    re-scored. Recall < 1 by construction -> rows-only driver check;
-    tests assert recall >= 0.8 vs ann_topk_bruteforce.
+    re-scored. All vector math is the JVM sequential fold (zip_with +
+    aggregate), which the DuckDB oracle mirrors bit-for-bit with
+    ordered sums — so the driver fully hash-checks the ALGORITHM
+    (centroids -> assignment -> probe -> rescore -> top-k); recall vs
+    the true top-k is asserted >= 0.5 in tests, where the
+    approximation belongs.
 
-    At 100 TB: cell assignment is one narrow numpy pass, the corpus
-    shuffles once on (cell), and each query touches n_probe/n_cells of
-    the data — the classic IVF latency/recall dial.
+    At 100 TB: cell assignment is n_cells narrow JVM dot products per
+    vector, the corpus shuffles once on (cell), and each query touches
+    n_probe/n_cells of the data — the classic IVF latency/recall dial.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     (e,) = tables(spark, sf_dir, "embeddings")
-    n_cells, n_probe = 16, 4
+    n_cells, n_probe = _IVF_CELLS, _IVF_PROBE
 
     total = e.count()
     step = max(total // n_cells, 1)
     cent_rows = (e.where((F.col("vec_id") % step == 0))
                  .orderBy("vec_id").limit(n_cells).collect())
-    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]])
+         for i, r in enumerate(cent_rows)],
+        "cell int, cv array<double>")
 
-    assign_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("cell", T.IntegerType()),
-    ])
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.array(list(pdf["embedding"]), dtype=np.float64)
-            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            cell = np.argmax(emb @ cents.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "cell": cell})
-
-    probe_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("cell", T.IntegerType()),
-    ])
-
-    def probe(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.array(list(pdf["embedding"]), dtype=np.float64)
-            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            order = np.argsort(-(emb @ cents.T), axis=1)[:, :n_probe]
-            yield pd.DataFrame({
-                "query_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
-                "cell": order.reshape(-1).astype(np.int32)})
-
-    cells = e.select("vec_id", "embedding").mapInPandas(assign, schema=assign_schema)
-    probes = (e.where(F.col("vec_id") < _N_QUERIES)
-              .select("vec_id", "embedding")
-              .mapInPandas(probe, schema=probe_schema))
+    cdot = ("aggregate(zip_with(embedding, cv, (x, y) -> cast(x as double) * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+    cnq = ("aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    cnc = ("aggregate(transform(cv, y -> y * y), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+    d = (e.select("vec_id", "embedding")
+         .crossJoin(F.broadcast(cents_df))
+         .withColumn("d", F.expr(cdot) / F.sqrt(F.expr(cnq) * F.expr(cnc)))
+         .select("vec_id", "cell", "d"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cell"))
+    ranked = d.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (ranked.where((F.col("vec_id") < _N_QUERIES)
+                           & (F.col("rn") <= n_probe))
+              .select(F.col("vec_id").alias("query_id"), "cell"))
     cand = (
-        F.broadcast(probes).join(cells, "cell")
+        F.broadcast(probes).join(assign, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
     qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
-    pairs = cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
-
-    score_schema = T.StructType([
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("score", T.DoubleType()),
-    ])
-
-    def rescore(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf["q_emb"]), dtype=np.float64)
-            n = np.array(list(pdf["n_emb"]), dtype=np.float64)
-            dots = np.einsum("ij,ij->i", q, n)
-            score = dots / np.sqrt((q * q).sum(1) * (n * n).sum(1))
-            yield pd.DataFrame({"query_id": pdf["query_id"].to_numpy(),
-                                "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                                "score": np.round(score, 6)})
-
-    scored = pairs.mapInPandas(rescore, schema=score_schema)
+    scored = (cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
+              .withColumn("score", F.round(
+                  F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _K)
