@@ -219,3 +219,72 @@ def test_snappy_frame_property_roundtrip(data):
     max_size=6), max_size=30))
 def test_tri_property_roundtrip(records):
     assert read_tri_bytes(write_tri_bytes(records, flush_bytes=256)) == records
+
+
+# ------------------------------------------------- whole-file byte goldens
+
+def test_tri_testput_fixture_byte_golden():
+    """Byte equality with the reference's TestPut file.
+
+    triton/store_test.go:84-114 writes payload {0x01,0x02,0x03} through
+    golang/snappy's framing Writer and reads it back. For this payload
+    golang/snappy emits: stream identifier chunk (0xff, len 6,
+    "sNaPpY") then an UNCOMPRESSED chunk (0x01) — compression cannot
+    shrink 3 incompressible bytes — of length 7 (4-byte masked CRC32C
+    + payload). Our writer produces the identical byte sequence, so a
+    file we write is bit-for-bit what the reference would have written
+    for this fixture."""
+    golden = bytes.fromhex("ff060000734e61507059"  # stream ident chunk
+                           "01070000"              # uncompressed, len 7
+                           "39cdc086"              # masked crc32c(010203) LE
+                           "010203")
+    assert frame_compress(b"\x01\x02\x03") == golden
+    assert frame_decompress(golden) == b"\x01\x02\x03"
+
+
+def test_tri_archive_body_byte_golden():
+    """Whole-archive self-golden: the exact bytes of a .tri body for a
+    fixed record set are pinned (msgpack map encoding, timestamp ext,
+    snappy framing, chunk layout). Any codec change that silently
+    alters the wire format fails here; the round-trip half proves the
+    reader consumes the pinned bytes, not just our writer's output.
+    Record shape mirrors the reference's production record
+    (tritond/client_test.go:21-29)."""
+    rec = {"object_type": "delivery", "delivery_uuid": "abc-123",
+           "version": 3,
+           "ts": dt.datetime(2015, 6, 30, 2, 45, 0, tzinfo=UTC),
+           "data": {"couriers": ["a", "b"]}}
+    body = write_tri_bytes([rec, rec])
+    golden = bytes.fromhex(
+        "ff060000734e6150705901a8000036a606eb"
+        "85ab6f626a6563745f74797065a864656c6976657279ad64656c69766572"
+        "795f75756964a76162632d313233a776657273696f6e03a27473d6ff5592"
+        "02aca46461746181a8636f75726965727392a161a162"
+        "85ab6f626a6563745f74797065a864656c6976657279ad64656c69766572"
+        "795f75756964a76162632d313233a776657273696f6e03a27473d6ff5592"
+        "02aca46461746181a8636f75726965727392a161a162")
+    assert body == golden
+    assert read_tri_bytes(golden) == [rec, rec]
+
+
+def test_tri_reads_reference_compressed_chunks():
+    """The reference (golang/snappy) writes COMPRESSED chunks (type
+    0x00) with back-reference copy ops whenever compression pays; our
+    writer emits literal-only blocks, but the READER must accept both.
+    Hand-assemble a compressed chunk exactly as golang/snappy encodes
+    'abcdabcdabcd' (literal 'abcd' + copy1 offset=4 len=8) and assert
+    transparent decode."""
+    import struct
+    from go_triton_spark.codec.snappy_codec import masked_crc32c
+    payload = b"abcdabcdabcd"
+    block = bytes([
+        12,           # uvarint preamble: uncompressed length 12
+        (4 - 1) << 2, # literal tag, length 4
+    ]) + b"abcd" + bytes([
+        ((8 - 4) << 2) | 0x01,  # copy1 tag: len 8, offset high bits 0
+        4,                      # offset low byte
+    ])
+    chunk = (bytes([0x00]) + (len(block) + 4).to_bytes(3, "little")
+             + struct.pack("<I", masked_crc32c(payload)) + block)
+    stream = bytes.fromhex("ff060000734e61507059") + chunk
+    assert frame_decompress(stream) == payload
