@@ -15,12 +15,18 @@ Streaming's equivalents, selected by ``StreamConfig.options['source']``:
                DataSource, ``sources/kinesis_sim.py``): shard dirs ->
                input partitions, per-shard file offsets in the query
                checkpoint, LATEST/TRIM_HORIZON, resharding discovery.
-- ``kinesis``: adapter point for a third-party connector (not bundled;
-               OSS Spark has no first-party Kinesis source). We map the
-               reference's start positions (LATEST / TRIM_HORIZON /
-               AFTER_SEQUENCE_NUMBER, triton/stream.go:43-61) onto the
-               connector's ``startingposition`` and raise with guidance
-               if the connector class is absent.
+- ``kinesis``: real-AWS adapter (``sources/kinesis_boto3.py``): a
+               boto3-backed Python DataSource mirroring the reference's
+               poll loop (GetShardIterator/GetRecords, rate limit,
+               quadratic retry backoff — triton/stream.go:63-177) with
+               LATEST / TRIM_HORIZON / AFTER_SEQUENCE_NUMBER offsets in
+               the query checkpoint. boto3 is imported lazily; tests
+               inject a scripted fake service via ``client_factory``.
+- ``kinesis_connector``: adapter point for a third-party JVM connector
+               (e.g. spark-sql-kinesis) when one is on the classpath;
+               maps the reference's start positions onto the
+               connector's ``startingposition`` and raises with
+               guidance if absent.
 
 Start-position semantics (S2/S7): for file sources, "TRIM_HORIZON" ==
 process existing files, "LATEST" == only new files
@@ -75,6 +81,23 @@ def open_stream(spark: SparkSession, cfg: StreamConfig,
         return (spark.readStream.format("rate")
                 .option("rowsPerSecond", rows_per_sec).load())
     if source == "kinesis":
+        # Real-AWS adapter: boto3-backed Python DataSource mirroring the
+        # reference's GetShardIterator/GetRecords loop (kinesis_boto3.py;
+        # triton/stream.go:113-177). boto3 imports lazily at stream
+        # start; tests inject a scripted fake via client_factory.
+        from go_triton_spark.sources.kinesis_boto3 import \
+            register_kinesis_source
+        register_kinesis_source(spark)
+        reader = (spark.readStream.format("kinesis")
+                  .option("stream_name", cfg.stream_name)
+                  .option("start_position",
+                          cfg.options.get("start_position", "TRIM_HORIZON")))
+        for opt in ("region", "endpoint_url", "client_factory",
+                    "polls_per_batch", "min_poll_interval"):
+            if cfg.options.get(opt):
+                reader = reader.option(opt, str(cfg.options[opt]))
+        return reader.load()
+    if source == "kinesis_connector":
         fmt = cfg.options.get("connector_format", "aws-kinesis")
         start = {
             "LATEST": "latest",

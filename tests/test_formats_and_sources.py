@@ -96,8 +96,28 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows[1] is None and rows[2] == 9.5
 
 
-def test_kinesis_adapter_raises_with_guidance(spark):
-    """The Kinesis adapter point (S1): without a connector jar it must
+def test_kinesis_source_builds_streaming_frame(spark):
+    """The real-AWS adapter (S1, kinesis_boto3.py): source=kinesis
+    resolves to the registered Python DataSource and yields an
+    unbounded DataFrame with the Kinesis record schema — without
+    importing boto3 (that happens lazily at query start)."""
+    from go_triton_spark.config import load_config
+    from go_triton_spark.sources.kinesis_boto3 import KINESIS_SCHEMA
+    from go_triton_spark.sources.stream_source import open_stream
+    cfg = load_config("""
+events:
+  name: events-prod
+  region: us-west-1
+  partition_key: user_id
+  source: kinesis
+""")["events"]
+    df = open_stream(spark, cfg)
+    assert df.isStreaming
+    assert df.schema == KINESIS_SCHEMA
+
+
+def test_kinesis_connector_raises_with_guidance(spark):
+    """The JVM-connector adapter point: without a connector jar it must
     fail actionably (bridge guidance), not with a bare ClassNotFound."""
     from go_triton_spark.config import load_config
     from go_triton_spark.sources.stream_source import open_stream
@@ -106,7 +126,7 @@ events:
   name: events-prod
   region: us-west-1
   partition_key: user_id
-  source: kinesis
+  source: kinesis_connector
 """)["events"]
     with pytest.raises(NotImplementedError, match="Kinesis connector"):
         open_stream(spark, cfg)
