@@ -70,6 +70,9 @@ def cmd_cat(args) -> int:
 
 def cmd_stats(args) -> int:
     eng = _engine()
+    if getattr(args, "mirror_db", None):
+        n = eng.mirror_checkpoints(args.mirror_db)
+        print(f"mirrored {n} checkpoint rows to {args.mirror_db}")
     for k, v in sorted(eng.stats(client=args.client).items()):
         print(f"{k}: {v}")
     return 0
@@ -145,6 +148,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p_stats = sub.add_parser("stats", help="checkpoint ages")
     p_stats.add_argument("--client")
+    p_stats.add_argument("--mirror-db", dest="mirror_db",
+                         help="also upsert rows into a sqlite "
+                              "triton_checkpoint mirror (reference DDL)")
     p_stats.set_defaults(fn=cmd_stats)
 
     p_shards = sub.add_parser("shards", help="list shards (S19)")

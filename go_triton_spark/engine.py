@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from go_triton_spark.config import StreamConfig, config_for_name, load_config
 from go_triton_spark.plans.archive_store import ArchiveStore
 from go_triton_spark.producer import Client, MockClient
-from go_triton_spark.streaming.checkpoints import checkpoint_stats
+from go_triton_spark.streaming.checkpoints import (checkpoint_stats,
+                                                   mirror_to_sqlite)
 from go_triton_spark.streaming.store import StorePipeline
 
 
@@ -91,6 +92,11 @@ class TritonEngine:
     def stats(self, client: str | None = None) -> dict[str, int]:
         """``triton stats``: checkpoint ages (S18)."""
         return checkpoint_stats(self.spark, self.checkpoint_root, client)
+
+    def mirror_checkpoints(self, db_path: str) -> int:
+        """Opt-in SQL mirror of ``triton_checkpoint`` for external
+        monitors (reference DDL, triton/checkpoint.go:95-103)."""
+        return mirror_to_sqlite(self.checkpoint_root, db_path)
 
     def stream_stats(self) -> dict[str, dict]:
         """Per-query micro-batch progress (rows/sec, batch durations) —

@@ -64,6 +64,69 @@ def checkpoint_view(spark: SparkSession, checkpoint_root: str,
     return df
 
 
+# Reference DDL, verbatim (triton/checkpoint.go:95-103) — sqlite and
+# postgres both accept it, which is exactly the reference's usage.
+CREATE_TABLE_STMT = """
+CREATE TABLE IF NOT EXISTS triton_checkpoint (
+	client VARCHAR(255) NOT NULL,
+	stream VARCHAR(255) NOT NULL,
+	shard VARCHAR(255) NOT NULL,
+	seq_num VARCHAR(255) NOT NULL,
+	updated INTEGER NOT NULL,
+	PRIMARY KEY (client, stream, shard))
+"""
+
+
+def mirror_to_sqlite(checkpoint_root: str, db_path: str) -> int:
+    """Mirror the checkpoint view into an external SQL table.
+
+    Structured Streaming's own checkpoint (offsets/commits) is the
+    source of truth; this OPT-IN mirror exists so external monitors
+    that read the reference's ``triton_checkpoint`` table
+    (triton/checkpoint.go:95-103) keep working unmodified. Upsert
+    semantics follow Checkpointer.Checkpoint (checkpoint.go:27-76):
+    one transaction, insert-or-update keyed on (client, stream,
+    shard). Returns the number of rows mirrored.
+    """
+    import sqlite3
+
+    rows = _scan_checkpoint_dir(checkpoint_root)
+    con = sqlite3.connect(db_path)
+    try:
+        with con:  # single transaction, like the Go Tx
+            con.execute(CREATE_TABLE_STMT)
+            con.executemany(
+                "INSERT INTO triton_checkpoint "
+                "(client, stream, shard, seq_num, updated) "
+                "VALUES (?, ?, ?, ?, ?) "
+                "ON CONFLICT(client, stream, shard) DO UPDATE SET "
+                "seq_num = excluded.seq_num, updated = excluded.updated",
+                rows)
+    finally:
+        con.close()
+    return len(rows)
+
+
+def stats_from_sqlite(db_path: str, client: str | None = None) -> dict[str, int]:
+    """External-monitor ``stats`` (S18) straight from the SQL mirror —
+    the reference's GetCheckpointStats query shape
+    (triton/checkpoint.go:127-151), no Spark session needed."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        sql = ("SELECT client, stream, shard, "
+               "strftime('%s','now') - updated FROM triton_checkpoint")
+        args: tuple = ()
+        if client:
+            sql += " WHERE client = ?"
+            args = (client,)
+        return {f"{c}.{s}.{sh}.age": int(age)
+                for c, s, sh, age in con.execute(sql, args)}
+    finally:
+        con.close()
+
+
 def checkpoint_stats(spark: SparkSession, checkpoint_root: str,
                      client: str | None = None) -> dict[str, int]:
     """Reference ``triton stats`` output (checkpoint.go:127-151):

@@ -102,6 +102,41 @@ def test_stats_checkpoint_age(engine, tmp_path):
     assert 0 <= stats[key] < 3600
 
 
+def test_checkpoint_sqlite_mirror(engine, tmp_path):
+    """Opt-in SQL mirror: reference DDL + upsert semantics
+    (triton/checkpoint.go:27-76,95-103) readable by an external
+    monitor with no Spark session."""
+    import sqlite3
+
+    from go_triton_spark.streaming.checkpoints import stats_from_sqlite
+
+    _write_events_json(f"{tmp_path}/incoming/events", _recs(3))
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    db = str(tmp_path / "monitor.db")
+    n = engine.mirror_checkpoints(db)
+    assert n >= 1
+    # raw SQL shape matches the reference table exactly
+    con = sqlite3.connect(db)
+    rows = con.execute(
+        "SELECT client, stream, shard, seq_num, updated "
+        "FROM triton_checkpoint").fetchall()
+    con.close()
+    assert len(rows) == n
+    client, stream, shard, seq_num, updated = rows[0]
+    assert stream == "events" and seq_num.isdigit() and updated > 0
+    # age stats via SQL only (external monitor path)
+    ages = stats_from_sqlite(db)
+    assert ages and all(0 <= v < 3600 for v in ages.values())
+    # second mirror is an UPSERT, not duplicate inserts
+    assert engine.mirror_checkpoints(db) == n
+    con = sqlite3.connect(db)
+    assert con.execute(
+        "SELECT count(*) FROM triton_checkpoint").fetchone()[0] == n
+    con.close()
+
+
 def test_client_name_dash_rejected(spark, tmp_path):
     from go_triton_spark.config import StreamConfig
     with pytest.raises(ValueError, match="client name"):
