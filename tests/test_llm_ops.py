@@ -145,3 +145,55 @@ def test_embedding_lsh_recall_on_planted_neardups(spark, tmp_path):
                spark.read.parquet(str(tmp_path / "embeddings.parquet")), 0.9
            ).collect()}
     assert {(i, 100 + i) for i in range(5)} <= got
+
+
+def test_train_val_split_partitions_corpus(spark):
+    """Split is disjoint, exhaustive, deterministic, and ~90/5/5."""
+    rows = _run(spark, "curate_train_val_split").collect()
+    total = spark.read.parquet(SF + "/documents.parquet").count()
+    assert len(rows) == total
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == total  # disjoint
+    assert len(by_split["train"]) / total > 0.8
+    # rerun identical (hash, not rand)
+    again = {(r["doc_id"], r["split"])
+             for r in _run(spark, "curate_train_val_split").collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_language_balance_targets_and_determinism(spark):
+    """Kept counts match the integer sqrt-weight targets; head
+    languages are flattened relative to their raw share."""
+    import math
+
+    d = spark.read.parquet(SF + "/documents.parquet")
+    raw = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    kept = _run(spark, "curate_language_balance").groupBy("lang").count().collect()
+    kept = {r["lang"]: r["count"] for r in kept}
+    w = {lang: round(math.sqrt(n) * 1e6) for lang, n in raw.items()}
+    w_sum = sum(w.values())
+    for lang, n in raw.items():
+        assert kept.get(lang, 0) == 300 * w[lang] // w_sum, lang
+    # flattening: the head language's kept share < its raw share
+    head = max(raw, key=raw.get)
+    assert kept[head] / sum(kept.values()) < raw[head] / sum(raw.values())
+
+
+def test_sequence_pack_is_gapless_per_language(spark):
+    """Per language: offsets are a gapless concat (tok_start of doc k
+    = tok_start + n_tokens of doc k-1) and sequence spans match the
+    window arithmetic."""
+    rows = _run(spark, "text_sequence_pack").orderBy("lang", "doc_id").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, docs in by_lang.items():
+        expect = 0
+        for r in docs:
+            assert r["tok_start"] == expect, (lang, r["doc_id"])
+            assert r["seq_first"] == r["tok_start"] // 512
+            assert r["seq_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 512
+            expect += r["n_tokens"]
