@@ -74,6 +74,9 @@ HEADLINE = [
     "curate_pipeline_end_to_end",
     "udf_map_in_arrow",
     "scalar_variant",
+    "curate_train_val_split",
+    "curate_language_balance",
+    "text_sequence_pack",
 ]
 
 

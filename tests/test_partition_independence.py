@@ -17,6 +17,9 @@ REPRESENTATIVES = [
     "dedup_minhash_lsh",
     "tfidf_top_terms",
     "curate_pipeline_end_to_end",
+    "dedup_levenshtein",        # size-aware salted join + pinned width
+    "text_sequence_pack",       # per-lang running sum
+    "curate_language_balance",  # integer-weight targets + hash order
 ]
 
 
