@@ -75,17 +75,30 @@ def s13_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s15_ordered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15/S16 (triton/store_reader.go:36-52, reader.go:13-38): strict
-    replay order as an explicit total order + sequence number. The
-    global window is the price of total ordering — the archive-table
-    variant sorts within date partitions instead."""
+    replay order as an explicit total order + global sequence number —
+    WITHOUT a single-partition global window. Two-phase rank: (1)
+    row_number within each day partition (parallel, one task per day,
+    matching the archive layout's date partitioning — use (date, hour)
+    at production granularity), (2) a cumulative count over the tiny
+    per-day totals (rows = number of days, broadcast back). The sum of
+    the two is the same global replay_seq a total-order window would
+    produce, at shuffle-on-day parallelism."""
     (e,) = tables(spark, sf_dir, "events")
     from pyspark.sql import Window
-    w = Window.orderBy("ts", "event_id")
-    return (e.where(F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+    sel = (e.where(F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+           .withColumn("day", F.to_date("ts")))
+    wd = Window.partitionBy("day").orderBy("ts", "event_id")
+    ranked = sel.withColumn("rn", F.row_number().over(wd))
+    wcum = (Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (sel.groupBy("day").count()
+               .withColumn("off", F.coalesce(F.sum("count").over(wcum),
+                                             F.lit(0))))
+    return (ranked.join(F.broadcast(offsets.select("day", "off")), "day")
             .select("event_id",
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
                     "event_type",
-                    F.row_number().over(w).alias("replay_seq")))
+                    (F.col("off") + F.col("rn")).alias("replay_seq")))
 
 
 @query(

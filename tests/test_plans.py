@@ -148,6 +148,23 @@ def test_join_strategy_hints_respected(spark):
     assert "ShuffledHashJoin" in shash._jdf.queryExecution().executedPlan().toString()
 
 
+def test_levenshtein_block_join_shape(spark):
+    """dedup_levenshtein's scale contract: the pair join is a
+    ShuffledHashJoin on the block keys (the big table is NEVER
+    broadcast — only the tiny per-block salt-count stats are), and the
+    join width is pinned by explicit-N repartitions so AQE's byte
+    heuristic cannot coalesce the levenshtein-carrying stage to one
+    task (the round-2 regression)."""
+    plan = _plan(spark, "dedup_levenshtein")
+    assert "ShuffledHashJoin" in plan
+    assert "levenshtein" in plan
+    # levenshtein must be evaluated in the shuffled join's residual,
+    # never inside a broadcast join (full-table broadcast regression)
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "levenshtein" not in line
+
+
 def test_interval_join_is_hash_join_not_nested_loop(spark):
     plan = _plan(spark, "interval_join_sessions")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
