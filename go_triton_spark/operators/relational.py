@@ -62,6 +62,30 @@ def _iavg(expr: str, scale: int = 4) -> str:
     return f"({_isum(expr, scale)}) / count(*)"
 
 
+def _isum2(expr: str, scale: int) -> str:
+    """Two-part scaled-integer exact sum for scales where a single
+    int64 sum would overflow below the 100 TB target (scale>=4 money
+    products: row values reach ~1e11 scaled; 1.5e11 rows/group at
+    sf~100k would overflow a single sum at ~9e18).
+
+    Per row (NONNEGATIVE values only — TPC-H money products are):
+    v = round(expr * 10^scale) as bigint, split v = hi*1e6 + lo. The
+    hi/lo split uses floor(v / 1e6): v <= ~1e11 < 2^53 so the double
+    quotient's floor is exact (a misfloor would need the true quotient
+    within half an ulp (~1e-11) of an integer; non-multiples sit 1e-6
+    away). Both int sums stay in pure long math (hi <= 1e5, lo < 1e6:
+    bounds ~1.5e16/1.5e17 at 1.5e11 rows — no overflow), and the
+    reconstruction is two exact casts + fixed IEEE ops, identical in
+    Spark and DuckDB. Zero per-row rounding drift (unlike a truncated
+    scale) and no BigDecimal in the aggregation loop."""
+    f = 10 ** scale
+    v = f"cast(round(({expr}) * {f}e0) as bigint)"
+    hi = f"cast(floor({v} / 1000000e0) as bigint)"
+    lo = f"({v} - {hi} * 1000000)"
+    return (f"(cast(sum({hi}) as double) * 1000000e0"
+            f" + cast(sum({lo}) as double)) / {f}e0")
+
+
 # =====================================================================
 # TPC-H-adapted headline queries
 # =====================================================================
@@ -72,8 +96,8 @@ def _iavg(expr: str, scale: int = 4) -> str:
     SELECT l_returnflag, l_linestatus,
            cast(sum(cast(l_quantity as bigint)) as bigint)       AS sum_qty,
            {_isum('l_extendedprice')}                            AS sum_base_price,
-           {_dsum('l_extendedprice * (1 - l_discount)')}         AS sum_disc_price,
-           {_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+           {_isum2('l_extendedprice * (1 - l_discount)', 4)}      AS sum_disc_price,
+           {_isum2('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
            {_iavg('l_quantity', 2)}                              AS avg_qty,
            {_iavg('l_extendedprice', 2)}                         AS avg_price,
            {_iavg('l_discount', 2)}                              AS avg_disc,
@@ -94,10 +118,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal inputs, so the scaled-integer path at scale=2 is EXACT
     (pure long math in whole-stage codegen; overflow bound ~9e11 rows
     per group, beyond 100 TB). sum_disc_price / sum_charge are 4- and
-    6-decimal PRODUCTS — scale=4/6 integer sums would overflow int64 at
-    ~9e9 / ~9e7 rows per group (below the 100 TB target), and scale=2
-    would round per-row and drift from the true answer — so those two
-    columns use the exact DECIMAL(30,8) sum instead.
+    6-decimal PRODUCTS — a SINGLE scale=4/6 integer sum would overflow
+    int64 at ~9e9 / ~9e7 rows per group (below the 100 TB target), and
+    scale=2 would round per-row and drift from the true answer — so
+    those two columns use the two-part hi/lo scaled-integer sum
+    (_isum2): exact at full scale, overflow-safe past 100 TB, and
+    still pure long math in the aggregation loop.
     DuckDB dtype note: the oracle casts sum_qty to bigint — DuckDB's
     sum(bigint) is HUGEINT, which lands in pandas as float64 and
     hash-diverges from Spark's int64 even when values are equal.
@@ -109,8 +135,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("sum(cast(l_quantity as bigint))").alias("sum_qty"),
             F.expr(_isum("l_extendedprice")).alias("sum_base_price"),
-            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
-            F.expr(_dsum("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")).alias("sum_charge"),
+            F.expr(_isum2("l_extendedprice * (1 - l_discount)", 4)).alias("sum_disc_price"),
+            F.expr(_isum2("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", 6)).alias("sum_charge"),
             F.expr(_iavg("l_quantity", 2)).alias("avg_qty"),
             F.expr(_iavg("l_extendedprice", 2)).alias("avg_price"),
             F.expr(_iavg("l_discount", 2)).alias("avg_disc"),
