@@ -318,20 +318,22 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_sampled,
            min(doc_id) AS min_id, max(doc_id) AS max_id
     FROM documents
-    WHERE (doc_id * 2654435761) % 100 < 10
+    WHERE ((doc_id % 1000000007) * 2654435761) % 100 < 10
     GROUP BY lang
     """,
     tags=("sampling",),
 )
 def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% stratified sample via multiplicative hashing
-    on the key (Knuth's 2654435761). Unlike sample()/TABLESAMPLE this is
+    on the key (Knuth's 2654435761; the id is reduced mod 1e9+7 first
+    so the product never overflows int64 under ANSI mode at any id
+    scale). Unlike sample()/TABLESAMPLE this is
     reproducible across engines, partitionings, and reruns — the
     property a 100 TB curation pipeline needs for auditable subsets.
     Pure filter: pushes to the scan, no shuffle before the aggregate."""
     (d,) = tables(spark, sf_dir, "documents")
     return (
-        d.where((F.col("doc_id") * 2654435761) % 100 < 10)
+        d.where(((F.col("doc_id") % 1000000007) * 2654435761) % 100 < 10)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_sampled"),

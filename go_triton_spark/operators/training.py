@@ -29,7 +29,12 @@ from go_triton_spark.operators.registry import query, tables
 # Knuth multiplicative hash — the repo's portable deterministic-hash
 # idiom (same as sample_stratified_hash): identical integer math in
 # Spark and DuckDB, reproducible across engines/partitionings/reruns.
+# The id is reduced mod 1e9+7 BEFORE the multiply so the product stays
+# under 2^63 for ANY doc_id (ANSI mode — Spark 4 default — THROWS on
+# int64 overflow; an unbounded multiply works at test scale and dies
+# at 100 TB ids ~1e10).
 _KNUTH = 2654435761
+_HMOD = 1000000007
 
 _PACK_WINDOW = 512        # context length in whitespace tokens
 _BALANCE_TARGET = 300     # total docs the balanced corpus should keep
@@ -39,8 +44,8 @@ _BALANCE_TARGET = 300     # total docs the balanced corpus should keep
     "curate_train_val_split",
     oracle=f"""
     SELECT doc_id, lang,
-           CASE WHEN (doc_id * {_KNUTH}) % 100 < 90 THEN 'train'
-                WHEN (doc_id * {_KNUTH}) % 100 < 95 THEN 'val'
+           CASE WHEN ((doc_id % {_HMOD}) * {_KNUTH}) % 100 < 90 THEN 'train'
+                WHEN ((doc_id % {_HMOD}) * {_KNUTH}) % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -53,7 +58,7 @@ def curate_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline). Pure projection: no shuffle, pushes to the scan;
     disjointness/exhaustiveness asserted in test_llm_ops.py."""
     (d,) = tables(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * _KNUTH) % 100
+    bucket = ((F.col("doc_id") % _HMOD) * _KNUTH) % 100
     return d.select(
         "doc_id", "lang",
         F.when(bucket < 90, "train")
@@ -75,7 +80,7 @@ def curate_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT d.doc_id, d.lang,
              row_number() OVER (PARTITION BY d.lang
-                                ORDER BY (d.doc_id * {_KNUTH}) % 1000000007,
+                                ORDER BY ((d.doc_id % {_HMOD}) * {_KNUTH}) % {_HMOD},
                                          d.doc_id) AS rn
       FROM documents d)
     SELECT r.doc_id, r.lang
@@ -106,7 +111,7 @@ def curate_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("lang",
                  F.expr(f"{_BALANCE_TARGET} * w div w_sum").alias("n_target")))
     wlang = Window.partitionBy("lang").orderBy(
-        (F.col("doc_id") * _KNUTH) % 1000000007, F.col("doc_id"))
+        ((F.col("doc_id") % _HMOD) * _KNUTH) % _HMOD, F.col("doc_id"))
     return (d.select("doc_id", "lang")
             .withColumn("rn", F.row_number().over(wlang))
             .join(F.broadcast(t), "lang")
