@@ -186,7 +186,7 @@ def curate_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(doc_id) AS doc_id, lang
       FROM kept GROUP BY md5(text), lang
     ), sampled AS (
-      SELECT * FROM uniq WHERE (doc_id * 2654435761) % 100 < 50
+      SELECT * FROM uniq WHERE ((doc_id % 1000000007) * 2654435761) % 100 < 50
     )
     SELECT lang, count(*) AS n_final, min(doc_id) AS min_id,
            max(doc_id) AS max_id
@@ -213,7 +213,7 @@ def curate_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = q.where(F.col("dup_frac") <= 0.5)
     uniq = (kept.groupBy(F.md5("text").alias("h"), F.col("lang"))
             .agg(F.min("doc_id").alias("doc_id")))
-    sampled = uniq.where((F.col("doc_id") * 2654435761) % 100 < 50)
+    sampled = uniq.where(((F.col("doc_id") % 1000000007) * 2654435761) % 100 < 50)
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_final"),
         F.min("doc_id").alias("min_id"),

@@ -260,7 +260,7 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, event_type
     FROM events
-    WHERE (event_id * 2654435761) % 100 < 10
+    WHERE ((event_id % 1000000007) * 2654435761) % 100 < 10
     """,
     tags=("sampling",),
 )
@@ -270,7 +270,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLESAMPLE/rand(), and re-runnable across engines and runs; at
     scale this is also partition-prunable if the key is the sort key)."""
     (e,) = tables(spark, sf_dir, "events")
-    return (e.where((F.col("event_id") * 2654435761) % 100 < 10)
+    return (e.where(((F.col("event_id") % 1000000007) * 2654435761) % 100 < 10)
             .select("event_id", "user_id", "event_type"))
 
 
