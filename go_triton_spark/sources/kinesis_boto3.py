@@ -286,6 +286,32 @@ def demo_client():
     return _Demo()
 
 
+def demo_client_msgpack():
+    """Scripted service whose payloads are msgpack-encoded event maps —
+    drives the FULL reference path in tests: Kinesis poll -> msgpack
+    decode -> partitioned archive -> replay (store -> cat)."""
+    import datetime as _dt
+
+    from go_triton_spark.codec.msgpack_codec import packb
+
+    client = demo_client()
+    ts = _dt.datetime(2026, 8, 13, 12, 0, 0, tzinfo=_dt.timezone.utc)
+    n = 0
+    for shard, recs in sorted(client.shards.items()):
+        out = []
+        for sn, _ in recs:
+            out.append((sn, packb({
+                "event_id": n, "user_id": n % 3,
+                "event_type": "click" if n % 2 else "view",
+                "ts": ts, "amount": float(n),
+                "session_id": f"s{n % 2}", "props": {"k": str(n)}})))
+            n += 1
+        client.shards[shard] = out
+    # one corrupt payload: must be skipped, not kill the stream (S5)
+    client.shards["shard-0000"].append(("a9", b"\xc1 not msgpack"))
+    return client
+
+
 def register_kinesis_source(spark) -> None:
     """Register ``format("kinesis")`` (PySpark 4 Python DataSource).
 

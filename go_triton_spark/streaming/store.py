@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import BinaryType as _BinaryType
 
 from go_triton_spark.config import StreamConfig
 from go_triton_spark.sources.stream_source import open_stream
@@ -62,6 +63,16 @@ class StorePipeline:
         """Start the ingest query (S8/S9). ``once=True`` drains available
         input then stops — the unit-test and backfill mode."""
         src = open_stream(self.spark, self.cfg, schema=schema)
+        # Binary-payload sources (the real-AWS kinesis adapter) surface
+        # raw msgpack maps in a `data` column; decode to the declared
+        # record schema here — the reference's reader-side msgpack
+        # decode + corrupt-skip (triton/stream_reader.go:173-194).
+        if (schema is not None
+                and self.cfg.options.get("source") == "kinesis"
+                and "data" in src.columns
+                and isinstance(src.schema["data"].dataType, _BinaryType)):
+            from go_triton_spark.codec.decode import decode_msgpack_column
+            src = decode_msgpack_column(src, schema)
         out = self._with_partitions(src)
         writer = (
             out.writeStream.format("parquet")

@@ -234,3 +234,63 @@ def test_end_to_end_streaming_through_spark(spark, tmp_path):
     assert got == ["A0", "A1", "A2", "B0", "B1", "B2"]
     shards = {r["shard_id"] for r in rows}
     assert shards == {"shard-0000", "shard-0001"}
+
+
+def test_decode_msgpack_column_skips_corrupt(spark):
+    """S5 decode semantics at the column level: good maps decode to the
+    declared schema, corrupt bytes and non-map payloads drop."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from go_triton_spark.codec.decode import decode_msgpack_column
+    from go_triton_spark.codec.msgpack_codec import packb
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("note", T.StringType()),
+    ])
+    ts = dt.datetime(2026, 8, 13, 12, 0, tzinfo=dt.timezone.utc)
+    payloads = [
+        (packb({"event_id": 1, "ts": ts, "note": "ok"}),),
+        (b"\xc1garbage",),                      # corrupt -> skipped
+        (packb([1, 2, 3]),),                    # non-map -> skipped
+        (packb({"event_id": 2, "ts": ts}),),    # missing field -> null
+    ]
+    df = spark.createDataFrame(payloads, "data binary")
+    rows = decode_msgpack_column(df, schema).orderBy("event_id").collect()
+    assert [r["event_id"] for r in rows] == [1, 2]
+    assert rows[0]["note"] == "ok" and rows[1]["note"] is None
+    assert rows[0]["ts"] is not None
+
+
+def test_store_from_kinesis_source_end_to_end(spark, tmp_path):
+    """The reference's core loop on the real-AWS adapter path: poll
+    the (scripted) Kinesis service, msgpack-decode payloads with
+    corrupt-skip, archive partitioned, replay with cat."""
+    import datetime as dt
+
+    from go_triton_spark.config import load_config
+    from go_triton_spark.engine import TritonEngine
+    from go_triton_spark.types import EVENTS_SCHEMA
+
+    cfg = load_config("""
+events:
+  name: demo
+  partition_key: user_id
+  source: kinesis
+  client_factory: go_triton_spark.sources.kinesis_boto3:demo_client_msgpack
+  min_poll_interval: 0
+  polls_per_batch: 8
+""")
+    eng = TritonEngine(spark, str(tmp_path), config=cfg, client="kin")
+    pipe = eng.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    today = dt.date.today()
+    rows = eng.cat("events", today).collect()
+    # 6 good records across 2 shards; the corrupt payload is dropped
+    assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3, 4, 5]
+    types = {r["event_type"] for r in rows}
+    assert types == {"click", "view"}
