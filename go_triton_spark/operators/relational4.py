@@ -167,28 +167,32 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile (null count, cardinality, bounds)
     — the first pass any 100 TB curation pipeline runs over a new table.
-    One scan per column here for oracle clarity; the scale path swaps
-    count(DISTINCT) for approx_count_distinct and fuses all columns into
-    a single pass (see agg_approx_distinct)."""
+
+    SINGLE-PASS plan: all columns' aggregates (incl. the three
+    count(DISTINCT)s, which Catalyst handles with one Expand) run in
+    one scan + one aggregation; the per-column rows are then unpacked
+    from the single result row with an explode — versus the naive
+    UNION-of-scans shape (the oracle's spelling) that reads the table
+    once per column. At 100 TB that is 1 scan instead of N. For
+    extreme column counts swap count(DISTINCT) for
+    approx_count_distinct (see agg_approx_distinct)."""
     (o,) = tables(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    return spark.sql("""
-        SELECT 'o_custkey' AS col, count(*) - count(o_custkey) AS n_null,
-               count(DISTINCT o_custkey) AS n_distinct,
-               cast(min(o_custkey) AS string) AS min_v,
-               cast(max(o_custkey) AS string) AS max_v
-        FROM orders
-        UNION ALL
-        SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
-               count(DISTINCT o_orderstatus), min(o_orderstatus),
-               max(o_orderstatus)
-        FROM orders
-        UNION ALL
-        SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
-               count(DISTINCT o_orderpriority), min(o_orderpriority),
-               max(o_orderpriority)
-        FROM orders
-    """)
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = o.agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('col', '{c}', 'n_null', null_{c}, "
+        f"'n_distinct', dist_{c}, 'min_v', min_{c}, 'max_v', max_{c})"
+        for c in cols)
+    return (one.select(F.explode(F.expr(f"array({structs})")).alias("p"))
+            .select("p.*"))
 
 
 @query(
