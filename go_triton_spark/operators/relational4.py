@@ -224,10 +224,16 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. Scores are rounded BEFORE
     ranking so an ulp of ln() divergence cannot flip the order; ties
-    break on the token string (total order). Shape at scale: tf is a
-    map-side-combinable groupBy; df is a small dimension (vocabulary)
-    broadcast back onto tf; the doc-count is a literal broadcast. The
-    only big shuffle is the tf groupBy, partitioned by (doc_id, tok)."""
+    break on the token string (total order).
+
+    Single-tokenize plan: document frequency is derived from the tf
+    rows themselves — (doc_id, tok) is unique after the tf groupBy, so
+    df(tok) = count(*) OVER (PARTITION BY tok). The naive shape (and
+    the oracle's spelling) tokenizes the corpus TWICE (tf branch + df
+    branch) and joins; here the expensive explode+lower pass over 100
+    TB of text runs once, and df costs one narrow shuffle of the
+    (doc, tok, tf) triples. n_docs is a count-only scan (column-pruned
+    to parquet metadata)."""
     (d,) = tables(spark, sf_dir, "documents")
     n_docs = d.count()
     toks = (
@@ -235,12 +241,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "tok").select(
+    df_w = Window.partitionBy("tok")
+    scored = tf.select(
         "doc_id",
         "tok",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf") * F.log(F.lit(float(n_docs))
+                                / F.count("*").over(df_w)), 6
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))

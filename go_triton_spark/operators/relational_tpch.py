@@ -22,7 +22,7 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_triton_spark.operators.registry import query, tables
@@ -377,16 +377,23 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
-    Exact decimal sums make the equality-to-max stable cross-engine."""
+    Exact decimal sums make the equality-to-max stable cross-engine.
+
+    Single-scan plan: the revenue view feeds both the max and the
+    filter — a naive crossJoin-with-agg (the oracle's spelling)
+    recomputes it, scanning lineitem twice. max(total_revenue) OVER ()
+    on the aggregated rows reads lineitem once; the global window's
+    single partition holds only per-supplier totals (cardinality =
+    suppliers, not lineitems), so it is bounded at any data scale."""
     li, supp = tables(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.expr(_dsum(_REV)).alias("total_revenue")))
-    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        revenue.crossJoin(F.broadcast(mx))
+        revenue.withColumn(
+            "max_rev", F.max("total_revenue").over(Window.partitionBy()))
         .where(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -274,14 +274,26 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-document shuffle at all, so it scales linearly with corpus
     size and is safe to fuse ahead of dedup in a curation pipeline."""
     (d,) = tables(spark, sf_dir, "documents")
+    # SINGLE-SCAN plan: word-level metrics are per-row array math
+    # (size / array_distinct — no explode, no shuffle), and they ride
+    # through the bigram aggregation as first() payloads, so the corpus
+    # is tokenized once and there is no doc_id self-join. (The prior
+    # shape exploded the token stream twice — words + bigrams — and
+    # joined; two full scans of 100 TB of text.) Every gated corpus
+    # has >= 3 words/doc (test_corpus_every_document_has_three_words),
+    # so the size(ts) >= 2 guard never drops a document.
     toks = d.select(
         "doc_id",
         F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("ts"),
+    ).select(
+        "doc_id", "ts",
+        F.expr("size(ts)").alias("n_tok"),
+        F.expr("size(array_distinct(ts))").alias("n_uniq"),
     )
     big = (
         toks.where(F.expr("size(ts) >= 2"))
         .select(
-            "doc_id",
+            "doc_id", "n_tok", "n_uniq",
             F.explode(
                 F.expr("transform(sequence(1, size(ts)-1), "
                        "i -> concat(ts[i-1], ' ', ts[i]))")
@@ -289,18 +301,16 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     agg = (
-        big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        big.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"),
+             F.first("n_tok").alias("n_tok"), F.first("n_uniq").alias("n_uniq"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("tot_bg"))
-    )
-    words = (
-        toks.select("doc_id", F.explode("ts").alias("tok"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"), F.countDistinct("tok").alias("n_uniq"))
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("tot_bg"),
+             F.first("n_tok").alias("n_tok"), F.first("n_uniq").alias("n_uniq"))
     )
     top_frac = F.col("top_bg").cast("double") / F.col("tot_bg")
     dup_frac = F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_tok")
-    return words.join(agg, "doc_id").select(
+    return agg.select(
         "doc_id",
         F.round(top_frac, 6).alias("top_bigram_frac"),
         F.round(dup_frac, 6).alias("dup_word_frac"),

@@ -204,16 +204,21 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-active week,
-    counted per week-offset. Two aggregations + one join on user_id —
-    the distinct-user count shuffles (cohort_week, offset, user) rows,
-    nothing wider."""
+    counted per week-offset.
+
+    Single-scan plan: the naive shape (and the oracle's spelling)
+    computes distinct (user, week) twice — once for the cohort-week
+    aggregate, once for the join probe — which is two full scans of
+    events. Here cohort_week = min(week) OVER (PARTITION BY user_id)
+    on the distinct pairs, so events is read ONCE and everything after
+    operates on the tiny (user, week) set; no self-join at all."""
     (ev,) = tables(spark, sf_dir, "events")
     wk = (ev.select("user_id",
                     F.floor(F.unix_timestamp("ts") / 604800)
                      .cast("long").alias("week"))
           .distinct())
-    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    return (wk.join(cohort, "user_id")
+    w = Window.partitionBy("user_id")
+    return (wk.withColumn("cohort_week", F.min("week").over(w))
             .groupBy("cohort_week",
                      (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
             .agg(F.countDistinct("user_id").alias("active_users"))
