@@ -422,6 +422,10 @@ def _cosine_pairs_srp(e: DataFrame, thresh: float) -> DataFrame:
         + _sign_sig_sql("element_at(embedding, %d)", b, rows_per_band, stride)
         + ")"
         for b in range(n_bands))
+    # the signature table feeds both sides of the bucket self-join;
+    # the two sign-hash passes stay codegen-pipelined — measured
+    # cheaper locally than a cache barrier (persist at cluster scale
+    # if the embedding scan dominates)
     buckets = (e.select(
         "vec_id",
         F.explode(F.expr(f"array({band_structs})")).alias("bk"))
@@ -596,6 +600,13 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM-side in Spark; no Python in the loop).
     """
     (d,) = tables(spark, sf_dir, "documents")
+    # sel feeds the block-stats aggregate AND both join sides (3 scans
+    # of the pruned projection). Measured locally, a .cache() here
+    # LOSES 2x: the materialization barrier + InMemoryRelation scan
+    # overhead outweigh the rescans, which stay pipelined inside
+    # whole-stage codegen. On a cluster where the text column scan
+    # dominates, persist this narrow (id, lang, bucket, 80-char
+    # prefix) projection instead of rescanning.
     sel = spread(d, spark).select(
         "doc_id", "lang",
         (F.col("n_chars") / 20).cast("long").alias("bucket"),

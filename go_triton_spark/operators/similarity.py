@@ -181,6 +181,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"named_struct('band', {b}, 'sig', "
         + _ann_sig_sql("element_at(embedding, %d)", b) + ")"
         for b in range(_LSH_BANDS_ANN))
+    # the signature table feeds both the query and corpus branches;
+    # the two sign-hash passes stay codegen-pipelined — measured
+    # cheaper locally than a cache barrier (persist at cluster scale
+    # if the embedding scan dominates)
     buckets = (e.select(
         "vec_id",
         F.explode(F.expr(f"array({band_structs})")).alias("bk"))
@@ -314,6 +318,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles), the interpreted-HOF work drops 16x.
     ev = e.select("vec_id", "embedding", F.expr(cnq).alias("nq"))
     cents_n = cents_df.withColumn("nc", F.expr(cnc))
+    # the cell-distance table feeds both the assignment and the probe
+    # branches; recomputing the dot pass twice stays codegen-pipelined
+    # and measured cheaper locally than a cache barrier (persist at
+    # cluster scale if the corpus scan dominates)
     d = (ev.crossJoin(F.broadcast(cents_n))
          .withColumn("d", F.expr(cdot) / F.sqrt(F.col("nq") * F.col("nc")))
          .select("vec_id", "cell", "d"))

@@ -105,9 +105,10 @@ def curate_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d,) = tables(spark, sf_dir, "documents")
     n = (d.groupBy("lang").agg(F.count("*").alias("n_docs"))
          .withColumn("w", F.round(F.sqrt("n_docs") * 1e6).cast("long")))
-    # total weight via a 1-row cross join (stays in-plan; no collect)
-    tot = n.agg(F.sum("w").alias("w_sum"))
-    t = (n.crossJoin(F.broadcast(tot))
+    # total weight via a window over the per-lang rows (cardinality =
+    # languages) — stays in-plan, no collect, and no second aggregation
+    # branch rescanning documents
+    t = (n.withColumn("w_sum", F.sum("w").over(Window.partitionBy()))
          .select("lang",
                  F.expr(f"{_BALANCE_TARGET} * w div w_sum").alias("n_target")))
     wlang = Window.partitionBy("lang").orderBy(
