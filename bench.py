@@ -77,6 +77,8 @@ HEADLINE = [
     "curate_train_val_split",
     "curate_language_balance",
     "text_sequence_pack",
+    "dedup_span_exact",
+    "text_perplexity_proxy",
 ]
 
 

@@ -672,3 +672,68 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("id_a", "id_b")
     )
+
+
+# =====================================================================
+# Exact token-span dedup (memorization-reduction primitive)
+# =====================================================================
+
+_SPAN_LEN = 10     # tokens per span
+_SPAN_STRIDE = 5   # token stride between span starts (50% overlap)
+
+
+@query(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, cast((len(ws) - {_SPAN_LEN}) // {_SPAN_STRIDE} + 2
+                             as bigint)),
+               i -> md5(array_to_string(
+                 ws[(i - 1) * {_SPAN_STRIDE} + 1 :
+                    (i - 1) * {_SPAN_STRIDE} + {_SPAN_LEN}], ' '))))
+               AS span_md5
+      FROM toks WHERE len(ws) >= {_SPAN_LEN})
+    SELECT span_md5,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*)               AS n_occurrences,
+           min(doc_id)            AS first_doc_id
+    FROM spans
+    GROUP BY span_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("llm", "dedup", "span"),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-span dedup: every {SPAN_LEN}-token window (stride
+    {SPAN_STRIDE}) that appears verbatim in two or more documents —
+    the relational form of exact-substring training-data dedup (the
+    published suffix-array approach finds the same cross-document
+    repetition; fixed-stride windows trade a factor-2 boundary slack
+    for a pure shuffle-on-hash plan that needs no global suffix sort).
+
+    At 100 TB: spans explode to ~1/{_SPAN_STRIDE} extra rows per token
+    but shuffle only (16-byte md5, doc_id) pairs; the groupBy is
+    map-side-combinable and the >= 2-docs filter prunes the unique
+    long tail before any further processing. Span texts never
+    shuffle."""
+    (d,) = tables(spark, sf_dir, "documents")
+    spans = (
+        spread(d, spark)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.expr(f"size(ws) >= {_SPAN_LEN}"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, (size(ws) - {_SPAN_LEN})"
+                f" div {_SPAN_STRIDE} + 1), "
+                f"i -> md5(array_join(slice(ws, (i - 1) * {_SPAN_STRIDE} + 1,"
+                f" {_SPAN_LEN}), ' ')))")).alias("span_md5")))
+    return (spans.groupBy("span_md5")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occurrences"),
+                 F.min("doc_id").alias("first_doc_id"))
+            .where(F.col("n_docs") >= 2))

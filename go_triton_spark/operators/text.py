@@ -18,7 +18,7 @@ built-in JVM expressions on purpose (UDFs are the slow path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_triton_spark.operators.registry import query, tables
@@ -358,3 +358,63 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bg"))
         .limit(20)
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT tok, cast(sum(tf) as bigint) AS c FROM tf GROUP BY tok),
+    vn AS (SELECT tok, c,
+                  cast(sum(c) OVER () as bigint) AS n FROM vocab),
+    nll AS (SELECT tok,
+                   cast(round(-ln(cast(c as double) / n) * 1000000)
+                        as bigint) AS nll_u
+            FROM vn)
+    SELECT tf.doc_id,
+           cast(sum(tf.tf * nll.nll_u) as bigint) AS nll_u_total,
+           cast(sum(tf.tf) as bigint)             AS n_tok,
+           cast(sum(tf.tf * nll.nll_u) as bigint)
+             / (1000000.0 * sum(tf.tf))           AS avg_nll
+    FROM tf JOIN nll USING (tok)
+    GROUP BY tf.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy (the CCNet-style quality dial): the
+    corpus trains a unigram model; each document is scored by its mean
+    negative log-likelihood — low = common/natural text, high =
+    rare-token garbage. Real pipelines swap in a KenLM; the relational
+    shape is identical.
+
+    Determinism: per-token -ln(p) is rounded at 1e-6 and scaled to an
+    int64 (micro-nats), so the per-doc total is order-free integer
+    math; the single trailing division is one IEEE op (same policy as
+    the registry's scaled-integer sums). Shape at scale: ONE tokenize
+    pass feeds tf; the vocabulary aggregate is narrow; the corpus
+    total comes from a window over vocabulary-cardinality rows; nll
+    broadcasts back onto tf. No second scan, no driver collect."""
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.expr(
+                         "filter(split(lower(text), ' '), t -> t <> '')"))
+                      .alias("tok")))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    vn = vocab.withColumn("n", F.sum("c").over(Window.partitionBy()))
+    nll = vn.select(
+        "tok",
+        F.expr("cast(round(-ln(cast(c as double) / n) * 1000000) as bigint)")
+         .alias("nll_u"))
+    return (tf.join(F.broadcast(nll), "tok")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("tf") * F.col("nll_u")).alias("nll_u_total"),
+                 F.sum("tf").alias("n_tok"))
+            .select("doc_id", "nll_u_total", "n_tok",
+                    (F.col("nll_u_total")
+                     / (1e6 * F.col("n_tok"))).alias("avg_nll")))

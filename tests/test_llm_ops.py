@@ -197,3 +197,27 @@ def test_sequence_pack_is_gapless_per_language(spark):
             assert r["seq_first"] == r["tok_start"] // 512
             assert r["seq_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 512
             expect += r["n_tokens"]
+
+
+def test_span_dedup_covers_exact_duplicates(spark):
+    """Every exact-duplicate document pair shares all its spans, so
+    span dedup must flag spans whenever exact dedup found copies."""
+    exact = _run(spark, "dedup_exact")
+    n_dup_docs = exact.where("NOT keep").count()
+    spans = _run(spark, "dedup_span_exact")
+    rows = spans.collect()
+    assert all(r["n_docs"] >= 2 for r in rows)
+    assert all(r["n_occurrences"] >= r["n_docs"] for r in rows)
+    if n_dup_docs > 0:
+        assert len(rows) > 0, "exact copies exist but no shared spans found"
+
+
+def test_perplexity_proxy_scores_every_doc(spark):
+    total = spark.read.parquet(SF + "/documents.parquet").count()
+    rows = _run(spark, "text_perplexity_proxy").collect()
+    assert len(rows) == total
+    # unigram mean NLL is positive and bounded by ln(corpus tokens)
+    assert all(0.0 < r["avg_nll"] < 30.0 for r in rows)
+    # integer accumulators agree with the reported mean
+    for r in rows[:20]:
+        assert abs(r["avg_nll"] - r["nll_u_total"] / (1e6 * r["n_tok"])) < 1e-12
