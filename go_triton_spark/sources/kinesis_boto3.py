@@ -90,6 +90,16 @@ class RetryExhausted(Exception):
     pass
 
 
+def _seq_ge(a: str, b: str) -> bool:
+    """Sequence-number comparison: real Kinesis sequence numbers are
+    decimal digit strings whose NUMERIC order is the stream order —
+    lexicographic compare breaks across lengths ('9' > '10'). Falls
+    back to string order for non-numeric fakes."""
+    if a.isdigit() and b.isdigit():
+        return int(a) >= int(b)
+    return a >= b
+
+
 def _error_code(exc: Exception) -> str | None:
     """AWS error code from a botocore ClientError (or fake)."""
     resp = getattr(exc, "response", None)
@@ -238,7 +248,7 @@ class KinesisSimpleStreamReader:
                                  rec.get("PartitionKey"),
                                  rec.get("ApproximateArrivalTimestamp"),
                                  rec["Data"]))
-                if poller.last_sequence_number >= end_seq:
+                if _seq_ge(poller.last_sequence_number, end_seq):
                     break
         return rows
 

@@ -294,3 +294,40 @@ events:
     assert sorted(r["event_id"] for r in rows) == [0, 1, 2, 3, 4, 5]
     types = {r["event_type"] for r in rows}
     assert types == {"click", "view"}
+
+
+def test_replay_with_numeric_sequence_numbers_across_lengths():
+    """Real Kinesis sequence numbers are decimal strings ordered
+    NUMERICALLY; replay must not stop early when the end sequence is
+    longer than an intermediate one ('9' vs '10')."""
+    c = FakeKinesisClient()
+    for seq, data in [("8", b"d8"), ("9", b"d9"), ("10", b"d10"),
+                      ("11", b"d11")]:
+        c.add_record("test-stream", "shard-0000", seq, data)
+    # the fake serves batches in lexicographic order of its sorted
+    # store; use a numerically-sorted store to mirror real Kinesis
+    c.streams["test-stream"]["shard-0000"].sort(key=lambda r: int(r[0]))
+
+    class NumericFake(FakeKinesisClient):
+        pass
+
+    nf = NumericFake()
+    nf.streams = c.streams
+
+    def get_records(ShardIterator, Limit):
+        nf.get_records_calls += 1
+        stream, shard, seq = ShardIterator.split(":")
+        pos = int(seq) if seq else -1
+        for sn, data, pkey in nf.streams[stream][shard]:
+            if int(sn) > pos:
+                return {"NextShardIterator": f"{stream}:{shard}:{sn}",
+                        "Records": [{"SequenceNumber": sn, "Data": data,
+                                     "PartitionKey": pkey}],
+                        "MillisBehindLatest": 0}
+        return {"NextShardIterator": ShardIterator, "Records": [],
+                "MillisBehindLatest": 0}
+
+    nf.get_records = get_records
+    r = KinesisSimpleStreamReader(nf, "test-stream", min_interval=0.0)
+    rows = r.readBetweenOffsets({"shard-0000": "8"}, {"shard-0000": "11"})
+    assert [bytes(x[4]) for x in rows] == [b"d9", b"d10", b"d11"]
