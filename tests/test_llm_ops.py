@@ -221,3 +221,35 @@ def test_perplexity_proxy_scores_every_doc(spark):
     # integer accumulators agree with the reported mean
     for r in rows[:20]:
         assert abs(r["avg_nll"] - r["nll_u_total"] / (1e6 * r["n_tok"])) < 1e-12
+
+
+def test_sequence_pack_property_on_synthetic_corpus(spark, tmp_path):
+    """Packing invariants on a corpus the testdata can't produce:
+    documents LONGER than the 512-token window (spanning several
+    sequences) and single-token documents."""
+    import random
+
+    from go_triton_spark.operators.training import text_sequence_pack
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        n = rng.choice([1, 3, 40, 511, 512, 513, 1500])
+        rows.append((i, " ".join(f"w{j}" for j in range(n)), "xx", "syn", n))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        ((r["doc_id"], r["n_tokens"], r["tok_start"],
+          r["seq_first"], r["seq_last"])
+         for r in text_sequence_pack(spark, str(tmp_path)).collect()))
+    offset = 0
+    for doc_id, n_tokens, tok_start, seq_first, seq_last in got:
+        assert tok_start == offset                       # gapless concat
+        assert seq_first == tok_start // 512
+        assert seq_last == (tok_start + n_tokens - 1) // 512
+        assert seq_last >= seq_first                     # long docs span
+        offset += n_tokens
+    spans = {d: (sl - sf + 1) for d, n, t, sf, sl in got}
+    assert max(spans.values()) >= 3  # the 1500-token doc spans >= 3 windows
