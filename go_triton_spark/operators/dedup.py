@@ -588,7 +588,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "dedup"),
 )
-def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_levenshtein(spark: SparkSession, sf_dir: str,
+                      pair_budget: int = 50_000) -> DataFrame:
     """Edit-distance near-dup pairs with (lang, length-bucket) blocking.
 
     Levenshtein is O(len^2) per pair, so the join is blocked: only
@@ -627,7 +628,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across tasks, small blocks pay nothing. NEVER a full-table
     # broadcast (documents is the big table; broadcasting it dies at
     # scale). The id_a < id_b residual dedups within the block.
-    pair_budget = 50_000  # levenshtein comparisons per task (~100us each)
+    # pair_budget: levenshtein comparisons per task (~100us each).
+    # Parametrized so tests can force multi-salt blocks — at gate scale
+    # every block fits one budget (salts=1), which would otherwise
+    # leave the salted path untested (test_llm_ops.py forces it).
     stats = (sel.groupBy("lang", "bucket").agg(F.count("*").alias("n"))
              .select("lang", "bucket",
                      F.greatest(F.lit(1), F.least(F.lit(64), F.ceil(

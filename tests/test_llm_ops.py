@@ -253,3 +253,17 @@ def test_sequence_pack_property_on_synthetic_corpus(spark, tmp_path):
         offset += n_tokens
     spans = {d: (sl - sf + 1) for d, n, t, sf, sl in got}
     assert max(spans.values()) >= 3  # the 1500-token doc spans >= 3 windows
+
+
+def test_levenshtein_salting_is_result_invariant(spark):
+    """Force the size-aware salting into the multi-salt regime (tiny
+    pair budget -> up to 64 salts per block) and assert the result set
+    is IDENTICAL to the unsalted plan — salting must only re-shard the
+    pair space, never change which pairs are scored."""
+    from go_triton_spark.operators.dedup import dedup_levenshtein
+
+    base = {(r["id_a"], r["id_b"], r["dist"])
+            for r in dedup_levenshtein(spark, SF, pair_budget=10**9).collect()}
+    salted = {(r["id_a"], r["id_b"], r["dist"])
+              for r in dedup_levenshtein(spark, SF, pair_budget=10).collect()}
+    assert salted == base
