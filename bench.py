@@ -79,6 +79,7 @@ HEADLINE = [
     "text_sequence_pack",
     "dedup_span_exact",
     "text_perplexity_proxy",
+    "emb_quantize_int8",
 ]
 
 

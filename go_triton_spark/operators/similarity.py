@@ -408,3 +408,74 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count("*").alias("dim"),
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             cast(unnest(embedding) AS double) AS v
+      FROM embeddings
+    ), stats AS (
+      SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY pos
+    ), q AS (
+      SELECT vec_id, e.pos,
+             cast(least(greatest(floor(
+               CASE WHEN mx = mn THEN 0.0
+                    ELSE (v - mn) * 255.0 / (mx - mn) END + 0.5), 0.0), 255.0)
+               AS bigint) AS qv
+      FROM e JOIN stats ON e.pos = stats.pos
+    )
+    SELECT vec_id, cast(sum(qv) AS bigint) AS q_checksum,
+           string_agg(cast(qv AS varchar), '|' ORDER BY pos) AS q_codes
+    FROM q GROUP BY vec_id
+    """,
+    tags=("llm", "similarity", "vector", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension asymmetric int8 quantization (the storage/serving
+    compression step of an embedding pipeline: 4x smaller vectors,
+    and the code table an int8-SIMD ANN index consumes).
+
+    Plan shape: one posexplode->groupBy(pos) partial aggregate reduces
+    the corpus to dim rows of (min, max); those pack into two dim-length
+    arrays broadcast to every task; quantization itself is a pure
+    projection (`transform` with an index lambda) that never shuffles.
+    At 100 TB the only shuffle moves dim x n_partitions partial rows —
+    independent of corpus size — and the scan-to-codes pass is
+    map-only, so this scales exactly like a filter.
+
+    Determinism: code values are integers produced by floor(x + 0.5)
+    on bit-identical IEEE double expressions ((v-mn)*255/(mx-mn),
+    same association both engines), so the '|'-joined code string and
+    checksum are hash-stable cross-engine (float->double widening is
+    exact; no half-up-vs-half-even ambiguity because floor is used,
+    not round)."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    stats = (emb.select(F.posexplode("embedding").alias("pos", "v"))
+             .groupBy("pos")
+             .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                  F.max(F.col("v").cast("double")).alias("mx")))
+    # dim rows -> one row of two dim-length arrays, broadcast to all tasks
+    packed = stats.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+        .alias("mn_arr"),
+        F.expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+        .alias("mx_arr"))
+    q_expr = (
+        "transform(embedding, (x, i) -> cast(least(greatest(floor("
+        "CASE WHEN element_at(mx_arr, i + 1) = element_at(mn_arr, i + 1) "
+        "THEN 0.0D ELSE (cast(x AS double) - element_at(mn_arr, i + 1)) "
+        "* 255.0D / (element_at(mx_arr, i + 1) - element_at(mn_arr, i + 1)) "
+        "END + 0.5D), 0.0D), 255.0D) AS bigint))")
+    return (emb.crossJoin(F.broadcast(packed))
+            .withColumn("q_arr", F.expr(q_expr))
+            .select(
+                "vec_id",
+                F.expr("aggregate(q_arr, 0L, (acc, v) -> acc + v)")
+                .alias("q_checksum"),
+                F.array_join(
+                    F.expr("transform(q_arr, v -> cast(v AS string))"), "|")
+                .alias("q_codes")))

@@ -267,3 +267,36 @@ def test_levenshtein_salting_is_result_invariant(spark):
     salted = {(r["id_a"], r["id_b"], r["dist"])
               for r in dedup_levenshtein(spark, SF, pair_budget=10).collect()}
     assert salted == base
+
+
+def test_emb_quantize_int8_codes_and_reconstruction(spark):
+    """Codes lie in [0,255]; dequantized values reconstruct each
+    dimension within half a quantization step of the original; codes
+    are deterministic across re-runs (global stats, integer code
+    math)."""
+    out = _run(spark, "emb_quantize_int8").collect()
+    emb = {r["vec_id"]: [float(x) for x in r["embedding"]]
+           for r in spark.read.parquet(SF + "/embeddings.parquet").collect()}
+    dim = len(next(iter(emb.values())))
+    mn = [min(v[i] for v in emb.values()) for i in range(dim)]
+    mx = [max(v[i] for v in emb.values()) for i in range(dim)]
+    assert len(out) == len(emb)
+    for r in out:
+        codes = [int(c) for c in r["q_codes"].split("|")]
+        assert len(codes) == dim
+        assert all(0 <= c <= 255 for c in codes)
+        assert sum(codes) == r["q_checksum"]
+        for i, c in enumerate(codes):
+            if mx[i] == mn[i]:
+                assert c == 0
+                continue
+            step = (mx[i] - mn[i]) / 255.0
+            deq = mn[i] + c * step
+            assert abs(deq - emb[r["vec_id"]][i]) <= step / 2 + 1e-9
+
+    # deterministic: a re-run (fresh plan, fresh shuffles) emits
+    # identical codes — global min/max stats, integer code math
+    base = {r["vec_id"]: r["q_codes"] for r in out}
+    again = {r["vec_id"]: r["q_codes"]
+             for r in _run(spark, "emb_quantize_int8").collect()}
+    assert base == again
