@@ -80,6 +80,8 @@ HEADLINE = [
     "dedup_span_exact",
     "text_perplexity_proxy",
     "emb_quantize_int8",
+    "text_c4_filters",
+    "curate_mix_weights",
 ]
 
 

@@ -418,3 +418,55 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "nll_u_total", "n_tok",
                     (F.col("nll_u_total")
                      / (1e6 * F.col("n_tok"))).alias("avg_nll")))
+
+
+@query(
+    "text_c4_filters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(len(ws) AS bigint) AS n_words,
+           cast(contains(text, '{') OR contains(text, '}') AS boolean)
+             AS has_brace,
+           cast(contains(lower(text), 'lorem ipsum') AS boolean)
+             AS has_lorem,
+           cast(contains(lower(text), 'javascript') AS boolean) AS has_js,
+           cast(right(text, 1) IN ('.', '!', '?', '"') AS boolean)
+             AS ends_punct,
+           cast(len(ws) >= 5 AND NOT (contains(text, '{')
+                OR contains(text, '}'))
+                AND NOT contains(lower(text), 'lorem ipsum')
+             AS boolean) AS keep
+    FROM t
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, public): minimum word
+    count, curly-brace rejection (code/templating), boilerplate phrase
+    rejection ('lorem ipsum', 'javascript'), terminal-punctuation
+    signal. Complements text_gopher_filters (repetition gates) and
+    text_quality_score (ratio dials) — the three public filter suites a
+    web-corpus pass actually stacks.
+
+    Pure narrow projection over built-in string predicates: pushes to
+    the scan, codegen end-to-end, zero shuffles — at 100 TB this is a
+    map-only pass whose cost is the read itself."""
+    (d,) = tables(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    has_brace = F.col("text").contains("{") | F.col("text").contains("}")
+    has_lorem = lower.contains("lorem ipsum")
+    n_words = F.size(F.expr("filter(split(text, ' '), w -> w <> '')"))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        lower.contains("javascript").alias("has_js"),
+        F.expr("right(text, 1)").isin(".", "!", "?", '"').alias("ends_punct"),
+        ((n_words >= 5) & ~has_brace & ~has_lorem).alias("keep"))

@@ -166,3 +166,77 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"tok_start div {_PACK_WINDOW}").alias("seq_first"),
         F.expr(f"(tok_start + n_tokens - 1) div {_PACK_WINDOW}")
          .alias("seq_last"))
+
+
+_MIX_BUDGET = 100_000     # token budget the mixture must sum to
+
+
+@query(
+    "curate_mix_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, source,
+             count(*) AS n_docs,
+             cast(sum(len(list_filter(string_split(text, ' '),
+                                      w -> w <> ''))) AS bigint) AS toks
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT cast(sum(toks) AS bigint) AS t FROM tok
+    ), base AS (
+      SELECT lang, source, n_docs, toks,
+             ({_MIX_BUDGET} * toks) // t AS alloc_floor,
+             ({_MIX_BUDGET} * toks) % t AS rem
+      FROM tok, tot
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk,
+             cast({_MIX_BUDGET} - sum(alloc_floor) OVER () AS bigint)
+               AS leftover
+      FROM base
+    )
+    SELECT lang, source, n_docs, toks,
+           cast(alloc_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS bigint) AS alloc_tokens
+    FROM ranked
+    """,
+    tags=("llm", "curation", "training"),
+)
+def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting: allocate a fixed training token budget
+    across (lang, source) groups proportionally to their token mass,
+    using largest-remainder (Hamilton) apportionment so the allocations
+    are integers that sum EXACTLY to the budget — the deterministic
+    skeleton of the mixing step every pretraining run performs before
+    sampling (temperature/DoReMi reweighting plugs in by replacing the
+    proportional share; the integer apportionment stays).
+
+    All decisions are int64 arithmetic (floor-div + remainder rank), so
+    the result is bit-identical cross-engine and rerun-stable. Plan:
+    one map-side-combinable aggregate reduces the corpus to one row per
+    group; the window apportionment runs on that tiny table (a few
+    hundred rows even at 100 TB — group count, not corpus size, bounds
+    it). Budget*toks stays under 2^63 for corpora up to ~9e13 tokens at
+    this budget; raise to decimal if both grow."""
+    (d,) = tables(spark, sf_dir, "documents")
+    tok = (d.select(
+        "lang", "source",
+        F.size(F.expr("filter(split(text, ' '), w -> w <> '')"))
+         .cast("long").alias("ntok"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("toks")))
+    tot = tok.withColumn("t", F.sum("toks").over(Window.partitionBy()))
+    base = tot.select(
+        "lang", "source", "n_docs", "toks",
+        F.expr(f"({_MIX_BUDGET} * toks) div t").alias("alloc_floor"),
+        F.expr(f"({_MIX_BUDGET} * toks) % t").alias("rem"))
+    ranked = (base
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.desc("rem"), F.asc("lang"),
+                                 F.asc("source"))))
+              .withColumn("leftover",
+                          F.lit(_MIX_BUDGET)
+                          - F.sum("alloc_floor").over(Window.partitionBy())))
+    return ranked.select(
+        "lang", "source", "n_docs", "toks",
+        (F.col("alloc_floor")
+         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long").alias("alloc_tokens"))

@@ -300,3 +300,25 @@ def test_emb_quantize_int8_codes_and_reconstruction(spark):
     again = {r["vec_id"]: r["q_codes"]
              for r in _run(spark, "emb_quantize_int8").collect()}
     assert base == again
+
+
+def test_curate_mix_weights_allocations_sum_to_budget(spark):
+    """Largest-remainder apportionment: integer allocations, exact
+    budget total, each group within 1 token of its proportional
+    share."""
+    rows = _run(spark, "curate_mix_weights").collect()
+    budget = 100_000
+    total_tok = sum(r["toks"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    for r in rows:
+        exact = budget * r["toks"] / total_tok
+        assert abs(r["alloc_tokens"] - exact) < 1.0
+        assert r["alloc_tokens"] >= 0
+
+
+def test_text_c4_filters_keep_is_conjunction(spark):
+    rows = _run(spark, "text_c4_filters").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["keep"] == ((r["n_words"] >= 5) and not r["has_brace"]
+                             and not r["has_lorem"])
