@@ -7,6 +7,8 @@
     python -m go_triton_spark.cli shards --stream S
     python -m go_triton_spark.cli compact --stream S --date YYYYMMDD
     python -m go_triton_spark.cli expire --stream S --keep-after YYYYMMDD
+    python -m go_triton_spark.cli queries [--tag llm]
+    python -m go_triton_spark.cli query NAME [--sf DIR] [--limit N]
 
 ``compact``/``expire`` are archive-maintenance additions (no reference
 counterpart — go-triton archives accumulate unmanaged); both print one
@@ -129,6 +131,41 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registry query against a testdata dir, JSON-lines out.
+
+    The analytics face of the CLI: every operator in the engine's
+    registry (TPC-H suite, dedup/ANN/curation, event-time, …) is
+    runnable by name without writing a script."""
+    from go_triton_spark.operators import REGISTRY
+    from go_triton_spark.session import get_spark
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r} — run 'queries' to list",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("triton-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = REGISTRY[args.name].spark(spark, args.sf)
+    if args.limit:
+        df = df.limit(args.limit)
+    for line in df.toJSON().toLocalIterator():  # streamed, not collect()
+        print(line)
+    return 0
+
+
+def cmd_queries(args) -> int:
+    """List registry queries (name, tags, first docstring line)."""
+    from go_triton_spark.operators import REGISTRY
+
+    for name, qd in sorted(REGISTRY.items()):
+        if args.tag and args.tag not in qd.tags:
+            continue
+        first = qd.doc.strip().splitlines()[0] if qd.doc else ""
+        print(f"{name}\t[{','.join(qd.tags)}]\t{first}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="triton-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -170,6 +207,19 @@ def main(argv: list[str] | None = None) -> int:
     p_expire.add_argument("--keep-after", required=True, metavar="YYYYMMDD")
     p_expire.add_argument("--client")
     p_expire.set_defaults(fn=cmd_expire)
+
+    p_query = sub.add_parser("query", help="run a registry query by name")
+    p_query.add_argument("name")
+    p_query.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="testdata dir with the parquet tables")
+    p_query.add_argument("--limit", type=int, default=0,
+                         help="cap emitted rows (0 = all)")
+    p_query.set_defaults(fn=cmd_query)
+
+    p_queries = sub.add_parser("queries", help="list registry queries")
+    p_queries.add_argument("--tag", help="filter by tag (e.g. llm, dedup)")
+    p_queries.set_defaults(fn=cmd_queries)
 
     args = ap.parse_args(argv)
     return args.fn(args)

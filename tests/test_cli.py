@@ -71,3 +71,29 @@ def test_cli_compact_and_expire(spark, cli_env, capsys):
     assert main(["expire", "--stream", "events", "--keep-after", tomorrow]) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats == {"dropped": 1, "kept": 0}
+
+
+def test_cli_queries_listing(capsys):
+    from go_triton_spark import cli
+
+    assert cli.main(["queries", "--tag", "dedup"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_exact" in out and "dedup_minhash_lsh" in out
+    assert "q1_pricing_summary" not in out  # tag filter applies
+
+    assert cli.main(["queries"]) == 0
+    assert "q1_pricing_summary" in capsys.readouterr().out
+
+
+def test_cli_query_runs_and_limits(spark, capsys):
+    from go_triton_spark import cli
+
+    assert cli.main(["query", "agg_basic",
+                     "--sf", "/root/testdata/sf0.001", "--limit", "2"]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert "o_orderstatus" in lines[0]
+
+    assert cli.main(["query", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err
