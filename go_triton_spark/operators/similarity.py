@@ -479,3 +479,122 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(
                     F.expr("transform(q_arr, v -> cast(v AS string))"), "|")
                 .alias("q_codes")))
+
+
+# --- deterministic mini-batch-free Lloyd k-means ---------------------
+_KM_K = 4        # clusters; seeds are the k lowest vec_ids
+_KM_ITERS = 2    # unrolled Lloyd iterations (assign -> re-center -> assign)
+
+_KM_DIST = (
+    "round(aggregate(zip_with(embedding, c.vec, "
+    "(x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)), "
+    "cast(0.0 AS double), (acc, v) -> acc + v), 6)")
+
+# argmin over the broadcast centroid array: per-centroid squared
+# distance, rounded to 6 dp, struct-sorted (dist, cid) -> first element.
+_KM_BEST = (
+    f"element_at(array_sort(transform(cents, c -> "
+    f"named_struct('dist', {_KM_DIST}, 'cid', c.cid))), 1)")
+
+
+def _km_dist_sql(cent_col: str) -> str:
+    """DuckDB squared-distance twin: same left-to-right fold order as
+    Spark's aggregate(zip_with(...)) via sum(... ORDER BY i)."""
+    t = (f"(cast(e.embedding[i] AS double) - {cent_col}[i])"
+         f" * (cast(e.embedding[i] AS double) - {cent_col}[i])")
+    return (f"round((SELECT sum({t} ORDER BY i)"
+            f" FROM generate_series(1, {_DIM}) t(i)), 6)")
+
+
+@query(
+    "emb_kmeans",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT vec_id AS cluster,
+             list_transform(embedding, x -> cast(x AS double)) AS cent
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    d1 AS (
+      SELECT e.vec_id, c.cluster, {_km_dist_sql('c.cent')} AS dist
+      FROM embeddings e CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d1) t WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.cluster, i AS pos,
+             cast(sum(cast(e.embedding[i] AS decimal(30,8))) AS double)
+               / count(*) AS cv
+      FROM a1 JOIN embeddings e USING (vec_id)
+      CROSS JOIN generate_series(1, {_DIM}) t(i)
+      GROUP BY a1.cluster, i
+    ),
+    c1 AS (
+      SELECT cluster, array_agg(cv ORDER BY pos) AS cent
+      FROM m1 GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cluster, {_km_dist_sql('c.cent')} AS dist
+      FROM embeddings e CROSS JOIN c1 c
+    )
+    SELECT vec_id, cluster, dist FROM (
+      SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d2) t WHERE rn = 1
+    """,
+    tags=("llm", "similarity", "clustering"),
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus (the
+    clustering step under semantic dedup, data-mix bucketing, and IVF
+    coarse-quantizer training). k={_KM_K} seeds = the k lowest vec_ids;
+    two unrolled assign->re-center iterations; output is the final
+    (vec_id, cluster, dist) assignment.
+
+    Scale shape (the reason this is written the way it is): the
+    ASSIGNMENT pass is shuffle-free — all k centroids pack into ONE
+    broadcast row of array<struct<cid,vec>> and the argmin is pure
+    column arithmetic (transform + array_sort on (dist, cid) structs),
+    so each iteration streams the corpus map-only. The only shuffle
+    per iteration is the re-center aggregate, whose cardinality is
+    k x dim x partitions partial rows -> k x dim — independent of
+    corpus size. At 100 TB that is a few-KB shuffle per iteration;
+    the classic MLlib-style per-row (cluster, vec) shuffle never
+    happens.
+
+    Cross-engine determinism: distances fold left-to-right in double
+    and round to 6 dp before the argmin (tie -> lowest cluster id);
+    re-centered means are exact decimal sums / count. An emptied
+    cluster drops out of the centroid set identically on both sides.
+    """
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    c0 = (emb.where(F.col("vec_id") < _KM_K)
+          .agg(F.expr(
+              "array_sort(collect_list(named_struct("
+              "'cid', vec_id, "
+              "'vec', transform(embedding, x -> cast(x AS double)))))")
+          .alias("cents")))
+    a1 = (emb.crossJoin(F.broadcast(c0))
+          .withColumn("best", F.expr(_KM_BEST))
+          .select("vec_id", "embedding", F.col("best.cid").alias("cluster")))
+    # re-center: posexplode -> (cluster, pos) partial agg (map-side
+    # combine) -> exact-decimal mean -> repack to one broadcast row
+    m1 = (a1.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+          .groupBy("cluster", "pos")
+          .agg((F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+                / F.count("*")).alias("cv")))
+    c1 = (m1.groupBy("cluster")
+          .agg(F.expr("transform(array_sort(collect_list(struct(pos, cv))),"
+                      " s -> s.cv)").alias("vec"))
+          .agg(F.expr("array_sort(collect_list(named_struct("
+                      "'cid', cluster, 'vec', vec)))").alias("cents")))
+    return (emb.crossJoin(F.broadcast(c1))
+            .withColumn("best", F.expr(_KM_BEST))
+            .select("vec_id",
+                    F.col("best.cid").alias("cluster"),
+                    F.col("best.dist").alias("dist")))

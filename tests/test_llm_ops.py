@@ -322,3 +322,17 @@ def test_text_c4_filters_keep_is_conjunction(spark):
     for r in rows:
         assert r["keep"] == ((r["n_words"] >= 5) and not r["has_brace"]
                              and not r["has_lorem"])
+
+
+def test_kmeans_assigns_every_vector_once(spark):
+    """emb_kmeans: total assignment, cluster ids from the seed set,
+    >1 cluster survives, and the run is deterministic."""
+    rows = _run(spark, "emb_kmeans").collect()
+    n_vecs = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    assert len({r["vec_id"] for r in rows}) == n_vecs
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(4)) and len(clusters) >= 2
+    assert all(r["dist"] >= 0 for r in rows)
+    again = {(r["vec_id"], r["cluster"]) for r in _run(spark, "emb_kmeans").collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} == again
