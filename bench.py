@@ -82,6 +82,7 @@ HEADLINE = [
     "emb_quantize_int8",
     "text_c4_filters",
     "curate_mix_weights",
+    "emb_kmeans",
 ]
 
 

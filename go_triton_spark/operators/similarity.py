@@ -598,3 +598,99 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id",
                     F.col("best.cid").alias("cluster"),
                     F.col("best.dist").alias("dist")))
+
+
+# --- full kNN graph (LSH-bucketed) -----------------------------------
+_KNN_BANDS = 32
+_KNN_ROWS = 6     # 6 sign bits/band: prunes to ~1/3 of all pairs on a
+_KNN_K = 3        # near-random corpus; far more on clustered real data
+
+
+def _knn_sig_sql(one_based_col: str, band: int) -> str:
+    return _sign_sig_sql(one_based_col, band, _KNN_ROWS, 2)
+
+
+def _knn_oracle() -> str:
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_knn_sig_sql('embedding[%d]', b)} AS sig "
+        f"FROM embeddings"
+        for b in range(_KNN_BANDS))
+    dot = ("(SELECT sum(cast({a}[i] as double) * cast({b}[i] as double) "
+           f"ORDER BY i) FROM generate_series(1, {_DIM}) t(i))")
+    return f"""
+    WITH sig AS ({sig_rows}),
+    cand AS (
+      SELECT DISTINCT q.vec_id, n.vec_id AS neighbor_id
+      FROM sig q JOIN sig n ON q.band = n.band AND q.sig = n.sig
+      WHERE q.vec_id <> n.vec_id),
+    s AS (
+      SELECT c.vec_id, c.neighbor_id,
+             round({dot.format(a='q.embedding', b='n.embedding')}
+                   / sqrt({dot.format(a='q.embedding', b='q.embedding')}
+                          * {dot.format(a='n.embedding', b='n.embedding')}),
+                   6) AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.vec_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id)
+    SELECT vec_id, neighbor_id, rank, score FROM (
+      SELECT vec_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM s) t
+    WHERE rank <= {_KNN_K}
+    """
+
+
+@query(
+    "knn_graph_lsh",
+    oracle=_knn_oracle(),
+    tags=("llm", "similarity", "lsh", "graph"),
+)
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus (the
+    primitive under SemDeDup-style semantic dedup, graph clustering,
+    and duplicate-cluster discovery): every vector's top-{_KNN_K}
+    cosine neighbors, found via sign-band LSH candidates + exact
+    rescore of candidates only.
+
+    Unlike ann_topk_*, there is no small query set to broadcast — the
+    corpus SELF-joins. The plan keeps that survivable at 100 TB:
+    signatures are a narrow JVM projection (explode of 32 6-bit band
+    keys), the self-join shuffles only (vec_id, band, sig) rows
+    hash-partitioned on the (band, sig) bucket key — never the
+    embeddings — and only surviving candidate pairs pay the 64-dim
+    rescore join. Bucket sizes bound the quadratic term: cost is
+    sum-over-buckets |b|^2, not N^2; on clustered real-embedding
+    corpora the 6-bit bands prune far harder than on this near-random
+    testdata (~1/3 of pairs, recall ~0.7 vs true top-3 — asserted in
+    test_llm_ops.py). The DuckDB oracle replicates the ALGORITHM
+    (same bands, candidates, fold order, ranking), so the driver
+    hash-checks the full output; the approximation is tested, not
+    gated."""
+    (e,) = tables(spark, sf_dir, "embeddings")
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', "
+        + _knn_sig_sql("element_at(embedding, %d)", b) + ")"
+        for b in range(_KNN_BANDS))
+    buckets = (e.select(
+        "vec_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"),
+                F.col("bk.sig").alias("sig")))
+    nb = (buckets.select(F.col("vec_id").alias("neighbor_id"),
+                         "band", "sig"))
+    cand = (buckets.join(nb, ["band", "sig"])
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+            .distinct())
+    qe = e.select(F.col("vec_id"), F.col("embedding").alias("q_emb"))
+    ne = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("n_emb"))
+    scored = (cand.join(qe, "vec_id").join(ne, "neighbor_id")
+              .withColumn("score", F.round(
+                  F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
+                                             F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _KNN_K)
+            .select("vec_id", "neighbor_id", "rank", "score"))
