@@ -83,6 +83,7 @@ HEADLINE = [
     "text_c4_filters",
     "curate_mix_weights",
     "emb_kmeans",
+    "knn_graph_lsh",
 ]
 
 

@@ -20,6 +20,8 @@ REPRESENTATIVES = [
     "dedup_levenshtein",        # size-aware salted join + pinned width
     "text_sequence_pack",       # per-lang running sum
     "curate_language_balance",  # integer-weight targets + hash order
+    "emb_kmeans",               # decimal re-center means + rounded argmin
+    "knn_graph_lsh",            # bucket self-join + total-order rank
 ]
 
 
