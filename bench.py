@@ -84,6 +84,7 @@ HEADLINE = [
     "curate_mix_weights",
     "emb_kmeans",
     "knn_graph_lsh",
+    "semdedup_prune",
 ]
 
 

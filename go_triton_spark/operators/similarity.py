@@ -694,3 +694,85 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _KNN_K)
             .select("vec_id", "neighbor_id", "rank", "score"))
+
+
+# --- SemDeDup-style semantic pruning ---------------------------------
+_SEM_T = 0.45   # cosine threshold; testdata has real pairs >= 0.45
+
+
+def _sem_oracle() -> str:
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_knn_sig_sql('embedding[%d]', b)} AS sig "
+        f"FROM embeddings"
+        for b in range(_KNN_BANDS))
+    return f"""
+    WITH sig AS ({sig_rows}),
+    cand AS (
+      SELECT DISTINCT q.vec_id, n.vec_id AS lower_id
+      FROM sig q JOIN sig n ON q.band = n.band AND q.sig = n.sig
+      WHERE n.vec_id < q.vec_id),
+    pruned AS (
+      SELECT DISTINCT c.vec_id
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.vec_id
+      JOIN embeddings n ON n.vec_id = c.lower_id
+      WHERE round(
+        (SELECT sum(cast(q.embedding[i] as double) * cast(n.embedding[i] as double)
+                    ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+        / sqrt(
+          (SELECT sum(cast(q.embedding[i] as double) * cast(q.embedding[i] as double)
+                      ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+          * (SELECT sum(cast(n.embedding[i] as double) * cast(n.embedding[i] as double)
+                        ORDER BY i) FROM generate_series(1, {_DIM}) t(i))),
+        6) >= {_SEM_T})
+    SELECT e.vec_id, p.vec_id IS NULL AS keep
+    FROM embeddings e LEFT JOIN pruned p ON p.vec_id = e.vec_id
+    """
+
+
+@query(
+    "semdedup_prune",
+    oracle=_sem_oracle(),
+    tags=("llm", "similarity", "dedup", "lsh"),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public): a
+    vector is dropped when a LOWER-id candidate neighbor sits within
+    cosine >= {_SEM_T} — one deterministic pass instead of the paper's
+    sequential greedy (min-id acts as the cluster representative).
+    Output: (vec_id, keep) for the whole corpus — the decision column
+    a curation pipeline joins back onto documents.
+
+    Same scale shape as knn_graph_lsh: candidates from the 6-bit sign
+    bands (only (vec_id, band, sig) shuffles), exact rescore on
+    candidate pairs only, then one anti-join-shaped LEFT JOIN against
+    the distinct pruned set. The DuckDB oracle is the algorithm twin
+    (same bands, same fold order, same rounding), so the driver
+    hash-checks the full keep/drop vector."""
+    (e,) = tables(spark, sf_dir, "embeddings")
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', "
+        + _knn_sig_sql("element_at(embedding, %d)", b) + ")"
+        for b in range(_KNN_BANDS))
+    buckets = (e.select(
+        "vec_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"),
+                F.col("bk.sig").alias("sig")))
+    nb = buckets.select(F.col("vec_id").alias("lower_id"), "band", "sig")
+    cand = (buckets.join(nb, ["band", "sig"])
+            .where(F.col("lower_id") < F.col("vec_id"))
+            .select("vec_id", "lower_id")
+            .distinct())
+    qe = e.select("vec_id", F.col("embedding").alias("q_emb"))
+    ne = e.select(F.col("vec_id").alias("lower_id"),
+                  F.col("embedding").alias("n_emb"))
+    pruned = (cand.join(qe, "vec_id").join(ne, "lower_id")
+              .where(F.round(
+                  F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6)
+                  >= _SEM_T)
+              .select("vec_id").distinct()
+              .withColumn("hit", F.lit(True)))
+    return (e.select("vec_id").join(pruned, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce(~F.col("hit"), F.lit(True)).alias("keep")))

@@ -367,3 +367,15 @@ def test_knn_graph_recall_vs_bruteforce(spark):
             tot += 1
             hits += int(ids[j]) in mine
     assert hits / tot >= 0.6, f"recall {hits/tot:.3f}"
+
+
+def test_semdedup_prune_drops_some_and_keeps_min_ids(spark):
+    """semdedup_prune: full-corpus decision vector; something prunes on
+    this corpus (pairs >= 0.45 exist); vec_id 0 can never be pruned
+    (no lower id); pruning is monotone — every pruned vector has a
+    kept-or-pruned lower-id candidate, never the other way."""
+    rows = {r["vec_id"]: r["keep"] for r in _run(spark, "semdedup_prune").collect()}
+    n = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert len(rows) == n
+    assert rows[0] is True
+    assert any(not k for k in rows.values())
