@@ -380,11 +380,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
-    scored = (cand.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
-              .withColumn("score", F.round(
-                  F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6)))
+    scored = _exact_pair_scores(spark, cand, e, "query_id", "neighbor_id",
+                                broadcast_a=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _K)
