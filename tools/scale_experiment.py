@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scale-up experiment: measure how headline operators scale with data.
+
+Synthesizes k-times replicas of the sf0.1 tables (ids offset per copy
+so keys stay unique; text/embedding payloads unchanged, which makes
+the corpus duplicate-heavy — an adversarial-but-realistic shape for
+the dedup/similarity family) under /tmp, then times a representative
+query subset at each multiple. The point is the CURVE, not the
+absolute numbers: a scale-safe plan grows ~linearly in rows; a hidden
+all-pairs or single-task stage grows quadratically or flatlines on
+one core.
+
+Usage: python tools/scale_experiment.py [--mults 1,2,5,10] [--out MD]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/spark_graft_scale"
+
+# (table, id columns to offset per copy) — fact tables replicate,
+# dimension tables copy as-is so FK joins keep matching rows
+REPLICATE = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    "q1_pricing_summary",        # scan -> partial agg
+    "q3_shipping_priority",      # fact-fact join
+    "q21_waiting_supplier",      # per-order stats rewrite
+    "dedup_exact",               # hash groupBy
+    "dedup_minhash_lsh",         # banded candidates + verify
+    "dedup_levenshtein",         # size-aware salted blocks
+    "text_gopher_filters",       # map-only text pass
+    "emb_kmeans",                # broadcast-argmin + tiny shuffle
+    "knn_graph_lsh",             # bucket self-join
+    "semdedup_prune",            # bucket self-join + decision
+    "ann_topk_lsh",              # broadcast query probes
+]
+
+
+def build(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/x{mult}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in COPY:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, id_cols in REPLICATE.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        # offset = copy_index * 10^10 keeps ids unique and disjoint
+        rep = (df.crossJoin(spark.range(mult).withColumnRenamed("id", "__c")))
+        for c in id_cols:
+            rep = rep.withColumn(c, F.col(c) + F.col("__c") * F.lit(10_000_000_000))
+        (rep.drop("__c")
+            .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+    return out
+
+
+def main() -> int:
+    mults = [int(x) for x in (
+        sys.argv[sys.argv.index("--mults") + 1].split(",")
+        if "--mults" in sys.argv else ["1", "2", "5", "10"])]
+
+    from go_triton_spark.session import get_spark
+    from go_triton_spark.operators import REGISTRY
+
+    spark = get_spark("go-triton-spark-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for m in mults:
+        sf_dir = build(spark, m) if m != 1 else BASE
+        for q in QUERIES:
+            t0 = time.time()
+            REGISTRY[q].spark(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            results[q][m] = round(time.time() - t0, 2)
+            print(f"x{m} {q}: {results[q][m]}s", flush=True)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
