@@ -650,6 +650,44 @@ def _knn_sig_sql(one_based_col: str, band: int) -> str:
     return _sign_sig_sql(one_based_col, band, _KNN_ROWS, 2)
 
 
+# Per-(band, sig) membership cap. Without it, candidate-pair count is
+# sum-over-buckets |b|^2 — quadratic in N whenever the data doesn't
+# spread (measured: a 10x duplicate-heavy corpus made the kNN graph
+# 52x slower). Capping each bucket to its _KNN_CAP lowest vec_ids
+# bounds pair work at N x bands x cap — LINEAR in corpus size — at
+# the cost of candidates lost from oversized buckets (members beyond
+# the cap usually still meet in another band; production LSH dedup
+# systems use exactly this guard). Deterministic (min-id membership),
+# so the DuckDB oracle twins it. The cap does not bind on the gate
+# corpora (largest sf0.1 bucket: 56 members).
+_KNN_CAP = 64
+
+_KNN_SIG_CAP_SQL = """SELECT vec_id, band, sig FROM (
+      SELECT vec_id, band, sig,
+             row_number() OVER (PARTITION BY band, sig
+                                ORDER BY vec_id) AS rn
+      FROM sig0) capped WHERE rn <= {cap}"""
+
+
+def _capped_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) table, each bucket capped to the
+    _KNN_CAP lowest vec_ids. The cap window partitions on the same
+    (band, sig) key the candidate self-join shuffles on, so it adds
+    no extra exchange."""
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', "
+        + _knn_sig_sql("element_at(embedding, %d)", b) + ")"
+        for b in range(_KNN_BANDS))
+    buckets = (e.select(
+        "vec_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
+        .select("vec_id", F.col("bk.band").alias("band"),
+                F.col("bk.sig").alias("sig")))
+    wb = Window.partitionBy("band", "sig").orderBy("vec_id")
+    return (buckets.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= _KNN_CAP).drop("rn"))
+
+
 def _knn_oracle() -> str:
     sig_rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, {_knn_sig_sql('embedding[%d]', b)} AS sig "
@@ -658,7 +696,8 @@ def _knn_oracle() -> str:
     dot = ("(SELECT sum(cast({a}[i] as double) * cast({b}[i] as double) "
            f"ORDER BY i) FROM generate_series(1, {_DIM}) t(i))")
     return f"""
-    WITH sig AS ({sig_rows}),
+    WITH sig0 AS ({sig_rows}),
+    sig AS ({_KNN_SIG_CAP_SQL.format(cap=_KNN_CAP)}),
     cand AS (
       SELECT DISTINCT q.vec_id, n.vec_id AS neighbor_id
       FROM sig q JOIN sig n ON q.band = n.band AND q.sig = n.sig
@@ -699,24 +738,18 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys), the self-join shuffles only (vec_id, band, sig) rows
     hash-partitioned on the (band, sig) bucket key — never the
     embeddings — and only surviving candidate pairs pay the 64-dim
-    rescore join. Bucket sizes bound the quadratic term: cost is
-    sum-over-buckets |b|^2, not N^2; on clustered real-embedding
-    corpora the 6-bit bands prune far harder than on this near-random
+    rescore join. The per-bucket membership cap (_KNN_CAP) bounds
+    pair work at N x bands x cap — linear in corpus size even on a
+    duplicate-heavy corpus (uncapped, a 10x replica corpus measured
+    52x slower; see SCALE.md). On clustered real-embedding corpora
+    the 6-bit bands prune far harder than on this near-random
     testdata (~1/3 of pairs, recall ~0.7 vs true top-3 — asserted in
     test_llm_ops.py). The DuckDB oracle replicates the ALGORITHM
     (same bands, candidates, fold order, ranking), so the driver
     hash-checks the full output; the approximation is tested, not
     gated."""
     (e,) = tables(spark, sf_dir, "embeddings")
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'sig', "
-        + _knn_sig_sql("element_at(embedding, %d)", b) + ")"
-        for b in range(_KNN_BANDS))
-    buckets = (e.select(
-        "vec_id",
-        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
-        .select("vec_id", F.col("bk.band").alias("band"),
-                F.col("bk.sig").alias("sig")))
+    buckets = _capped_buckets(e)
     nb = (buckets.select(F.col("vec_id").alias("neighbor_id"),
                          "band", "sig"))
     cand = (buckets.join(nb, ["band", "sig"])
@@ -741,7 +774,8 @@ def _sem_oracle() -> str:
         f"FROM embeddings"
         for b in range(_KNN_BANDS))
     return f"""
-    WITH sig AS ({sig_rows}),
+    WITH sig0 AS ({sig_rows}),
+    sig AS ({_KNN_SIG_CAP_SQL.format(cap=_KNN_CAP)}),
     cand AS (
       SELECT DISTINCT q.vec_id, n.vec_id AS lower_id
       FROM sig q JOIN sig n ON q.band = n.band AND q.sig = n.sig
@@ -785,15 +819,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same bands, same fold order, same rounding), so the driver
     hash-checks the full keep/drop vector."""
     (e,) = tables(spark, sf_dir, "embeddings")
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'sig', "
-        + _knn_sig_sql("element_at(embedding, %d)", b) + ")"
-        for b in range(_KNN_BANDS))
-    buckets = (e.select(
-        "vec_id",
-        F.explode(F.expr(f"array({band_structs})")).alias("bk"))
-        .select("vec_id", F.col("bk.band").alias("band"),
-                F.col("bk.sig").alias("sig")))
+    buckets = _capped_buckets(e)
     nb = buckets.select(F.col("vec_id").alias("lower_id"), "band", "sig")
     cand = (buckets.join(nb, ["band", "sig"])
             .where(F.col("lower_id") < F.col("vec_id"))
