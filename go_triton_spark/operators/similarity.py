@@ -592,7 +592,7 @@ def _km_dist_sql(cent_col: str) -> str:
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding corpus (the
     clustering step under semantic dedup, data-mix bucketing, and IVF
-    coarse-quantizer training). k={_KM_K} seeds = the k lowest vec_ids;
+    coarse-quantizer training). k=4 seeds = the k lowest vec_ids;
     two unrolled assign->re-center iterations; output is the final
     (vec_id, cluster, dist) assignment.
 
@@ -728,7 +728,7 @@ def _knn_oracle() -> str:
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus (the
     primitive under SemDeDup-style semantic dedup, graph clustering,
-    and duplicate-cluster discovery): every vector's top-{_KNN_K}
+    and duplicate-cluster discovery): every vector's top-3
     cosine neighbors, found via sign-band LSH candidates + exact
     rescore of candidates only.
 
@@ -807,7 +807,7 @@ def _sem_oracle() -> str:
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public): a
     vector is dropped when a LOWER-id candidate neighbor sits within
-    cosine >= {_SEM_T} — one deterministic pass instead of the paper's
+    cosine >= 0.45 — one deterministic pass instead of the paper's
     sequential greedy (min-id acts as the cluster representative).
     Output: (vec_id, keep) for the whole corpus — the decision column
     a curation pipeline joins back onto documents.

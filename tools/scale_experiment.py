@@ -37,6 +37,19 @@ REPLICATE = {
 }
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
+QUERIES2 = [
+    "sessionize_events",
+    "interval_join_sessions",
+    "asof_join_events",
+    "evt_session_window",
+    "curate_pipeline_end_to_end",
+    "curate_canonical_docs",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "text_sequence_pack",
+    "q18_large_orders",
+]
+
 QUERIES = [
     "q1_pricing_summary",        # scan -> partial agg
     "q3_shipping_priority",      # fact-fact join
@@ -74,6 +87,9 @@ def build(spark, mult: int) -> str:
 
 
 def main() -> int:
+    global QUERIES
+    if "--batch2" in sys.argv:
+        QUERIES = QUERIES2
     mults = [int(x) for x in (
         sys.argv[sys.argv.index("--mults") + 1].split(",")
         if "--mults" in sys.argv else ["1", "2", "5", "10"])]
