@@ -37,6 +37,19 @@ REPLICATE = {
 }
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
+QUERIES3 = [
+    "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_span_exact",
+    "emb_quantize_int8",
+    "emb_centroids",
+    "ann_topk_ivf",
+    "curate_decontaminate",
+    "text_perplexity_proxy",
+]
+
 QUERIES2 = [
     "sessionize_events",
     "interval_join_sessions",
@@ -90,6 +103,8 @@ def main() -> int:
     global QUERIES
     if "--batch2" in sys.argv:
         QUERIES = QUERIES2
+    if "--batch3" in sys.argv:
+        QUERIES = QUERIES3
     mults = [int(x) for x in (
         sys.argv[sys.argv.index("--mults") + 1].split(",")
         if "--mults" in sys.argv else ["1", "2", "5", "10"])]
