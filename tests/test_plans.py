@@ -76,12 +76,17 @@ def test_tpch_dimension_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
 
 
-def test_q21_semi_anti_join_shapes(spark):
-    # EXISTS / NOT EXISTS must compile to semi/anti joins, never a
-    # row-exploding inner join + dedup
+def test_q21_aggregate_rewrite_shape(spark):
+    # q21 is rewritten from EXISTS/NOT-EXISTS self-joins (3 lineitem
+    # scans, per-order pairwise checks) to per-(order, supplier) max
+    # statistics: the plan must contain the combinable two-level
+    # aggregate and must NOT regress to semi/anti self-joins or a
+    # row-exploding pair join
     plan = _plan(spark, "q21_waiting_supplier")
-    assert "LeftSemi" in plan, "EXISTS not a semi join"
-    assert "LeftAnti" in plan, "NOT EXISTS not an anti join"
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, \
+        "q21 regressed to the 3-scan EXISTS form"
+    assert plan.count("Scan parquet") <= 4, "extra lineitem scans"
+    assert "collect_list" in plan, "per-order top-2 aggregate missing"
 
 
 def test_q20_having_semi_join(spark):
