@@ -379,3 +379,42 @@ def test_semdedup_prune_drops_some_and_keeps_min_ids(spark):
     assert len(rows) == n
     assert rows[0] is True
     assert any(not k for k in rows.values())
+
+
+def test_levenshtein_qgram_no_false_dismissals(spark, tmp_path):
+    """dedup_levenshtein_qgram must equal the blocked-exact form on an
+    adversarial corpus: near-dup pairs (substitutions AND an
+    insertion, which shifts every later gram position), short docs
+    (vacuous q-gram bound -> all-pairs fallback), and degenerate
+    repetitive strings (tiny distinct-gram sets)."""
+    from go_triton_spark.operators.dedup import (dedup_levenshtein,
+                                                 dedup_levenshtein_qgram)
+
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn!!"
+    docs = [
+        (0, base, "en"),
+        (1, base.replace("quick", "quack").replace("lazy", "hazy"), "en"),
+        (2, "X" + base[:-1], "en"),                     # front insertion: shifts all grams
+        (3, "completely different text about spark engines and parquet files ok", "en"),
+        (4, "ab" * 36, "en"),                            # repetitive: 3 distinct grams
+        (5, "ab" * 35 + "abab", "en"),                   # near-dup of 4 (same bucket)
+        (6, "tiny doc", "en"),                           # short: fallback
+        (7, "tiny dog", "en"),                           # dist 1 from 6
+        (8, base, "fr"),                                 # other lang: never pairs with en
+    ]
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [d[0] for d in docs],
+        "text": [d[1] for d in docs],
+        "lang": [d[2] for d in docs],
+        "source": ["t"] * len(docs),
+        "n_chars": [len(d[1]) for d in docs],
+    })
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(out + "/documents.parquet")
+    exact = sorted(map(tuple, dedup_levenshtein(spark, out).collect()))
+    qgram = sorted(map(tuple, dedup_levenshtein_qgram(spark, out).collect()))
+    assert qgram == exact
+    pairs = {(a, b) for a, b, _ in exact}
+    assert (0, 1) in pairs and (0, 2) in pairs and (4, 5) in pairs \
+        and (6, 7) in pairs and not any(8 in p for p in pairs)
