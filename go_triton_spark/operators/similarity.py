@@ -832,3 +832,96 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.select("vec_id").join(pruned, "vec_id", "left")
             .select("vec_id",
                     F.coalesce(~F.col("hit"), F.lit(True)).alias("keep")))
+
+
+# --- kNN-based outlier scoring ---------------------------------------
+_OUT_T = 0.30   # mean-top3-cosine below this => isolated vector
+
+
+def _outlier_oracle() -> str:
+    sig_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_knn_sig_sql('embedding[%d]', b)} AS sig "
+        f"FROM embeddings"
+        for b in range(_KNN_BANDS))
+    dot = ("(SELECT sum(cast({a}[i] as double) * cast({b}[i] as double) "
+           f"ORDER BY i) FROM generate_series(1, {_DIM}) t(i))")
+    return f"""
+    WITH sig0 AS ({sig_rows}),
+    sig AS ({_KNN_SIG_CAP_SQL.format(cap=_KNN_CAP)}),
+    cand AS (
+      SELECT DISTINCT q.vec_id, n.vec_id AS neighbor_id
+      FROM sig q JOIN sig n ON q.band = n.band AND q.sig = n.sig
+      WHERE q.vec_id <> n.vec_id),
+    s AS (
+      SELECT c.vec_id, c.neighbor_id,
+             round({dot.format(a='q.embedding', b='n.embedding')}
+                   / sqrt({dot.format(a='q.embedding', b='q.embedding')}
+                          * {dot.format(a='n.embedding', b='n.embedding')}),
+                   6) AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.vec_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id),
+    top AS (
+      SELECT vec_id, score FROM (
+        SELECT vec_id, score,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM s) t WHERE rank <= {_KNN_K}),
+    agg AS (
+      SELECT vec_id, count(*) AS n_neighbors,
+             cast(sum(cast(round(score * 1000000) AS bigint)) AS bigint)
+               / (count(*) * 1000000e0) AS mean_top
+      FROM top GROUP BY vec_id)
+    SELECT e.vec_id,
+           coalesce(a.n_neighbors, 0) AS n_neighbors,
+           round(coalesce(a.mean_top, 0.0), 6) AS mean_top_score,
+           (a.vec_id IS NULL OR a.n_neighbors < {_KNN_K}
+            OR round(a.mean_top, 6) < {_OUT_T}) AS is_outlier
+    FROM embeddings e LEFT JOIN agg a ON a.vec_id = e.vec_id
+    """
+
+
+@query(
+    "emb_outlier_scores",
+    oracle=_outlier_oracle(),
+    tags=("llm", "similarity", "graph", "curation"),
+)
+def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus outlier scoring (the cleaning step that drops
+    junk/garbled vectors before clustering or semantic dedup): each
+    vector's mean cosine over its top-3 candidate neighbors; a vector
+    is an outlier when it has fewer than 3 candidates or a mean below
+    0.30 — i.e., nothing in the corpus is like it.
+
+    Built on the capped kNN-graph machinery (same bands, cap, and
+    rescore — see knn_graph_lsh for the 100 TB shape). Mean is an
+    integer-exact sum of 1e6-scaled rounded scores so both engines
+    divide identical longs — summation order cannot drift the gate.
+    """
+    (e,) = tables(spark, sf_dir, "embeddings")
+    buckets = _capped_buckets(e)
+    nb = (buckets.select(F.col("vec_id").alias("neighbor_id"),
+                         "band", "sig"))
+    cand = (buckets.join(nb, ["band", "sig"])
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+            .distinct())
+    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
+                                             F.asc("neighbor_id"))
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= _KNN_K))
+    agg = (top.groupBy("vec_id")
+           .agg(F.count("*").alias("n_neighbors"),
+                (F.sum(F.expr("cast(round(score * 1000000) AS bigint)"))
+                 / (F.count("*") * F.lit(1000000.0))).alias("mean_top")))
+    return (e.select("vec_id").join(agg, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+                F.round(F.coalesce(F.col("mean_top"), F.lit(0.0)), 6)
+                .alias("mean_top_score"),
+                (F.col("n_neighbors").isNull()
+                 | (F.col("n_neighbors") < _KNN_K)
+                 | (F.round(F.col("mean_top"), 6) < _OUT_T))
+                .alias("is_outlier")))

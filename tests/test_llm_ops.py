@@ -418,3 +418,15 @@ def test_levenshtein_qgram_no_false_dismissals(spark, tmp_path):
     pairs = {(a, b) for a, b, _ in exact}
     assert (0, 1) in pairs and (0, 2) in pairs and (4, 5) in pairs \
         and (6, 7) in pairs and not any(8 in p for p in pairs)
+
+
+def test_outlier_scores_cover_corpus_and_flag_isolated(spark):
+    """emb_outlier_scores: one row per vector; scores in [-1, 1];
+    outlier flag consistent with its stated rule."""
+    rows = _run(spark, "emb_outlier_scores").collect()
+    n = spark.read.parquet(SF + "/embeddings.parquet").count()
+    assert len(rows) == n
+    for r in rows:
+        assert -1.0 <= r["mean_top_score"] <= 1.0
+        expect = r["n_neighbors"] < 3 or r["mean_top_score"] < 0.30
+        assert r["is_outlier"] == expect
