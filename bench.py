@@ -120,25 +120,35 @@ def main() -> int:
     # full plan through the noop sink
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         qd = REGISTRY[name]
         best = None
-        for _ in range(max(reps, 1)):
-            t0 = time.perf_counter()
-            qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(max(reps, 1)):
+                t0 = time.perf_counter()
+                qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # lose the whole benchmark artifact; record a penalty time
+            # and the error so the regression is visible, not silent
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            best = 999.0
         timings[name] = round(best, 3)
         total += timings[name]
 
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
     return 0
 
