@@ -37,6 +37,21 @@ REPLICATE = {
 }
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
+QUERIES4 = [
+    "udf_scalar_pandas",
+    "udaf_grouped_pandas",
+    "grouped_map_demean",
+    "udf_map_in_arrow",
+    "explode_token_counts",
+    "lateral_posexplode",
+    "pivot_status_by_priority",
+    "window_rank_suite",
+    "window_moving_stats",
+    "agg_grouping_sets",
+    "topk_per_group",
+    "profile_columns",
+]
+
 QUERIES3 = [
     "dedup_embedding_lsh",
     "dedup_embedding_cosine",
@@ -105,6 +120,8 @@ def main() -> int:
         QUERIES = QUERIES2
     if "--batch3" in sys.argv:
         QUERIES = QUERIES3
+    if "--batch4" in sys.argv:
+        QUERIES = QUERIES4
     mults = [int(x) for x in (
         sys.argv[sys.argv.index("--mults") + 1].split(",")
         if "--mults" in sys.argv else ["1", "2", "5", "10"])]
