@@ -925,3 +925,63 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  | (F.col("n_neighbors") < _KNN_K)
                  | (F.round(F.col("mean_top"), 6) < _OUT_T))
                 .alias("is_outlier")))
+
+
+# --- corpus similarity profile (fixed-budget probe) ------------------
+_HIST_K = 300   # probe-subset size; work is K^2/2 pairs at ANY corpus size
+
+
+@query(
+    "emb_similarity_histogram",
+    oracle=f"""
+    WITH probe AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY vec_id LIMIT {_HIST_K}),
+    s AS (
+      SELECT round(
+               (SELECT sum(cast(a.embedding[i] as double) * cast(b.embedding[i] as double)
+                           ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+               / sqrt(
+                 (SELECT sum(cast(a.embedding[i] as double) * cast(a.embedding[i] as double)
+                             ORDER BY i) FROM generate_series(1, {_DIM}) t(i))
+                 * (SELECT sum(cast(b.embedding[i] as double) * cast(b.embedding[i] as double)
+                               ORDER BY i) FROM generate_series(1, {_DIM}) t(i))),
+               6) AS score
+      FROM probe a JOIN probe b ON a.vec_id < b.vec_id)
+    SELECT cast(floor(score * 10) as bigint) AS bin,
+           count(*) AS n_pairs,
+           cast(sum(cast(round(score * 1000000) as bigint)) as bigint) AS score_sum_1e6
+    FROM s GROUP BY bin
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus similarity profile: the distribution of pairwise cosines
+    over a fixed probe subset — the observability dial that picks
+    dedup/semdedup thresholds (where does the near-dup mass start?)
+    and validates LSH banding choices against the actual corpus.
+
+    Scale design: the probe is the K={_HIST_K} lowest vec_ids, so the
+    pair enumeration is K^2/2 regardless of corpus size — constant
+    work at 100 TB (the subset read prunes via TakeOrdered, never a
+    full-corpus shuffle). Bin counts and the 1e6-scaled integer score
+    sums are exact and summation-order-free, so the histogram is
+    bit-stable across engines and partitionings.
+    """
+    (e,) = tables(spark, sf_dir, "embeddings")
+    probe = (e.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(_HIST_K))
+    a = probe.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("q_emb"),
+                     F.expr(_SELF_N2).alias("q_n2"))
+    b = probe.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("n_emb"),
+                     F.expr(_SELF_N2).alias("n_n2"))
+    pairs = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+             .withColumn("score", F.round(
+                 F.expr(_DOT) / F.sqrt(F.col("q_n2") * F.col("n_n2")), 6)))
+    return (pairs
+            .groupBy(F.expr("cast(floor(score * 10) as bigint)").alias("bin"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.expr("cast(round(score * 1000000) as bigint)"))
+                 .alias("score_sum_1e6")))

@@ -430,3 +430,13 @@ def test_outlier_scores_cover_corpus_and_flag_isolated(spark):
         assert -1.0 <= r["mean_top_score"] <= 1.0
         expect = r["n_neighbors"] < 3 or r["mean_top_score"] < 0.30
         assert r["is_outlier"] == expect
+
+
+def test_similarity_histogram_is_complete_and_constant_size(spark):
+    """emb_similarity_histogram: bins partition all probe pairs; total
+    pair count equals K*(K-1)/2 with K = min(300, corpus)."""
+    rows = _run(spark, "emb_similarity_histogram").collect()
+    n = spark.read.parquet(SF + "/embeddings.parquet").count()
+    k = min(300, n)
+    assert sum(r["n_pairs"] for r in rows) == k * (k - 1) // 2
+    assert all(-10 <= r["bin"] <= 10 for r in rows)
