@@ -219,3 +219,51 @@ def curate_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _semantic_dedup_oracle() -> str:
+    from go_triton_spark.operators.similarity import _sem_oracle
+
+    return f"""
+    WITH decisions AS ({_sem_oracle()}),
+    joined AS (
+      SELECT d.doc_id, d.lang, coalesce(s.keep, TRUE) AS keep
+      FROM documents d LEFT JOIN decisions s ON s.vec_id = d.doc_id)
+    SELECT lang, count(*) AS n_docs,
+           cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           cast(sum(CASE WHEN keep THEN 0 ELSE doc_id END) as bigint)
+             AS dropped_id_sum
+    FROM joined GROUP BY lang
+    """
+
+
+@query(
+    "curate_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("llm", "curation", "dedup", "semantic"),
+)
+def curate_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply SemDeDup decisions to the DOCUMENT corpus: a document is
+    dropped when its embedding (vec_id == doc_id where one exists) was
+    semantically pruned; documents without an embedding pass through.
+    Output: per (lang) counts of kept/dropped docs plus id checksums —
+    the shape a curation report consumes.
+
+    This is the end-to-end bridge between the text and vector sides
+    of the pipeline (embed -> prune vectors -> filter corpus). Scale:
+    the decision table is (vec_id, keep) — two longs per vector — so
+    the corpus-side join shuffles ids only, never text; the semantic
+    pruning itself is the capped-bucket LSH plan (see semdedup_prune).
+    """
+    from go_triton_spark.operators.similarity import semdedup_prune
+
+    (d,) = tables(spark, sf_dir, "documents")
+    dec = semdedup_prune(spark, sf_dir).withColumnRenamed("vec_id", "doc_id")
+    joined = (d.select("doc_id", "lang").join(dec, "doc_id", "left")
+              .select("doc_id", "lang",
+                      F.coalesce(F.col("keep"), F.lit(True)).alias("keep")))
+    return (joined.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+                 F.sum(F.when(~F.col("keep"), F.col("doc_id"))
+                       .otherwise(0)).alias("dropped_id_sum")))
