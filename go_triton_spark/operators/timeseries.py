@@ -259,3 +259,53 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (carried.where(F.col("event_type") == "click")
             .select(F.col("event_id").alias("click_id"), "user_id",
                     "next_purchase_us", "us_to_purchase"))
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER wp AS prev_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER wf AS next_us
+      FROM events
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id AS click_id, user_id,
+           CASE WHEN prev_us IS NULL THEN next_us
+                WHEN next_us IS NULL THEN prev_us
+                WHEN ts_us - prev_us <= next_us - ts_us THEN prev_us
+                ELSE next_us END AS nearest_purchase_us
+    FROM c WHERE event_type = 'click'
+    """,
+    tags=("timeseries", "asof", "window"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas merge_asof direction='nearest'): for every
+    click, the closest purchase by the same user in EITHER direction,
+    earlier event winning distance ties. Composes the backward frame's
+    max and the forward frame's min — still one shuffle on user_id and
+    one linear pass; no self-join, no pair explosion at any scale."""
+    (e,) = tables(spark, sf_dir, "events")
+    wp = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing))
+    ts_us = F.expr("unix_micros(cast(ts AS timestamp))")
+    purchase_us = F.when(F.col("event_type") == "purchase", ts_us)
+    c = e.select(
+        "event_id", "user_id", "event_type", ts_us.alias("ts_us"),
+        F.max(purchase_us).over(wp).alias("prev_us"),
+        F.min(purchase_us).over(wf).alias("next_us"))
+    nearest = (F.when(F.col("prev_us").isNull(), F.col("next_us"))
+               .when(F.col("next_us").isNull(), F.col("prev_us"))
+               .when(F.col("ts_us") - F.col("prev_us")
+                     <= F.col("next_us") - F.col("ts_us"), F.col("prev_us"))
+               .otherwise(F.col("next_us")))
+    return (c.where(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    nearest.alias("nearest_purchase_us")))
