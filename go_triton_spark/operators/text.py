@@ -470,3 +470,35 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower.contains("javascript").alias("has_js"),
         F.expr("right(text, 1)").isin(".", "!", "?", '"').alias("ends_punct"),
         ((n_words >= 5) & ~has_brace & ~has_lorem).alias("keep"))
+
+
+@query(
+    "text_dup_profile",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS fingerprint, count(*) AS copies,
+             min(doc_id) AS min_id
+      FROM documents GROUP BY md5(text))
+    SELECT copies, count(*) AS n_groups,
+           cast(sum(copies) AS bigint) AS n_docs,
+           cast(sum(min_id) AS bigint) AS min_id_sum
+    FROM g GROUP BY copies
+    """,
+    tags=("llm", "text", "dedup", "stats"),
+)
+def text_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate multiplicity histogram: how many fingerprint
+    groups have 1, 2, 3... copies — the dial read BEFORE running dedup
+    (what fraction of the corpus is verbatim duplication, how heavy is
+    the tail). Two combinable aggregates: the corpus reduces to
+    (fingerprint, count) — 48 bytes/row shuffled regardless of
+    document size — then to at most max-multiplicity rows. min_id_sum
+    is an integer checksum tying the histogram to the groups it
+    summarizes."""
+    (d,) = tables(spark, sf_dir, "documents")
+    g = (d.groupBy(F.md5("text").alias("fingerprint"))
+         .agg(F.count("*").alias("copies"), F.min("doc_id").alias("min_id")))
+    return (g.groupBy("copies")
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum("copies").alias("n_docs"),
+                 F.sum("min_id").alias("min_id_sum")))
