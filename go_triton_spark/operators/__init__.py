@@ -7,10 +7,20 @@ Importing this package populates the registry (see registry.py). Modules:
 - pipeline_queries.py : SURVEY section 2.1 batch-expressible operators
                         (S12/S13/S15/S17/S18) over the events table
 - dedup.py            : exact + MinHash-LSH + SimHash + n-gram Jaccard +
-                        embedding-cosine near-duplicate detection
-- similarity.py       : brute-force and LSH-bucketed ANN top-k
+                        embedding-cosine + Levenshtein (salted and q-gram
+                        prefix-filter routes) + token-span dedup
+- similarity.py       : ANN top-k (brute force / LSH / IVF), kNN graph,
+                        SemDeDup pruning, k-means, outlier scores,
+                        int8 quantization, similarity histogram
 - text.py             : language-ID, quality scoring, token counts,
-                        document fingerprinting
+                        fingerprinting, Gopher/C4 filters, perplexity
+                        proxy, n-gram counts, dup profile
+- curation.py         : quota sampling, decontamination, PII scrub,
+                        canonical docs, semantic dedup, fused pipeline
+- training.py         : train/val split, language balancing, data-mix
+                        apportionment, sequence packing
+- timeseries.py       : as-of joins (backward/forward/nearest),
+                        gap-fill, funnel, cohort, sessionize
 - multimodal.py       : binary-column plumbing (decode/feature stubs)
 """
 
