@@ -267,3 +267,78 @@ def curate_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
                  F.sum(F.when(~F.col("keep"), F.col("doc_id"))
                        .otherwise(0)).alias("dropped_id_sum")))
+
+
+def _datacard_oracle() -> str:
+    from go_triton_spark.operators.similarity import _sem_oracle
+
+    return f"""
+    WITH {_ORACLE_PAIR_CTES},
+    decisions AS ({_sem_oracle()}),
+    groups AS (
+      SELECT md5(text) AS fp, count(*) AS copies FROM documents
+      GROUP BY md5(text))
+    SELECT 'n_docs' AS metric, cast(count(*) AS bigint) AS value FROM documents
+    UNION ALL
+    SELECT 'n_langs', cast(count(DISTINCT lang) AS bigint) FROM documents
+    UNION ALL
+    SELECT 'total_chars', cast(sum(n_chars) AS bigint) FROM documents
+    UNION ALL
+    SELECT 'exact_dup_groups', cast(count(*) AS bigint)
+    FROM groups WHERE copies > 1
+    UNION ALL
+    SELECT 'exact_dup_docs', cast(coalesce(sum(copies), 0) AS bigint)
+    FROM groups WHERE copies > 1
+    UNION ALL
+    SELECT 'near_dup_pairs', cast(count(*) AS bigint)
+    FROM p WHERE inter * 10 >= uni * 7
+    UNION ALL
+    SELECT 'semantic_dropped', cast(sum(CASE WHEN keep THEN 0 ELSE 1 END)
+                                    AS bigint)
+    FROM decisions
+    """
+
+
+@query(
+    "curate_datacard",
+    oracle=_datacard_oracle(),
+    tags=("llm", "curation", "stats"),
+)
+def curate_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus data card: the summary a curation run publishes
+    — corpus size, language spread, exact-duplication mass, verified
+    near-dup pair count (MinHash-LSH candidates + exact Jaccard
+    verify), and the SemDeDup semantic drop count. Each metric is the
+    head aggregate of an already-gated primitive, composed as a single
+    union-all plan; everything reduces before it unions, so the result
+    is 7 rows at any corpus size and each branch keeps its own
+    documented scale shape."""
+    from go_triton_spark.operators.dedup import dedup_minhash_lsh
+    from go_triton_spark.operators.similarity import semdedup_prune
+
+    (d,) = tables(spark, sf_dir, "documents")
+
+    def row(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(metric).alias("metric"),
+                         F.col("value").cast("long").alias("value"))
+
+    groups = (d.groupBy(F.md5("text").alias("fp"))
+              .agg(F.count("*").alias("copies"))
+              .where(F.col("copies") > 1))
+    parts = [
+        row("n_docs", d.agg(F.count("*").alias("value"))),
+        row("n_langs", d.agg(F.countDistinct("lang").alias("value"))),
+        row("total_chars", d.agg(F.sum("n_chars").alias("value"))),
+        row("exact_dup_groups", groups.agg(F.count("*").alias("value"))),
+        row("exact_dup_docs",
+            groups.agg(F.coalesce(F.sum("copies"), F.lit(0)).alias("value"))),
+        row("near_dup_pairs",
+            dedup_minhash_lsh(spark, sf_dir).agg(F.count("*").alias("value"))),
+        row("semantic_dropped",
+            semdedup_prune(spark, sf_dir)
+            .agg(F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
