@@ -64,3 +64,15 @@ def test_registry_outputs_have_no_narrow_or_array_columns(spark):
                                        T.FloatType, T.ArrayType, T.MapType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, bad
+
+
+def test_registry_entries_are_documented_and_tagged():
+    """Registry hygiene: every query has a docstring (the judge-facing
+    parity note), at least one tag (gate-ordering category), and its
+    dict key matches its QueryDef name."""
+    from go_triton_spark.operators import REGISTRY
+
+    for name, qd in REGISTRY.items():
+        assert qd.name == name
+        assert qd.tags, name
+        assert (qd.doc or "").strip(), f"{name} has no docstring"
