@@ -37,6 +37,16 @@ REPLICATE = {
 }
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
+QUERIES5 = [
+    "emb_outlier_scores",
+    "emb_similarity_histogram",
+    "curate_semantic_dedup",
+    "curate_datacard",
+    "asof_join_nearest",
+    "text_dup_profile",
+    "dedup_levenshtein_qgram",
+]
+
 QUERIES4 = [
     "udf_scalar_pandas",
     "udaf_grouped_pandas",
@@ -122,6 +132,8 @@ def main() -> int:
         QUERIES = QUERIES3
     if "--batch4" in sys.argv:
         QUERIES = QUERIES4
+    if "--batch5" in sys.argv:
+        QUERIES = QUERIES5
     mults = [int(x) for x in (
         sys.argv[sys.argv.index("--mults") + 1].split(",")
         if "--mults" in sys.argv else ["1", "2", "5", "10"])]
