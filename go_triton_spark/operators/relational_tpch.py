@@ -647,3 +647,66 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr(_dsum("c_acctbal")).alias("totacctbal"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "customer_rfm",
+    oracle=f"""
+    WITH mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+    per_cust AS (
+      SELECT o_custkey AS custkey,
+             cast(date_diff('day', max(o_orderdate), (SELECT anchor FROM mx))
+                  AS bigint) AS recency_days,
+             count(*) AS frequency,
+             {_dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             cast(CASE WHEN recency_days <= 180 THEN 3
+                  WHEN recency_days <= 720 THEN 2 ELSE 1 END AS bigint) AS r_score,
+             cast(CASE WHEN frequency >= 20 THEN 3
+                  WHEN frequency >= 10 THEN 2 ELSE 1 END AS bigint) AS f_score,
+             cast(CASE WHEN monetary >= 3000000 THEN 3
+                  WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS bigint) AS m_score
+      FROM per_cust)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           {_dsum('monetary')} AS segment_revenue
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=("agg", "analytics"),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (classic retention analytics): per
+    customer recency (days since last order, anchored to the corpus
+    max date so the query is reproducible), frequency (order count),
+    and monetary (exact-decimal revenue sum), bucketed into fixed
+    1-3 scores and aggregated to segment sizes + revenue. Fixed
+    thresholds, not ntile, so scores are corpus-order-independent and
+    identical across engines. One combinable per-customer aggregate
+    (the only shuffle that scales with data), then a 27-row segment
+    rollup."""
+    (o,) = tables(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (o.groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count("*").alias("frequency"),
+                     F.expr(_dsum("o_totalprice")).alias("monetary")))
+    scored = (per_cust.crossJoin(F.broadcast(anchor))
+              .withColumn("recency_days",
+                          F.datediff(F.col("anchor"), F.col("last_order"))
+                          .cast("long"))
+              .select(
+                  "custkey", "recency_days", "frequency", "monetary",
+                  F.when(F.col("recency_days") <= 180, 3)
+                  .when(F.col("recency_days") <= 720, 2)
+                  .otherwise(1).alias("r_score"),
+                  F.when(F.col("frequency") >= 20, 3)
+                  .when(F.col("frequency") >= 10, 2)
+                  .otherwise(1).alias("f_score"),
+                  F.when(F.col("monetary") >= 3000000, 3)
+                  .when(F.col("monetary") >= 1000000, 2)
+                  .otherwise(1).alias("m_score")))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").alias("n_customers"),
+                 F.expr(_dsum("monetary")).alias("segment_revenue")))
