@@ -10,7 +10,17 @@ Cross-engine determinism policy (applies to every query in this package):
 - **Money/double sums**: per-row expression (IEEE double, identical in
   both engines) -> CAST to DECIMAL(30,8) (round-half-away in both) ->
   exact decimal sum -> CAST final to DOUBLE. No float-summation-order
-  divergence can survive this.
+  divergence can survive this. MAGNITUDE BOUND: the final
+  decimal->double cast is correctly rounded in Spark (BigDecimal) but
+  NOT in DuckDB (int128 scaling), so the two engines can differ by one
+  ulp once |total| * 10^scale exceeds 2^53 — i.e. above ~9e7 for
+  scale 8 (measured at sf0.1 on o_totalprice totals ~1.2e10). Sums
+  that can cross that line use the scaled-integer path instead:
+  round(x * 10^s) -> exact BIGINT sum -> one int64->double conversion
+  (correctly rounded in BOTH engines) -> one division by 10^s. See
+  _isum/_isum2 in relational.py; applied to agg_basic, agg_cube,
+  agg_grouping_sets, sql_cte_interface, customer_rfm, and q1's
+  product columns.
 - **Averages**: exact decimal sum cast to double, divided by count
   (single IEEE division) — never the engine's avg() over doubles.
 - **Top-k / limit**: always a total order (unique tie-break column).

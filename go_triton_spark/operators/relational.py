@@ -420,10 +420,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           {_dsum('o_totalprice')} AS total_value,
+           {_isum('o_totalprice', 2)} AS total_value,
            min(o_totalprice) AS min_value,
            max(o_totalprice) AS max_value,
-           {_davg('o_totalprice')} AS avg_value
+           {_iavg('o_totalprice', 2)} AS avg_value
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg",),
@@ -437,10 +437,10 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.expr(_dsum("o_totalprice")).alias("total_value"),
+        F.expr(_isum("o_totalprice", 2)).alias("total_value"),
         F.min("o_totalprice").alias("min_value"),
         F.max("o_totalprice").alias("max_value"),
-        F.expr(_davg("o_totalprice")).alias("avg_value"),
+        F.expr(_iavg("o_totalprice", 2)).alias("avg_value"),
     )
 
 
@@ -467,7 +467,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           {_dsum('o_totalprice')} AS value
+           {_isum('o_totalprice', 2)} AS value
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("agg", "cube"),
@@ -479,13 +479,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o,) = tables(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.expr(_dsum("o_totalprice")).alias("value"))
+        F.expr(_isum("o_totalprice", 2)).alias("value"))
 
 
 @query(
     "agg_grouping_sets",
     oracle=f"""
-    SELECT o_orderstatus, o_orderpriority, {_dsum('o_totalprice')} AS value
+    SELECT o_orderstatus, o_orderpriority, {_isum('o_totalprice', 2)} AS value
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
@@ -496,7 +496,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o,) = tables(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders")
     return spark.sql(f"""
-        SELECT o_orderstatus, o_orderpriority, {_dsum('o_totalprice')} AS value
+        SELECT o_orderstatus, o_orderpriority, {_isum('o_totalprice', 2)} AS value
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """)

@@ -288,12 +288,12 @@ def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seg AS (
       SELECT c_mktsegment, c_custkey FROM customer),
     spend AS (
-      SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(30,8))) as double)
+      SELECT o_custkey, cast(sum(cast(round(o_totalprice * 100e0) as bigint)) as bigint) / 100e0
                AS total
       FROM orders GROUP BY o_custkey)
     SELECT seg.c_mktsegment,
            count(*) AS n_customers,
-           cast(sum(cast(coalesce(spend.total, 0.0) as decimal(30,8))) as double)
+           cast(sum(cast(round(coalesce(spend.total, 0.0) * 100e0) as bigint)) as bigint) / 100e0
              AS segment_spend
     FROM seg LEFT JOIN spend ON spend.o_custkey = seg.c_custkey
     GROUP BY seg.c_mktsegment
@@ -313,11 +313,11 @@ def sql_cte_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT c_mktsegment, c_custkey FROM _cte_customer),
         spend AS (
           SELECT o_custkey,
-                 cast(sum(cast(o_totalprice as decimal(30,8))) as double) AS total
+                 cast(sum(cast(round(o_totalprice * 100e0) as bigint)) as bigint) / 100e0 AS total
           FROM _cte_orders GROUP BY o_custkey)
         SELECT seg.c_mktsegment,
                count(*) AS n_customers,
-               cast(sum(cast(coalesce(spend.total, 0.0) as decimal(30,8))) as double)
+               cast(sum(cast(round(coalesce(spend.total, 0.0) * 100e0) as bigint)) as bigint) / 100e0
                  AS segment_spend
         FROM seg LEFT JOIN spend ON spend.o_custkey = seg.c_custkey
         GROUP BY seg.c_mktsegment

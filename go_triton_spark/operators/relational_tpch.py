@@ -658,7 +658,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(date_diff('day', max(o_orderdate), (SELECT anchor FROM mx))
                   AS bigint) AS recency_days,
              count(*) AS frequency,
-             {_dsum('o_totalprice')} AS monetary
+             cast(sum(cast(round(o_totalprice * 100e0) as bigint)) as bigint)
+               / 100e0 AS monetary
       FROM orders GROUP BY o_custkey),
     scored AS (
       SELECT custkey, recency_days, frequency, monetary,
@@ -671,7 +672,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_cust)
     SELECT r_score, f_score, m_score,
            count(*) AS n_customers,
-           {_dsum('monetary')} AS segment_revenue
+           cast(sum(cast(round(monetary * 100e0) as bigint)) as bigint)
+             / 100e0 AS segment_revenue
     FROM scored GROUP BY r_score, f_score, m_score
     """,
     tags=("agg", "analytics"),
@@ -691,7 +693,8 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (o.groupBy(F.col("o_custkey").alias("custkey"))
                 .agg(F.max("o_orderdate").alias("last_order"),
                      F.count("*").alias("frequency"),
-                     F.expr(_dsum("o_totalprice")).alias("monetary")))
+                     F.expr("cast(sum(cast(round(o_totalprice * 100e0) as "
+                            "bigint)) as bigint) / 100e0").alias("monetary")))
     scored = (per_cust.crossJoin(F.broadcast(anchor))
               .withColumn("recency_days",
                           F.datediff(F.col("anchor"), F.col("last_order"))
@@ -709,4 +712,5 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(1).alias("m_score")))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count("*").alias("n_customers"),
-                 F.expr(_dsum("monetary")).alias("segment_revenue")))
+                 F.expr("cast(sum(cast(round(monetary * 100e0) as bigint)) "
+                        "as bigint) / 100e0").alias("segment_revenue")))
