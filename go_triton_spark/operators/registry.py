@@ -123,3 +123,26 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     if df.rdd.getNumPartitions() < nparts:
         return df.repartition(nparts)
     return df
+
+
+def scaling_dim(df: DataFrame) -> DataFrame:
+    """Join-side hint policy for dimensions whose row count scales WITH
+    the data (TPC-H customer/supplier/part grow linearly with SF; at
+    the 100 TB target customer alone is terabytes).
+
+    Returns the input UNHINTED, deliberately: a hard ``F.broadcast``
+    here is an unconditional driver collect — OOM at scale — and AQE
+    cannot override a user hint. Unhinted, the planner broadcasts from
+    measured sizes when the side is genuinely small (always at test SF,
+    never at 100 TB) and otherwise shuffles both sides on the join key;
+    AQE upgrades shuffle joins back to broadcast at runtime whenever a
+    filtered side lands under the adaptive threshold. That is the right
+    plan at EVERY scale, which no static hint can be.
+
+    Truly bounded relations — region (5 rows), nation (25), literal
+    band/segment tables, one-row aggregates — keep an explicit
+    ``F.broadcast`` at their call sites; their size is independent of
+    data scale, so the hint is always correct and saves the planner a
+    size estimate.
+    """
+    return df

@@ -8,8 +8,11 @@ window functions, sort/limit/top-k, set operations.
 
 Scale notes (100 TB design stance), per query family:
 - fact-to-fact joins (orders x lineitem) shuffle-hash/SMJ on the join
-  key — Spark picks via AQE; dimension joins are explicitly
-  ``F.broadcast`` so no shuffle of the fact side ever happens
+  key — Spark picks via AQE; BOUNDED dims (region=5, nation=25 rows,
+  literal band tables) are explicitly ``F.broadcast``; SF-SCALING dims
+  (customer/supplier/part — terabytes at the 100 TB target) carry NO
+  hint (``registry.scaling_dim``): planner/AQE broadcasts them from
+  measured sizes while small and shuffles beyond that
 - aggregations are partial (map-side combine) before the shuffle —
   automatic for all hash aggregates used here
 - top-k per group uses window + filter (no global sort); global top-k
@@ -24,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import query, scaling_dim, tables
 
 
 def _dsum(expr: str) -> str:
@@ -167,15 +170,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: segment customers' unshipped-order revenue, top 10.
 
-    customer is the small side -> broadcast (no shuffle of orders);
-    orders x lineitem co-shuffles on the order key once.
+    customer scales with SF, so it carries no broadcast hint (see
+    scaling_dim) — the planner/AQE broadcasts the filtered segment when
+    it measures small; orders x lineitem co-shuffles on the order key
+    once.
     """
     cust, orders, li = tables(spark, sf_dir, "customer", "orders", "lineitem")
     return (
         li.where(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz"))
         .join(orders.where(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz")),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+        .join(scaling_dim(cust.where(F.col("c_mktsegment") == "BUILDING")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
@@ -209,8 +214,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue by nation for one region's customers.
 
-    region/nation/customer broadcast down the chain — the only shuffle
-    is orders x lineitem and the final small agg.
+    region/nation broadcast into customer (bounded dims); the
+    customer-derived dims relation scales with SF so it is unhinted —
+    planner/AQE broadcasts it only while it measures small. The big
+    shuffle is orders x lineitem plus the final small agg.
     """
     r, n, c, o, li = tables(spark, sf_dir, "region", "nation", "customer",
                             "orders", "lineitem")
@@ -224,7 +231,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(scaling_dim(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -244,14 +251,15 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top spenders: agg orders first, then broadcast-join customer names
-    (aggregate-before-join keeps the join input small at scale)."""
+    """Top spenders: agg orders first, then join customer names
+    (aggregate-before-join keeps the join input small at scale);
+    customer scales with SF, so no broadcast hint — AQE picks."""
     c, o = tables(spark, sf_dir, "customer", "orders")
     spend = (o.groupBy("o_custkey")
              .agg(F.count("*").alias("order_cnt"),
                   F.expr(_dsum("o_totalprice")).alias("total_spent")))
     return (
-        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        spend.join(scaling_dim(c), spend.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "order_cnt", "total_spent")
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(15)
@@ -272,12 +280,13 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join with the dimension side broadcast: the fact
-    table never shuffles — at 100 TB the only data movement is the
-    few-MB dimension to each executor (plan test asserts BHJ)."""
+    """Inner equi-join against an SF-scaling dimension: no broadcast
+    hint (customer is terabytes at the 100 TB target) — the planner
+    broadcasts from measured sizes while small (plan test sees BHJ at
+    test SF) and shuffles both sides on c_custkey beyond that."""
     c, o = tables(spark, sf_dir, "customer", "orders")
     return (o.where(F.col("o_totalprice") > 250000)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(scaling_dim(c), o.o_custkey == c.c_custkey)
             .select("o_orderkey", "o_orderstatus", "c_name", "c_mktsegment"))
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import query, scaling_dim, tables
 
 
 def _dsum(expr: str) -> str:
@@ -92,7 +92,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where((F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
                  & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(scaling_dim(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.expr(_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN "
                          "l_extendedprice * (1 - l_discount) ELSE 0.0 END"))
@@ -125,7 +125,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("q") > 150).select("l_orderkey"))
     return (
         o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(scaling_dim(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_name", "o_orderkey")
         .agg(F.expr(_dsum("l_quantity")).alias("total_qty"))

@@ -10,8 +10,12 @@ docstring notes the adaptation.  Everything follows the registry
 determinism policy (exact decimal sums, total orders for top-k).
 
 Scale notes (100 TB stance):
-- every dimension join (region/nation/supplier/customer/part) is an
-  explicit ``F.broadcast`` — the fact side is never shuffled for them
+- BOUNDED dims (region=5 rows, nation=25, one-row aggregates) are
+  explicit ``F.broadcast``; SF-SCALING dims (customer/supplier/part —
+  terabytes at 100 TB) are deliberately UNHINTED via
+  ``registry.scaling_dim`` so planner/AQE broadcasts them only while
+  measured small and falls back to a key shuffle beyond that (a hard
+  hint would be an unconditional driver collect at scale)
 - fact-fact joins (orders x lineitem) shuffle once on the order key;
   AQE picks SMJ vs shuffled-hash at runtime
 - correlated EXISTS / NOT EXISTS become left-semi / left-anti joins
@@ -25,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, spread, tables
+from go_triton_spark.operators.registry import query, scaling_dim, spread, tables
 
 
 def _dsum(expr: str) -> str:
@@ -66,11 +70,11 @@ def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_unit = (unit.groupBy("l_partkey")
                 .agg(F.min("unit_price").alias("min_unit")))
     return (
-        unit.join(F.broadcast(pf), unit.l_partkey == pf.p_partkey)
+        unit.join(scaling_dim(pf), unit.l_partkey == pf.p_partkey)
         .join(min_unit.withColumnRenamed("l_partkey", "mp_partkey"),
               (F.col("p_partkey") == F.col("mp_partkey"))
               & (F.col("unit_price") == F.col("min_unit")))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(scaling_dim(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
@@ -112,9 +116,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(scaling_dim(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(scaling_dim(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
                | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
@@ -166,13 +170,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = nat.select(F.col("n_nationkey").alias("s_nkey"),
                     F.col("n_name").alias("supp_nation"))
     vol = (
-        li.join(F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+        li.join(scaling_dim(part.where(F.col("p_type") == "ECONOMY")),
                 li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(scaling_dim(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(r0), F.col("c_rkey") == r0.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(scaling_dim(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
         .select(F.year("o_orderdate").alias("o_year"),
                 F.expr(_REV).alias("volume"),
@@ -211,9 +215,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supp, nat, orders = tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
     return (
-        li.join(F.broadcast(part.where(F.col("p_name").like("%gear%"))),
+        li.join(scaling_dim(part.where(F.col("p_name").like("%gear%"))),
                 li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(scaling_dim(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"),
@@ -256,7 +260,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("o_custkey")
            .agg(F.expr(_dsum(_REV)).alias("revenue")))
     return (
-        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        rev.join(scaling_dim(cust), rev.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
                 "c_mktsegment")
@@ -395,7 +399,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.withColumn(
             "max_rev", F.max("total_revenue").over(Window.partitionBy()))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(scaling_dim(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -426,8 +430,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
     bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        li.join(scaling_dim(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(scaling_dim(pf), li.l_partkey == pf.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -457,7 +461,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg((0.2 * (F.sum("l_quantity") / F.count("*")))
                      .alias("qty_threshold")))
     return (
-        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#3")),
+        li.join(scaling_dim(part.where(F.col("p_brand") == "Brand#3")),
                 li.l_partkey == part.p_partkey)
         .join(per_part, F.col("p_partkey") == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
@@ -484,7 +488,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 adapted (no container/shipmode): disjunctive
     brand/size/quantity predicates over a broadcast part join."""
     li, part = tables(spark, sf_dir, "lineitem", "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(scaling_dim(part), li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -521,12 +525,12 @@ def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
-        .join(F.broadcast(part.where(F.col("p_name").like("%red%"))),
+        .join(scaling_dim(part.where(F.col("p_name").like("%red%"))),
               li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 300))
-    return (supp.join(F.broadcast(heavy),
+    return (supp.join(scaling_dim(heavy),
                       supp.s_suppkey == heavy.l_suppkey, "left_semi")
             .select("s_suppkey", "s_name")
             .orderBy("s_suppkey"))
@@ -600,7 +604,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                >= F.when(F.col("l_suppkey") == F.col("s1"), F.col("mx2"))
                .otherwise(F.col("mx1"))))
     return (
-        waiting.join(F.broadcast(supp),
+        waiting.join(scaling_dim(supp),
                      F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -58,11 +58,18 @@ def _exact_pair_scores(spark: SparkSession, cand: DataFrame, e: DataFrame,
     and AQE never coalesces an explicit-count repartition) before the
     joins: AQE coalesces ENSURE_REQUIREMENTS shuffles by BYTES, and a
     few million (id, id) pairs look tiny while carrying seconds-to-
-    minutes of interpreted-expression work — an explicit width keeps
-    the rescore wide here AND at cluster scale (where the same
-    byte-blindness applies). Partitioning on a_col also pre-aligns
-    with every caller's downstream per-a_col window/distinct, so no
-    further exchange follows."""
+    minutes of interpreted-expression work — the explicit width keeps
+    the pair table wide entering the join stages here AND at cluster
+    scale (where the same byte-blindness applies). What the a_col pin
+    guarantees precisely: the qe join runs at that width, and when the
+    planner broadcasts ne (any time it measures small, which includes
+    every local SF), the dot-product projection does too. When ne is
+    instead shuffle-joined (cluster scale), the b_col exchange that
+    join introduces re-partitions the pairs — at that point the pairs
+    carry real bytes (two dense vectors each), so AQE's byte-based
+    coalescing sees their true weight and keeps them wide without help.
+    The caller's per-a_col window/distinct then adds its own exchange
+    over the narrow (a, b, score) rows — cheap by construction."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     qe = e.select(F.col("vec_id").alias(a_col),
                   F.col("embedding").alias("q_emb"),
@@ -522,8 +529,10 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- deterministic mini-batch-free Lloyd k-means ---------------------
+# Exactly two Lloyd iterations (assign -> re-center -> assign), hand-
+# unrolled below as c0 -> a1 -> c1 -> final assign; there is no
+# iteration-count knob — adding passes means adding a stage per pass.
 _KM_K = 4        # clusters; seeds are the k lowest vec_ids
-_KM_ITERS = 2    # unrolled Lloyd iterations (assign -> re-center -> assign)
 
 _KM_DIST = (
     "round(aggregate(zip_with(embedding, c.vec, "

@@ -397,8 +397,12 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     math; the single trailing division is one IEEE op (same policy as
     the registry's scaled-integer sums). Shape at scale: ONE tokenize
     pass feeds tf; the vocabulary aggregate is narrow; the corpus
-    total comes from a window over vocabulary-cardinality rows; nll
-    broadcasts back onto tf. No second scan, no driver collect."""
+    total is a scalar aggregate crossJoined back as ONE broadcast row
+    (never a global window over the vocabulary — a web corpus has
+    10^8+ distinct tokens and a partitionBy() window would funnel them
+    all through one task); tf joins nll UNHINTED on tok, so planner/
+    AQE broadcasts nll while it measures small and key-shuffles both
+    sides at web-vocabulary scale. No second scan, no driver collect."""
     (d,) = tables(spark, sf_dir, "documents")
     toks = (d.select("doc_id",
                      F.explode(F.expr(
@@ -406,12 +410,13 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("tok")))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
-    vn = vocab.withColumn("n", F.sum("c").over(Window.partitionBy()))
+    total = vocab.agg(F.sum("c").alias("n"))
+    vn = vocab.crossJoin(F.broadcast(total))
     nll = vn.select(
         "tok",
         F.expr("cast(round(-ln(cast(c as double) / n) * 1000000) as bigint)")
          .alias("nll_u"))
-    return (tf.join(F.broadcast(nll), "tok")
+    return (tf.join(nll, "tok")
             .groupBy("doc_id")
             .agg(F.sum(F.col("tf") * F.col("nll_u")).alias("nll_u_total"),
                  F.sum("tf").alias("n_tok"))

@@ -99,17 +99,12 @@ def asof_join_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ts_gapfill_ffill",
     oracle="""
-    WITH b AS (SELECT cast(floor(epoch(min(ts)) / 3600) as bigint) AS h0,
-                      cast(floor(epoch(max(ts)) / 3600) as bigint) AS h1
-               FROM events),
-    series AS (SELECT unnest(range(0, 100000)) AS i),
-    hours AS (SELECT b.h0 + s.i AS h FROM b, series s WHERE b.h0 + s.i <= b.h1),
-    u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
-    per AS (SELECT user_id, cast(floor(epoch(ts) / 3600) as bigint) AS h,
+    WITH per AS (SELECT user_id, cast(floor(epoch(ts) / 3600) as bigint) AS h,
                    cast(sum(cast(value as decimal(30,8))) as double) AS v,
                    count(*) AS n
             FROM events WHERE user_id < 10 GROUP BY 1, 2),
-    grid AS (SELECT u.user_id, hours.h FROM u CROSS JOIN hours)
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM per GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span)
     SELECT g.user_id, g.h, coalesce(p.n, 0) AS n_events,
            last_value(p.v IGNORE NULLS)
              OVER (PARTITION BY g.user_id ORDER BY g.h
@@ -121,13 +116,18 @@ def asof_join_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly resample with forward fill — the hypertable-rollup /
     gap-fill operator of time-series engines, composed from Spark
-    built-ins: dense hour grid (sequence + explode) x user dims,
-    left join of per-hour aggregates, last(ignorenulls) carry-forward.
+    built-ins: a PER-USER hour grid (sequence(min_h, max_h) exploded
+    from each user's own active span), left join of per-hour
+    aggregates, last(ignorenulls) carry-forward.
 
-    At 100 TB: the grid is tiny (hours x users, independent of event
-    count), the event aggregation is partial before its one shuffle,
-    and the fill is a single window scan per user. Hours before a
-    user's first event stay null (no fill source) on both engines.
+    At 100 TB: the grid is built per user from that user's first/last
+    active hour — no global hours x all-users cross join, no broadcast
+    of an unbounded distinct-user set, and a user active for one hour
+    contributes one grid row instead of |global hours|. The event
+    aggregation is partial before its one shuffle on (user_id, h); the
+    span aggregate and the fill window reuse the same user_id
+    partitioning. Every grid row at or after the user's first event
+    has a fill source, so v_filled is never null.
     """
     (ev,) = tables(spark, sf_dir, "events")
     sel = ev.where(F.col("user_id") < 10)
@@ -135,12 +135,10 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (sel.groupBy("user_id", hour.alias("h"))
            .agg(F.expr("cast(sum(cast(value as decimal(30,8))) as double)").alias("v"),
                 F.count("*").alias("n")))
-    bounds = ev.agg(
-        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("h0"),
-        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("h1"))
-    hours = bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("h"))
-    users = sel.select("user_id").distinct()
-    grid = hours.crossJoin(F.broadcast(users))
+    span = per.groupBy("user_id").agg(F.min("h").alias("h0"),
+                                      F.max("h").alias("h1"))
+    grid = span.select("user_id",
+                       F.explode(F.expr("sequence(h0, h1)")).alias("h"))
     w = (Window.partitionBy("user_id").orderBy("h")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (grid.join(per, ["user_id", "h"], "left")

@@ -374,11 +374,30 @@ def test_semdedup_prune_drops_some_and_keeps_min_ids(spark):
     this corpus (pairs >= 0.45 exist); vec_id 0 can never be pruned
     (no lower id); pruning is monotone — every pruned vector has a
     kept-or-pruned lower-id candidate, never the other way."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
     rows = {r["vec_id"]: r["keep"] for r in _run(spark, "semdedup_prune").collect()}
     n = spark.read.parquet(SF + "/embeddings.parquet").count()
     assert len(rows) == n
     assert rows[0] is True
     assert any(not k for k in rows.values())
+    # Monotonicity: a vector is pruned only by a LOWER-id neighbor at
+    # rounded cosine >= 0.45. LSH candidates are a subset of all pairs
+    # and the rescore is the true cosine, so every pruned id must have
+    # SOME lower-id vector at >= 0.45 in the full cosine matrix.
+    t = pq.read_table(SF + "/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    E = np.array([np.asarray(x) for x in t["embedding"].to_pylist()],
+                 dtype=np.float64)
+    norm = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = np.round(norm @ norm.T, 6)
+    order = np.argsort(ids)
+    for pos, row in enumerate(order):
+        if not rows[int(ids[row])]:
+            lower_rows = order[:pos]
+            assert lower_rows.size and S[row, lower_rows].max() >= 0.45, \
+                f"vec {ids[row]} pruned with no lower-id neighbor >= 0.45"
 
 
 def test_levenshtein_qgram_no_false_dismissals(spark, tmp_path):

@@ -115,6 +115,25 @@ def test_gapfill_single_window_scan(spark):
     assert plan.count("Window") <= 2, "gap-fill: more than one window pass"
 
 
+def test_gapfill_per_user_grid_no_cross_join(spark):
+    # the hour grid must come from a per-user sequence() explode, never
+    # a global hours x all-users cross join (which broadcasts an
+    # unbounded distinct-user set and densifies sparse users)
+    plan = _plan(spark, "ts_gapfill_ffill")
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "gap-fill regressed to the dense hours x users cross join"
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_no_vocab_window(spark):
+    # the corpus token total must be a scalar aggregate crossJoined
+    # back as ONE row — a partitionBy() window would funnel the whole
+    # vocabulary (10^8+ tokens at web scale) through a single task
+    plan = _plan(spark, "text_perplexity_proxy")
+    assert "Window" not in plan, \
+        "perplexity: global window over the vocabulary is back"
+
+
 def test_chunking_is_narrow(spark):
     # chunking must not shuffle: explode + project only
     plan = _plan(spark, "text_chunk")
