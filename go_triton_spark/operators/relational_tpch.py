@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, scaling_dim, spread, tables
+from go_triton_spark.operators.registry import query, scaling_dim, tables
 
 
 def _dsum(expr: str) -> str:
@@ -575,7 +575,16 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite against independent semantics).
     """
     supp, li, orders = tables(spark, sf_dir, "supplier", "lineitem", "orders")
-    ps = (spread(li.select("l_orderkey", "l_suppkey", "l_shipdate"), spark)
+    # One explicit hash repartition on l_orderkey feeds BOTH aggregates:
+    # HashPartitioning on a subset of the group keys satisfies the
+    # clustering requirement of groupBy(l_orderkey, l_suppkey) AND of
+    # the per-order rollup, so neither adds an exchange. (A round-robin
+    # spread() here satisfied neither — it paid its own shuffle plus
+    # the agg shuffle.) Explicit count: AQE never byte-coalesces it, so
+    # the single-file local scan still fans out to full parallelism.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ps = (li.select("l_orderkey", "l_suppkey", "l_shipdate")
+          .repartition(nparts, F.col("l_orderkey"))
           .groupBy("l_orderkey", "l_suppkey")
           .agg(F.max("l_shipdate").alias("sd")))
     # per-order stats in ONE combinable aggregate (no window sorts):

@@ -88,6 +88,20 @@ QUERIES2 = [
     "q18_large_orders",
 ]
 
+# round-4 batch: every plan changed by the broadcast-policy /
+# grid / q21 rework — proves the new shapes hold the curve
+QUERIES6 = [
+    "ts_gapfill_ffill",          # per-user sequence grid (no cross join)
+    "text_perplexity_proxy",     # scalar-agg total (no vocab window)
+    "q21_waiting_supplier",      # orderkey-clustered double aggregate
+    "q3_shipping_priority",      # unhinted filtered customer
+    "q7_nation_trade_volume",    # unhinted customer + supplier
+    "q9_product_profit",         # unhinted part + supplier
+    "q18_large_orders",          # unhinted customer
+    "q20_heavy_part_suppliers",  # unhinted aggregated heavy-suppliers
+    "join_inner",                # unhinted full customer
+]
+
 QUERIES = [
     "q1_pricing_summary",        # scan -> partial agg
     "q3_shipping_priority",      # fact-fact join
@@ -134,6 +148,8 @@ def main() -> int:
         QUERIES = QUERIES4
     if "--batch5" in sys.argv:
         QUERIES = QUERIES5
+    if "--batch6" in sys.argv:
+        QUERIES = QUERIES6
     mults = [int(x) for x in (
         sys.argv[sys.argv.index("--mults") + 1].split(",")
         if "--mults" in sys.argv else ["1", "2", "5", "10"])]
