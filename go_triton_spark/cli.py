@@ -20,6 +20,9 @@ Environment (mirrors triton.go:34-56 env wiring):
                    stands in for TRITON_BUCKET — local/S3A path)
     TRITON_CLIENT  client name                (default "archive";
                    '-' rejected, triton.go:224-227)
+    TRITON_DB      checkpoint-mirror DB URL   (sqlite://file.db or
+                   postgres://host/db, triton.go:200-243; used by
+                   ``stats`` when --mirror-db is not given)
 """
 
 from __future__ import annotations
@@ -186,8 +189,11 @@ def main(argv: list[str] | None = None) -> int:
     p_stats = sub.add_parser("stats", help="checkpoint ages")
     p_stats.add_argument("--client")
     p_stats.add_argument("--mirror-db", dest="mirror_db",
-                         help="also upsert rows into a sqlite "
-                              "triton_checkpoint mirror (reference DDL)")
+                         default=os.environ.get("TRITON_DB"),
+                         help="also upsert rows into a triton_checkpoint "
+                              "mirror (reference DDL): sqlite://file.db, "
+                              "postgres://host/db, or a bare sqlite path "
+                              "(default: $TRITON_DB)")
     p_stats.set_defaults(fn=cmd_stats)
 
     p_shards = sub.add_parser("shards", help="list shards (S19)")

@@ -18,7 +18,7 @@ from go_triton_spark.config import StreamConfig, config_for_name, load_config
 from go_triton_spark.plans.archive_store import ArchiveStore
 from go_triton_spark.producer import Client, MockClient
 from go_triton_spark.streaming.checkpoints import (checkpoint_stats,
-                                                   mirror_to_sqlite)
+                                                   mirror_to_db)
 from go_triton_spark.streaming.store import StorePipeline
 
 
@@ -93,10 +93,12 @@ class TritonEngine:
         """``triton stats``: checkpoint ages (S18)."""
         return checkpoint_stats(self.spark, self.checkpoint_root, client)
 
-    def mirror_checkpoints(self, db_path: str) -> int:
+    def mirror_checkpoints(self, db_url: str) -> int:
         """Opt-in SQL mirror of ``triton_checkpoint`` for external
-        monitors (reference DDL, triton/checkpoint.go:95-103)."""
-        return mirror_to_sqlite(self.checkpoint_root, db_path)
+        monitors (reference DDL, triton/checkpoint.go:95-103).
+        ``db_url``: ``sqlite://file.db``, ``postgres://host/db``, or a
+        bare sqlite path — scheme dispatch matches triton.go:58-83."""
+        return mirror_to_db(self.checkpoint_root, db_url)
 
     def stream_stats(self) -> dict[str, dict]:
         """Per-query micro-batch progress (rows/sec, batch durations) —

@@ -77,54 +77,113 @@ CREATE TABLE IF NOT EXISTS triton_checkpoint (
 """
 
 
-def mirror_to_sqlite(checkpoint_root: str, db_path: str) -> int:
+def connect_db(db_url: str):
+    """DB-URL scheme dispatch, mirroring the reference's openDB
+    (triton.go:58-83): ``sqlite://`` -> stdlib sqlite3,
+    ``postgres://`` -> psycopg (v3) or psycopg2, anything else ->
+    ValueError ("Unknown db scheme"). A bare path (no scheme) is
+    treated as a sqlite file for back-compat with the original
+    ``--mirror-db PATH`` form.
+
+    Returns ``(connection, paramstyle_placeholder)`` — the DDL
+    (CREATE_TABLE_STMT, verbatim reference bytes) and the upsert
+    (``ON CONFLICT (...) DO UPDATE``) are accepted by both dialects,
+    so the placeholder is the only per-dialect difference.
+    """
+    from urllib.parse import urlparse
+
+    u = urlparse(db_url)
+    if u.scheme in ("", "sqlite"):
+        import sqlite3
+
+        path = (u.netloc + u.path) if u.scheme else db_url
+        con = sqlite3.connect(path or "triton.db")
+        return con, "?"
+    if u.scheme in ("postgres", "postgresql"):
+        try:
+            import psycopg  # psycopg 3
+            con = psycopg.connect(db_url)
+        except ImportError:
+            try:
+                import psycopg2
+                con = psycopg2.connect(db_url)
+            except ImportError as exc:
+                raise RuntimeError(
+                    "postgres mirror needs psycopg (v3) or psycopg2 "
+                    "installed") from exc
+        return con, "%s"
+    raise ValueError(f"Unknown db scheme {u.scheme!r} in {db_url!r} "
+                     "(expected sqlite:// or postgres://)")
+
+
+def mirror_to_db(checkpoint_root: str, db_url: str, _con=None,
+                 _placeholder: str = "?") -> int:
     """Mirror the checkpoint view into an external SQL table.
 
     Structured Streaming's own checkpoint (offsets/commits) is the
     source of truth; this OPT-IN mirror exists so external monitors
     that read the reference's ``triton_checkpoint`` table
-    (triton/checkpoint.go:95-103) keep working unmodified. Upsert
+    (triton/checkpoint.go:95-103) keep working unmodified — sqlite or
+    the team's existing postgres checkpoint DB, dispatched by URL
+    scheme exactly like the reference (triton.go:58-83). Upsert
     semantics follow Checkpointer.Checkpoint (checkpoint.go:27-76):
     one transaction, insert-or-update keyed on (client, stream,
     shard). Returns the number of rows mirrored.
-    """
-    import sqlite3
 
+    ``_con``/``_placeholder`` inject a ready DB-API connection (tests
+    use a dialect stub so the postgres statement shapes are covered
+    without a server).
+    """
     rows = _scan_checkpoint_dir(checkpoint_root)
-    con = sqlite3.connect(db_path)
+    con, ph = (_con, _placeholder) if _con is not None else connect_db(db_url)
     try:
         with con:  # single transaction, like the Go Tx
-            con.execute(CREATE_TABLE_STMT)
-            con.executemany(
+            cur = con.cursor()
+            cur.execute(CREATE_TABLE_STMT)
+            upsert = (
                 "INSERT INTO triton_checkpoint "
                 "(client, stream, shard, seq_num, updated) "
-                "VALUES (?, ?, ?, ?, ?) "
-                "ON CONFLICT(client, stream, shard) DO UPDATE SET "
-                "seq_num = excluded.seq_num, updated = excluded.updated",
-                rows)
+                f"VALUES ({ph}, {ph}, {ph}, {ph}, {ph}) "
+                "ON CONFLICT (client, stream, shard) DO UPDATE SET "
+                "seq_num = excluded.seq_num, updated = excluded.updated")
+            cur.executemany(upsert, rows)
     finally:
         con.close()
     return len(rows)
 
 
-def stats_from_sqlite(db_path: str, client: str | None = None) -> dict[str, int]:
-    """External-monitor ``stats`` (S18) straight from the SQL mirror —
-    the reference's GetCheckpointStats query shape
-    (triton/checkpoint.go:127-151), no Spark session needed."""
-    import sqlite3
+def mirror_to_sqlite(checkpoint_root: str, db_path: str) -> int:
+    """Back-compat alias: sqlite-path form of :func:`mirror_to_db`."""
+    return mirror_to_db(checkpoint_root, db_path)
 
-    con = sqlite3.connect(db_path)
+
+def stats_from_db(db_url: str, client: str | None = None,
+                  _con=None, _placeholder: str = "?") -> dict[str, int]:
+    """External-monitor ``stats`` (S18) straight from the SQL mirror —
+    the reference's GetCheckpointStats shape
+    (triton/checkpoint.go:127-151), no Spark session needed. Works
+    against sqlite or postgres (age computed client-side from
+    ``updated`` so the SQL stays dialect-portable)."""
+    con, ph = (_con, _placeholder) if _con is not None else connect_db(db_url)
     try:
-        sql = ("SELECT client, stream, shard, "
-               "strftime('%s','now') - updated FROM triton_checkpoint")
+        sql = "SELECT client, stream, shard, updated FROM triton_checkpoint"
         args: tuple = ()
         if client:
-            sql += " WHERE client = ?"
+            sql += f" WHERE client = {ph}"
             args = (client,)
-        return {f"{c}.{s}.{sh}.age": int(age)
-                for c, s, sh, age in con.execute(sql, args)}
+        cur = con.cursor()
+        cur.execute(sql, args)
+        rows = cur.fetchall()
+        now = int(time.time())
+        return {f"{c}.{s}.{sh}.age": now - int(up)
+                for c, s, sh, up in rows}
     finally:
         con.close()
+
+
+def stats_from_sqlite(db_path: str, client: str | None = None) -> dict[str, int]:
+    """Back-compat alias: sqlite-path form of :func:`stats_from_db`."""
+    return stats_from_db(db_path, client)
 
 
 def checkpoint_stats(spark: SparkSession, checkpoint_root: str,
