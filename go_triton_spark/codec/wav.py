@@ -1,0 +1,123 @@
+"""Real-bytes WAV (RIFF/PCM) parsing — the multimodal decode path that
+needs no native media library, so the mm_* family has one format whose
+decode is NOT a stub (VERDICT r3 ask; the PIL/ffmpeg formats keep their
+documented swap points in operators/multimodal.py).
+
+Scope: canonical RIFF/WAVE containers with integer PCM (format tag 1)
+at 8/16/24/32-bit depth, mono or multi-channel. The chunk walk is a
+real parser — it skips unknown chunks (LIST, fact, cue, bext...),
+honors the RIFF odd-size pad byte, and fails loudly (ValueError) on
+truncated or non-PCM input so callers can apply the engine's
+corrupt-skip semantics (same contract as the msgpack decode path).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PCM = 1
+
+
+def parse_wav(data: bytes) -> dict:
+    """Parse one complete WAV file; return metadata + signal stats.
+
+    Returns dict with: n_channels, sample_rate, bit_depth, n_frames,
+    duration_ms (int, floor), peak (max |sample| across channels),
+    rms_u (round(sqrt(mean(sample^2)))) — integer outputs only, so
+    results hash identically across engines/platforms.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(len(data), 8 + riff_size)
+
+    fmt = None
+    pcm = None
+    pos = 12
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        csize = struct.unpack_from("<I", data, pos + 4)[0]
+        body_start = pos + 8
+        if body_start + csize > len(data):
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
+            (tag, n_channels, sample_rate, _byte_rate, _block_align,
+             bit_depth) = struct.unpack_from("<HHIIHH", data, body_start)
+            if tag != _PCM:
+                raise ValueError(f"unsupported WAV format tag {tag} "
+                                 "(only integer PCM)")
+            fmt = (n_channels, sample_rate, bit_depth)
+        elif cid == b"data":
+            pcm = data[body_start:body_start + csize]
+        # odd chunk sizes carry a pad byte (RIFF spec)
+        pos = body_start + csize + (csize & 1)
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if pcm is None:
+        raise ValueError("missing data chunk")
+
+    n_channels, sample_rate, bit_depth = fmt
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("corrupt fmt chunk")
+    if bit_depth == 8:
+        # 8-bit WAV is unsigned, biased at 128
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+    elif bit_depth == 16:
+        x = np.frombuffer(pcm[:len(pcm) - len(pcm) % 2],
+                          dtype="<i2").astype(np.int64)
+    elif bit_depth == 24:
+        b = np.frombuffer(pcm[:len(pcm) - len(pcm) % 3],
+                          dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        x = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x -= (x & 0x800000) << 1  # sign-extend
+    elif bit_depth == 32:
+        x = np.frombuffer(pcm[:len(pcm) - len(pcm) % 4],
+                          dtype="<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported bit depth {bit_depth}")
+
+    n_frames = len(x) // n_channels
+    duration_ms = n_frames * 1000 // sample_rate
+    if len(x):
+        peak = int(np.abs(x).max())
+        # exact integer sum of squares, one float sqrt, one round
+        rms_u = int(round(float(np.sqrt(int((x * x).sum()) / len(x)))))
+    else:
+        peak = rms_u = 0
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "bit_depth": int(bit_depth),
+        "n_frames": int(n_frames),
+        "duration_ms": int(duration_ms),
+        "peak": peak,
+        "rms_u": rms_u,
+    }
+
+
+def build_wav(samples, sample_rate: int = 8000, n_channels: int = 1,
+              bit_depth: int = 16) -> bytes:
+    """Assemble a canonical 44-byte-header PCM WAV from int samples
+    (interleaved if multi-channel). Deterministic byte output — used
+    to synthesize real in-flight WAV payloads for the mm_wav_decode
+    operator's gate corpus and test fixtures."""
+    if bit_depth == 16:
+        pcm = np.asarray(samples, dtype="<i2").tobytes()
+    elif bit_depth == 8:
+        pcm = (np.asarray(samples, dtype=np.int64) + 128).astype(
+            np.uint8).tobytes()
+    elif bit_depth == 32:
+        pcm = np.asarray(samples, dtype="<i4").tobytes()
+    else:
+        raise ValueError(f"build_wav: unsupported bit depth {bit_depth}")
+    block_align = n_channels * bit_depth // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, _PCM, n_channels,
+                                 sample_rate, sample_rate * block_align,
+                                 block_align, bit_depth)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not available in this
-environment (and binaries aren't in the testdata), so the *decode* is
-a deterministic stub — but the Spark-side plumbing is real and what
+Image/video decode libraries are not available in this environment
+(and binaries aren't in the testdata), so THOSE decodes are
+deterministic stubs — but the Spark-side plumbing is real and what
 the operators exercise: binary columns, Arrow-batched mapInPandas
-with a declared schema, partition-parallel frame expansion.
+with a declared schema, partition-parallel frame expansion. AUDIO is
+the exception: ``mm_wav_decode`` parses real RIFF/PCM WAV bytes with
+``codec/wav.py`` (pure stdlib+numpy) — chunk walk, multi-depth PCM,
+corrupt-skip — no stub anywhere on that path.
 
 The stub derives "media" bytes from ``documents.text`` (utf-8 encode)
 and fakes decode metadata with arithmetic on byte lengths — chosen so
@@ -222,3 +225,77 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.array_join(F.expr("transform(features, x -> cast(x as string))"),
                                  "|").alias("features")))
+
+
+@query(
+    "mm_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           cast(1 as bigint)    AS n_channels,
+           cast(8000 as bigint) AS sample_rate,
+           cast(16 as bigint)   AS bit_depth,
+           cast(480 as bigint)  AS n_frames,
+           cast(60 as bigint)   AS duration_ms,
+           cast(1000 + (doc_id % 20) * 500 as bigint) AS peak,
+           cast(1000 + (doc_id % 20) * 500 as bigint) AS rms_u
+    FROM documents
+    WHERE doc_id % 97 <> 13
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, no stub: each row carries a complete RIFF/PCM
+    WAV payload (binary column) that codec/wav.py genuinely parses —
+    chunk walk, fmt/data extraction, PCM sample stats. No native media
+    library needed, so this is the one mm_* format whose decode path
+    is production code, not a swap point.
+
+    The gate corpus synthesizes the payloads in the same Arrow batch
+    (a 480-frame 16-bit square wave whose amplitude is a closed-form
+    function of doc_id — so the DuckDB oracle knows every output
+    analytically), and deterministically TRUNCATES every 97th payload:
+    the parser must reject those (ValueError) and the operator skips
+    them, proving the corrupt-skip contract (same semantics as the
+    msgpack decode path, tritond/server.go's unmarshal-skip) on real
+    bytes. In production the payload column comes from
+    ``spark.read.format("binaryFile")`` or an archive table; schema,
+    batching, and partition-parallelism are identical.
+    """
+    from go_triton_spark.codec.wav import build_wav, parse_wav
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms_u", T.LongType()),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                amp = 1000 + (doc_id % 20) * 500
+                wave = np.where(np.arange(480) % 2 == 0, amp, -amp)
+                payload = build_wav(wave, sample_rate=8000)
+                if doc_id % 97 == 13:
+                    payload = payload[:30]  # corrupt: truncated mid-fmt
+                try:
+                    m = parse_wav(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle's WHERE
+                rows.append((doc_id, m["n_channels"], m["sample_rate"],
+                             m["bit_depth"], m["n_frames"],
+                             m["duration_ms"], m["peak"], m["rms_u"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return src.mapInPandas(decode, schema=schema)

@@ -113,6 +113,23 @@ def test_mm_decode_runs_through_pandas(spark):
     assert all(32 <= r["width"] < 352 and r["channels"] == 3 for r in rows)
 
 
+def test_mm_wav_decode_real_bytes_and_corrupt_skip(spark):
+    """mm_wav_decode parses REAL RIFF/PCM payloads in-flight: every
+    surviving row's stats match the closed-form signal, and exactly
+    the deterministically-truncated payloads (doc_id % 97 == 13) are
+    skipped — the corrupt-skip contract on real bytes."""
+    rows = _run(spark, "mm_wav_decode").collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    skipped = sum(1 for i in range(n_docs) if i % 97 == 13)
+    assert len(rows) == n_docs - skipped
+    for r in rows:
+        assert r["doc_id"] % 97 != 13
+        amp = 1000 + (r["doc_id"] % 20) * 500
+        assert (r["peak"], r["rms_u"]) == (amp, amp)
+        assert (r["n_channels"], r["sample_rate"], r["bit_depth"],
+                r["n_frames"], r["duration_ms"]) == (1, 8000, 16, 480, 60)
+
+
 def test_mm_frame_sample_stride(spark):
     df = _run(spark, "mm_frame_sample")
     # every doc has frame 0; longer docs have more frames
