@@ -288,3 +288,77 @@ def test_tri_reads_reference_compressed_chunks():
              + struct.pack("<I", masked_crc32c(payload)) + block)
     stream = bytes.fromhex("ff060000734e61507059") + chunk
     assert frame_decompress(stream) == payload
+
+
+def test_tri_default_flush_over_2mib_concat_framing():
+    """The >1-flush case at the DEFAULT 1 MiB buffer (store.go:201
+    BUFFER_SIZE), on a >2 MiB corpus: the body must be >=3 independent
+    back-to-back snappy framing streams (store.go:134 creates a NEW
+    snappy.Writer per flush), each byte-level valid on its own, whose
+    decompressed concatenation is exactly the msgpack concatenation of
+    the records — verified by BOTH the repo reader and a by-hand split
+    at each stream-identifier chunk."""
+    from go_triton_spark.codec.msgpack_codec import packb
+    from go_triton_spark.codec.snappy_codec import frame_decompress
+
+    # ~2.9 MiB of msgpack across ~3000 records, content varied enough
+    # that compressed frames can't be mistaken for each other
+    recs = [{"i": i, "pad": ("%07d" % (i * 2654435761 % 10**7)) * 140}
+            for i in range(3000)]
+    body = write_tri_bytes(recs)  # DEFAULT flush_bytes = 1 MiB
+
+    # repo reader
+    assert read_tri_bytes(body) == recs
+
+    # byte-level golden: locate every stream-identifier chunk
+    magic = bytes((0xFF, 6, 0, 0)) + b"sNaPpY"
+    starts = []
+    pos = 0
+    while True:
+        pos = body.find(magic, pos)
+        if pos < 0:
+            break
+        starts.append(pos)
+        pos += len(magic)
+    assert starts[0] == 0
+    n_payload = sum(len(packb(r)) for r in recs)
+    assert n_payload > 2 * 1024 * 1024, "fixture must exceed 2 MiB"
+    assert len(starts) >= 3, "expected >=3 flushes for a >2 MiB corpus"
+
+    # each segment is a complete, independently-decodable framing
+    # stream; their concatenation is the full msgpack byte stream
+    segs = [body[a:b] for a, b in zip(starts, starts[1:] + [len(body)])]
+    parts = [frame_decompress(s) for s in segs]
+    assert all(len(p) <= 1024 * 1024 for p in parts[:-1])
+    assert b"".join(parts) == b"".join(packb(r) for r in recs)
+
+
+def test_tri_flush_property_random_sizes():
+    """Property: any record mix x any flush size round-trips and the
+    per-flush framing segments always reassemble to the same bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_triton_spark.codec.msgpack_codec import packb
+    from go_triton_spark.codec.snappy_codec import frame_decompress
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.fixed_dictionaries(
+                {"k": st.integers(min_value=0, max_value=2**40),
+                 "s": st.text(max_size=200)}),
+            min_size=1, max_size=60),
+        st.integers(min_value=64, max_value=4096),
+    )
+    def check(recs, flush_bytes):
+        body = write_tri_bytes(recs, flush_bytes=flush_bytes)
+        assert read_tri_bytes(body) == recs
+        magic = bytes((0xFF, 6, 0, 0)) + b"sNaPpY"
+        starts = [i for i in range(len(body))
+                  if body[i:i + len(magic)] == magic]
+        segs = [body[a:b] for a, b in zip(starts, starts[1:] + [len(body)])]
+        assert b"".join(frame_decompress(s) for s in segs) \
+            == b"".join(packb(r) for r in recs)
+
+    check()
