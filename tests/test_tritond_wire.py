@@ -1,0 +1,145 @@
+"""tritond ZMQ wire protocol: byte-level goldens (public ZMTP 3.0
+spec layout) + PUSH->PULL end-to-end over localhost TCP.
+
+The goldens pin the exact octets a libzmq NULL-mechanism peer emits/
+expects, so interop with a real tritond daemon is a checkable claim,
+not an assertion.
+"""
+
+import struct
+import time
+
+import pytest
+
+from go_triton_spark.producer import ClientClosedError
+from go_triton_spark.tritond import (MockTritondServer, ZmqClient,
+                                     decode_put, encode_put)
+from go_triton_spark.zmtp import (FLAG_COMMAND, FLAG_LONG, FLAG_MORE,
+                                  ZmtpError, decode_greeting,
+                                  encode_frame, encode_greeting,
+                                  encode_ready, parse_command)
+
+
+def test_greeting_golden_bytes():
+    g = encode_greeting()
+    assert len(g) == 64
+    # signature %xFF 8*%x00 %x7F, version 3.0, "NULL" padded to 20,
+    # as-server 0, 31 filler octets (ZMTP 3.0 spec, verbatim layout)
+    assert g == (b"\xff" + b"\x00" * 8 + b"\x7f" + b"\x03\x00"
+                 + b"NULL" + b"\x00" * 16 + b"\x00" + b"\x00" * 31)
+    d = decode_greeting(g)
+    assert d == {"version": (3, 0), "mechanism": b"NULL", "as_server": False}
+
+
+def test_ready_command_golden_bytes():
+    f = encode_ready("PUSH")
+    # command frame: flags=0x04, size, then "\x05READY" + metadata
+    assert f[0] == FLAG_COMMAND
+    body = f[2:]
+    assert f[1] == len(body)
+    assert body.startswith(b"\x05READY")
+    meta = body[6:]
+    assert meta == b"\x0bSocket-Type" + struct.pack(">I", 4) + b"PUSH"
+    name, parsed = parse_command(body)
+    assert name == "READY" and parsed == {"Socket-Type": b"PUSH"}
+
+
+def test_frame_encoding_short_long_more():
+    assert encode_frame(b"abc") == b"\x00\x03abc"
+    assert encode_frame(b"abc", more=True) == b"\x01\x03abc"
+    big = b"x" * 300
+    f = encode_frame(big)
+    assert f[0] == FLAG_LONG
+    assert f[1:9] == struct.pack(">Q", 300) and f[9:] == big
+    assert encode_frame(big, more=True)[0] == FLAG_LONG | FLAG_MORE
+
+
+def test_put_frames_match_go_client_bytes():
+    """Frame 1 must be byte-identical to Go's json.Marshal of the
+    header struct (client.go:104-115): field order stream_name then
+    partition_key, no whitespace."""
+    frames = encode_put("events", "user-7", {"event_id": 3, "v": "x"})
+    assert frames[0] == b'{"stream_name":"events","partition_key":"user-7"}'
+    hdr, body = decode_put(frames)
+    assert hdr == {"stream_name": "events", "partition_key": "user-7"}
+    assert body == {"event_id": 3, "v": "x"}
+
+
+def test_push_pull_end_to_end_localhost():
+    srv = MockTritondServer()
+    try:
+        c = ZmqClient(srv.endpoint, num_idle_conn=2)
+        c.put("events", "k1", {"event_id": 1, "pad": "p" * 400})  # long frame
+        c.put("events", "k2", {"event_id": 2})
+        c.put("clicks", "k3", {"event_id": 3})
+        deadline = time.time() + 10
+        while len(srv.messages) < 3 and time.time() < deadline:
+            time.sleep(0.02)
+        assert len(srv.messages) == 3
+        by_key = {h["partition_key"]: (h, b) for h, b in srv.messages}
+        assert by_key["k1"][1]["event_id"] == 1
+        assert len(by_key["k1"][1]["pad"]) == 400
+        assert by_key["k3"][0]["stream_name"] == "clicks"
+        # idle pool: 3 sequential puts reuse one handshaken connection
+        assert len(c._idle) == 1
+        c.close()
+        with pytest.raises(ClientClosedError):
+            c.put("events", "k", {})
+    finally:
+        srv.stop()
+
+
+def test_socket_type_compatibility_enforced():
+    """A PUSH peer dialing another PUSH must be rejected during the
+    READY handshake (ZMTP socket-type compatibility)."""
+    import socket as _socket
+    import threading
+
+    from go_triton_spark.zmtp import ZmtpConnection
+
+    srv = _socket.create_server(("127.0.0.1", 0))
+    errs = []
+
+    def accept_push_side():
+        s, _ = srv.accept()
+        conn = ZmtpConnection(s, "PUSH")  # wrong: PUSH expects PULL peer
+        try:
+            conn.handshake()
+        except ZmtpError as exc:
+            errs.append(str(exc))
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=accept_push_side, daemon=True)
+    t.start()
+    c = _socket.create_connection(srv.getsockname(), timeout=5)
+    conn = ZmtpConnection(c, "PUSH")
+    with pytest.raises(ZmtpError, match="not a valid peer"):
+        conn.handshake()
+    conn.close()
+    t.join(timeout=5)
+    srv.close()
+    assert errs and "not a valid peer" in errs[0]
+
+
+def test_mock_server_keeps_malformed_raw():
+    """1-frame or non-map messages are collected raw, not decoded —
+    the daemon-side skip contract."""
+    srv = MockTritondServer()
+    try:
+        import socket as _socket
+
+        from go_triton_spark.zmtp import ZmtpConnection
+
+        s = _socket.create_connection(srv.addr, timeout=5)
+        conn = ZmtpConnection(s, "PUSH")
+        conn.handshake()
+        conn.send_multipart([b"just-one-frame"])
+        deadline = time.time() + 10
+        while not srv.raw_frames and time.time() < deadline:
+            time.sleep(0.02)
+        conn.close()
+        assert srv.raw_frames == [[b"just-one-frame"]]
+        assert srv.messages == []
+    finally:
+        srv.stop()
