@@ -85,6 +85,7 @@ HEADLINE = [
     "emb_kmeans",
     "knn_graph_lsh",
     "semdedup_prune",
+    "mm_wav_decode",
 ]
 
 
