@@ -111,6 +111,38 @@ def cmd_shards(args) -> int:
     return 0
 
 
+def cmd_tritond(args) -> int:
+    """Run the tritond daemon: ZMQ wire in, engine batch files out.
+
+    No Spark session needed — the daemon only lands JSON-lines batch
+    files under TRITON_ROOT/incoming/<stream>/ for a (possibly
+    separate) `store` process to tail. An existing producer built on
+    the reference's tritond client can point at this endpoint
+    unchanged (default bind port 3515, tritond/client.go:72).
+    """
+    from go_triton_spark.tritond import TritondDaemon
+
+    root = os.environ.get("TRITON_ROOT", "./triton-data")
+    daemon = TritondDaemon(os.path.join(root, "incoming"),
+                           host=args.host, port=args.port,
+                           batch_size=args.batch_size)
+    print(f"tritond listening on {daemon.endpoint} "
+          f"-> {os.path.join(root, 'incoming')}", flush=True)
+    try:
+        import signal
+        import threading as _threading
+
+        done = _threading.Event()
+        signal.signal(signal.SIGINT, lambda *a: done.set())
+        signal.signal(signal.SIGTERM, lambda *a: done.set())
+        done.wait()
+    finally:  # graceful drain (S21): flush buffers before exit
+        daemon.stop()
+        print(json.dumps({"received": daemon.received,
+                          "flushed": daemon.flushed}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     eng = _engine()
     date = _dt.datetime.strptime(args.date, "%Y%m%d").date()
@@ -222,6 +254,15 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--limit", type=int, default=0,
                          help="cap emitted rows (0 = all)")
     p_query.set_defaults(fn=cmd_query)
+
+    p_tritond = sub.add_parser(
+        "tritond", help="run the ZMQ wire daemon (producer -> incoming/)")
+    p_tritond.add_argument("--host", default="127.0.0.1")
+    p_tritond.add_argument("--port", type=int, default=3515,
+                           help="bind port (reference default 3515)")
+    p_tritond.add_argument("--batch-size", type=int, default=200,
+                           dest="batch_size")
+    p_tritond.set_defaults(fn=cmd_tritond)
 
     p_queries = sub.add_parser("queries", help="list registry queries")
     p_queries.add_argument("--tag", help="filter by tag (e.g. llm, dedup)")

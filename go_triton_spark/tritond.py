@@ -148,3 +148,93 @@ class MockTritondServer:
     def stop(self) -> None:
         self._stop.set()
         self._srv.close()
+
+
+class TritondDaemon(MockTritondServer):
+    """The tritond daemon itself: wire in, engine files out.
+
+    The reference daemon receives 2-frame ZMQ messages and forwards
+    them to Kinesis; here the forwarding target is the engine's file
+    stream source — records land as JSON-lines batch files under
+    ``{out_root}/{stream}/`` (atomic per-flush files, exactly what
+    ``eng.store`` tails). That closes the interop loop end-to-end: an
+    EXISTING producer speaking the reference's wire protocol feeds
+    this engine with no change on the producer side.
+
+    Like the reference daemon, it is CONFIG-FREE: the stream name in
+    the message header is trusted as the physical stream (the same
+    stance ``cat`` takes for unknown logical names). Flushes happen
+    per ``batch_size`` records per stream, on ``flush_interval``
+    seconds, and on stop — a slow trickle still lands promptly.
+    """
+
+    def __init__(self, out_root: str, host: str = "127.0.0.1",
+                 port: int = 0, batch_size: int = 200,
+                 flush_interval: float = 1.0):
+        self.out_root = out_root
+        self.batch_size = batch_size
+        self._buffers: dict[str, list[dict]] = {}
+        self._buf_lock = threading.Lock()
+        self.received = 0
+        self.flushed = 0
+        super().__init__(host=host, port=port)
+        self._flusher = threading.Thread(
+            target=self._flush_loop, args=(flush_interval,), daemon=True)
+        self._flusher.start()
+
+    # MockTritondServer collects; the daemon forwards instead
+    def _serve(self, sock: socket.socket) -> None:
+        conn = ZmtpConnection(sock, "PULL")
+        try:
+            conn.handshake()
+            while not self._stop.is_set():
+                frames = conn.recv_multipart()
+                try:
+                    header, record = decode_put(frames)
+                except ValueError:
+                    continue  # malformed: skip, stream survives
+                stream = header.get("stream_name") or "unknown"
+                with self._buf_lock:
+                    buf = self._buffers.setdefault(stream, [])
+                    buf.append(record)
+                    self.received += 1
+                    if len(buf) >= self.batch_size:
+                        self._flush_stream(stream)
+        except (ZmtpError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _flush_stream(self, stream: str) -> None:
+        # caller holds _buf_lock
+        buf = self._buffers.get(stream)
+        if not buf:
+            return
+        import os
+        import time as _time
+        import uuid
+
+        out_dir = os.path.join(self.out_root, stream)
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(
+            out_dir, f".{uuid.uuid4().hex[:12]}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for rec in buf:
+                f.write(json.dumps(rec, default=str) + "\n")
+        final = os.path.join(
+            out_dir, f"{int(_time.time() * 1000)}-{uuid.uuid4().hex[:8]}.json")
+        os.rename(tmp, final)  # atomic: the stream source never sees partials
+        self.flushed += len(buf)
+        self._buffers[stream] = []
+
+    def _flush_loop(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            with self._buf_lock:
+                for s in list(self._buffers):
+                    self._flush_stream(s)
+
+    def stop(self) -> None:
+        super().stop()
+        with self._buf_lock:
+            for s in list(self._buffers):
+                self._flush_stream(s)

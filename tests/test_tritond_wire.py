@@ -143,3 +143,50 @@ def test_mock_server_keeps_malformed_raw():
         assert srv.messages == []
     finally:
         srv.stop()
+
+
+def test_daemon_wire_to_engine_end_to_end(spark, tmp_path):
+    """The full interop loop: a producer speaking the reference's wire
+    protocol -> TritondDaemon (ZMTP PULL) -> JSON-lines batch files in
+    incoming/ -> store pipeline -> cat replay. The producer side needs
+    zero changes to feed this engine."""
+    import datetime as dt
+
+    from go_triton_spark.config import load_config
+    from go_triton_spark.engine import TritonEngine
+    from go_triton_spark.tritond import TritondDaemon
+    from go_triton_spark.types import EVENTS_SCHEMA
+
+    root = str(tmp_path)
+    daemon = TritondDaemon(f"{root}/incoming", batch_size=10,
+                           flush_interval=0.2)
+    try:
+        c = ZmqClient(daemon.endpoint)
+        for i in range(25):
+            c.put("events", f"k{i % 5}",
+                  {"event_id": i, "ts": "2020-01-01T00:00:00Z",
+                   "user_id": i % 7, "event_type": "click",
+                   "value": float(i), "props": "{}"})
+        c.close()
+        deadline = time.time() + 15
+        while daemon.flushed < 25 and time.time() < deadline:
+            time.sleep(0.05)
+        assert daemon.received == 25 and daemon.flushed == 25
+    finally:
+        daemon.stop()
+
+    cfg = load_config(f"""
+events:
+  name: events
+  source: file
+  format: json
+  path: {root}/incoming/events
+""")
+    eng = TritonEngine(spark, root, config=cfg, client="wire")
+    pipe = eng.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+    out = eng.cat("events", dt.date.today())
+    assert out.count() == 25
+    assert sorted(r[0] for r in out.select("event_id").collect()) \
+        == list(range(25))
