@@ -683,18 +683,52 @@ def _capped_buckets(e: DataFrame) -> DataFrame:
     _KNN_CAP lowest vec_ids. The cap window partitions on the same
     (band, sig) key the candidate self-join shuffles on, so it adds
     no extra exchange."""
+    buckets = _sig_explode(e)
+    wb = Window.partitionBy("band", "sig").orderBy("vec_id")
+    return (buckets.withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") <= _KNN_CAP).drop("rn"))
+
+
+def _sig_explode(e: DataFrame) -> DataFrame:
+    """One narrow (vec_id, band, sig) row per vector per band."""
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'sig', "
         + _knn_sig_sql("element_at(embedding, %d)", b) + ")"
         for b in range(_KNN_BANDS))
-    buckets = (e.select(
+    return (e.select(
         "vec_id",
         F.explode(F.expr(f"array({band_structs})")).alias("bk"))
         .select("vec_id", F.col("bk.band").alias("band"),
                 F.col("bk.sig").alias("sig")))
-    wb = Window.partitionBy("band", "sig").orderBy("vec_id")
-    return (buckets.withColumn("rn", F.row_number().over(wb))
-            .where(F.col("rn") <= _KNN_CAP).drop("rn"))
+
+
+def _capped_pairs(e: DataFrame, a_col: str, b_col: str,
+                  ordered: bool = False) -> DataFrame:
+    """Distinct candidate pairs from the capped sign-band buckets, via
+    ONE aggregation instead of a windowed cap plus bucket self-join:
+    group the narrow signature rows by (band, sig), keep each bucket's
+    ``slice(sort_array(collect_list(vec_id)), 1, cap)`` — IDENTICAL
+    membership to the row_number cap, so the DuckDB oracles are
+    unchanged — then emit every in-bucket pair with a double explode
+    inside the task. That removes the window sort AND the self-join
+    from the plan (one exchange to the bucket key, pairs generated
+    in-task), leaving the pair distinct as the only other shuffle; at
+    cluster scale the bucket aggregate is bounded by the cap (<= 64
+    ids per group), so collect_list cannot blow a task.
+
+    ``ordered=True`` emits only pairs with b < a (the semdedup
+    "lower-id candidate" shape); otherwise both directions, a != b.
+    """
+    grp = (_sig_explode(e)
+           .groupBy("band", "sig")
+           .agg(F.expr(f"slice(sort_array(collect_list(vec_id)), 1, "
+                       f"{_KNN_CAP})").alias("members")))
+    base = (grp.where(F.size("members") >= 2)
+            .select(F.explode("members").alias(a_col), "members")
+            .select(a_col, F.explode("members").alias(b_col)))
+    cond = (F.col(b_col) < F.col(a_col)) if ordered \
+        else (F.col(b_col) != F.col(a_col))
+    return base.where(cond).distinct()
 
 
 def _knn_oracle() -> str:
@@ -742,12 +776,14 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescore of candidates only.
 
     Unlike ann_topk_*, there is no small query set to broadcast — the
-    corpus SELF-joins. The plan keeps that survivable at 100 TB:
-    signatures are a narrow JVM projection (explode of 32 6-bit band
-    keys), the self-join shuffles only (vec_id, band, sig) rows
-    hash-partitioned on the (band, sig) bucket key — never the
-    embeddings — and only surviving candidate pairs pay the 64-dim
-    rescore join. The per-bucket membership cap (_KNN_CAP) bounds
+    corpus pairs with ITSELF. The plan keeps that survivable at
+    100 TB: signatures are a narrow JVM projection (explode of 32
+    6-bit band keys); ONE shuffle to the (band, sig) bucket key
+    aggregates each bucket's capped member list, and the pairs are
+    emitted by an in-task double explode (_capped_pairs — no window
+    sort, no self-join, embeddings never shuffle); only surviving
+    candidate pairs pay the 64-dim rescore join. The per-bucket
+    membership cap (_KNN_CAP) bounds
     pair work at N x bands x cap — linear in corpus size even on a
     duplicate-heavy corpus (uncapped, a 10x replica corpus measured
     52x slower; see SCALE.md). On clustered real-embedding corpora
@@ -758,13 +794,7 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the full output; the approximation is tested, not
     gated."""
     (e,) = tables(spark, sf_dir, "embeddings")
-    buckets = _capped_buckets(e)
-    nb = (buckets.select(F.col("vec_id").alias("neighbor_id"),
-                         "band", "sig"))
-    cand = (buckets.join(nb, ["band", "sig"])
-            .where(F.col("vec_id") != F.col("neighbor_id"))
-            .select("vec_id", "neighbor_id")
-            .distinct())
+    cand = _capped_pairs(e, "vec_id", "neighbor_id")
     scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
@@ -828,12 +858,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same bands, same fold order, same rounding), so the driver
     hash-checks the full keep/drop vector."""
     (e,) = tables(spark, sf_dir, "embeddings")
-    buckets = _capped_buckets(e)
-    nb = buckets.select(F.col("vec_id").alias("lower_id"), "band", "sig")
-    cand = (buckets.join(nb, ["band", "sig"])
-            .where(F.col("lower_id") < F.col("vec_id"))
-            .select("vec_id", "lower_id")
-            .distinct())
+    cand = _capped_pairs(e, "vec_id", "lower_id", ordered=True)
     pruned = (_exact_pair_scores(spark, cand, e, "vec_id", "lower_id")
               .where(F.col("score") >= _SEM_T)
               .select("vec_id").distinct()
@@ -908,13 +933,7 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide identical longs — summation order cannot drift the gate.
     """
     (e,) = tables(spark, sf_dir, "embeddings")
-    buckets = _capped_buckets(e)
-    nb = (buckets.select(F.col("vec_id").alias("neighbor_id"),
-                         "band", "sig"))
-    cand = (buckets.join(nb, ["band", "sig"])
-            .where(F.col("vec_id") != F.col("neighbor_id"))
-            .select("vec_id", "neighbor_id")
-            .distinct())
+    cand = _capped_pairs(e, "vec_id", "neighbor_id")
     scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
