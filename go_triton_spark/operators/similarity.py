@@ -704,25 +704,27 @@ def _sig_explode(e: DataFrame) -> DataFrame:
 
 def _capped_pairs(e: DataFrame, a_col: str, b_col: str,
                   ordered: bool = False) -> DataFrame:
-    """Distinct candidate pairs from the capped sign-band buckets, via
-    ONE aggregation instead of a windowed cap plus bucket self-join:
-    group the narrow signature rows by (band, sig), keep each bucket's
-    ``slice(sort_array(collect_list(vec_id)), 1, cap)`` — IDENTICAL
-    membership to the row_number cap, so the DuckDB oracles are
-    unchanged — then emit every in-bucket pair with a double explode
-    inside the task. That removes the window sort AND the self-join
-    from the plan (one exchange to the bucket key, pairs generated
-    in-task), leaving the pair distinct as the only other shuffle; at
-    cluster scale the bucket aggregate is bounded by the cap (<= 64
-    ids per group), so collect_list cannot blow a task.
+    """Distinct candidate pairs from the capped sign-band buckets,
+    WITHOUT a bucket self-join: the windowed cap keeps each bucket's
+    _KNN_CAP lowest vec_ids (sort-based, disk-spilling — safe even on
+    a degenerate mega-bucket of identical vectors), then ONE
+    collect_list per bucket — bounded at <= cap ids by construction,
+    so the aggregation buffer cannot blow — and an in-task double
+    explode emits the pairs. The groupBy reuses the window's
+    (band, sig) hash partitioning, so the whole generator costs ONE
+    exchange plus the pair distinct; the embeddings themselves never
+    shuffle. (A capless ``slice(sort_array(collect_list(...)))`` would
+    be one operator shorter but buffers the entire bucket in memory
+    before slicing — the exact unbounded-state hazard the cap exists
+    to prevent.) Membership is identical to the row_number cap, so the
+    DuckDB algorithm-twin oracles are unchanged.
 
     ``ordered=True`` emits only pairs with b < a (the semdedup
     "lower-id candidate" shape); otherwise both directions, a != b.
     """
-    grp = (_sig_explode(e)
+    grp = (_capped_buckets(e)
            .groupBy("band", "sig")
-           .agg(F.expr(f"slice(sort_array(collect_list(vec_id)), 1, "
-                       f"{_KNN_CAP})").alias("members")))
+           .agg(F.sort_array(F.collect_list("vec_id")).alias("members")))
     base = (grp.where(F.size("members") >= 2)
             .select(F.explode("members").alias(a_col), "members")
             .select(a_col, F.explode("members").alias(b_col)))
@@ -778,12 +780,12 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike ann_topk_*, there is no small query set to broadcast — the
     corpus pairs with ITSELF. The plan keeps that survivable at
     100 TB: signatures are a narrow JVM projection (explode of 32
-    6-bit band keys); ONE shuffle to the (band, sig) bucket key
-    aggregates each bucket's capped member list, and the pairs are
-    emitted by an in-task double explode (_capped_pairs — no window
-    sort, no self-join, embeddings never shuffle); only surviving
-    candidate pairs pay the 64-dim rescore join. The per-bucket
-    membership cap (_KNN_CAP) bounds
+    6-bit band keys); ONE shuffle to the (band, sig) bucket key caps
+    each bucket (spill-safe window) and aggregates its member list,
+    and the pairs are emitted by an in-task double explode
+    (_capped_pairs — no bucket self-join, embeddings never shuffle);
+    only surviving candidate pairs pay the 64-dim rescore join. The
+    per-bucket membership cap (_KNN_CAP) bounds
     pair work at N x bands x cap — linear in corpus size even on a
     duplicate-heavy corpus (uncapped, a 10x replica corpus measured
     52x slower; see SCALE.md). On clustered real-embedding corpora
