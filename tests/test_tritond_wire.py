@@ -190,3 +190,68 @@ events:
     assert out.count() == 25
     assert sorted(r[0] for r in out.select("event_id").collect()) \
         == list(range(25))
+
+
+def test_zmtp_multipart_roundtrip_property():
+    """Property: any multipart message (random sizes spanning the
+    short/long frame boundary, random bytes) round-trips through a
+    real socketpair unchanged."""
+    import socket as _socket
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_triton_spark.zmtp import ZmtpConnection
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=600),
+                    min_size=1, max_size=5))
+    def check(frames):
+        a, b = _socket.socketpair()
+        ca, cb = ZmtpConnection(a, "PUSH"), ZmtpConnection(b, "PULL")
+        try:
+            ca.send_multipart(frames)
+            got = cb.recv_multipart()
+            assert got == frames
+        finally:
+            ca.close()
+            cb.close()
+
+    check()
+
+
+def test_greeting_fuzz_rejected_property():
+    """Property: corrupting the signature, version, or length of a
+    valid greeting is always rejected — never silently accepted."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    good = encode_greeting()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=0, max_value=63),
+           st.integers(min_value=1, max_value=255))
+    def check_mutate(pos, delta):
+        mutated = bytearray(good)
+        mutated[pos] = (mutated[pos] + delta) % 256
+        mutated = bytes(mutated)
+        try:
+            d = decode_greeting(mutated)
+        except ZmtpError:
+            return  # rejected: fine
+        # accepted mutations may only touch fields decode tolerates:
+        # padding (1-8), minor version (11), the mechanism name
+        # (12-31 — decode parses it; handshake() is what REJECTS a
+        # non-NULL mechanism), as-server (32), and filler (33-63).
+        # Signature bytes (0, 9) and major version (10) must reject.
+        assert pos in set(range(1, 9)) | {11, 32} \
+            | set(range(12, 32)) | set(range(33, 64)), \
+            f"byte {pos} mutated but greeting accepted: {d}"
+        if 12 <= pos < 32:
+            assert d["mechanism"] != b"NULL", \
+                "mechanism byte mutated yet still reads NULL"
+
+    check_mutate()
+
+    with pytest.raises(ZmtpError):
+        decode_greeting(good[:63])  # short read is never ok
