@@ -21,7 +21,11 @@ REPRESENTATIVES = [
     "text_sequence_pack",       # per-lang running sum
     "curate_language_balance",  # integer-weight targets + hash order
     "emb_kmeans",               # decimal re-center means + rounded argmin
-    "knn_graph_lsh",            # bucket self-join + total-order rank
+    "knn_graph_lsh",            # grouped-pair LSH gen + total-order rank
+    "ts_gapfill_ffill",         # per-user sequence grid + fill window
+    "text_perplexity_proxy",    # scalar-agg corpus total, micro-nat ints
+    "q21_waiting_supplier",     # orderkey-clustered double aggregate
+    "mm_wav_decode",            # Arrow-batch WAV parse, integer stats
 ]
 
 
