@@ -1015,3 +1015,63 @@ def emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_pairs"),
                  F.sum(F.expr("cast(round(score * 1000000) as bigint)"))
                  .alias("score_sum_1e6")))
+
+
+# --- embedding-quality eval: kNN label purity ------------------------
+
+def _purity_oracle() -> str:
+    return f"""
+    SELECT cast(l.label as bigint) AS label,
+           count(*) AS pairs,
+           cast(sum(CASE WHEN l.label = n.label THEN 1 ELSE 0 END)
+                as bigint) AS same_label,
+           round(cast(sum(CASE WHEN l.label = n.label THEN 1 ELSE 0 END)
+                      as double) / count(*), 6) AS purity
+    FROM ({_knn_oracle()}) k
+    JOIN embeddings l ON l.vec_id = k.vec_id
+    JOIN embeddings n ON n.vec_id = k.neighbor_id
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@query(
+    "emb_label_knn_purity",
+    oracle=_purity_oracle(),
+    tags=("llm", "similarity", "lsh", "eval"),
+)
+def emb_label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: per-label kNN label purity — for each
+    vector's top-3 approximate neighbors (the knn_graph_lsh machinery:
+    capped sign-band candidates + exact rescore), what fraction share
+    the vector's label. The standard eval a training pipeline runs
+    before trusting an embedding column for semantic dedup or
+    curation: purity near the label prior means the embeddings carry
+    no signal; purity near 1 means neighbor-based ops are meaningful.
+
+    Scale shape: identical to knn_graph_lsh (one bucket-key exchange,
+    in-task pair generation, rescore on candidates only) plus two
+    label joins on vec_id — the label table is a narrow projection of
+    the same corpus, shuffled once on its id. Output is one row per
+    label: exact integer pair counts plus purity as a single division
+    rounded at 1e-6, so the driver hash-gates it."""
+    (e,) = tables(spark, sf_dir, "embeddings")
+    cand = _capped_pairs(e, "vec_id", "neighbor_id")
+    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
+                                             F.asc("neighbor_id"))
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= _KNN_K)
+           .select("vec_id", "neighbor_id"))
+    lab = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    nlab = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"))
+    j = top.join(lab, "vec_id").join(nlab, "neighbor_id")
+    same = F.when(F.col("label") == F.col("n_label"), 1).otherwise(0)
+    return (j.groupBy("label")
+            .agg(F.count("*").alias("pairs"),
+                 F.sum(same).cast("long").alias("same_label"))
+            .select("label", "pairs", "same_label",
+                    F.round(F.col("same_label")
+                            / F.col("pairs"), 6).alias("purity"))
+            .orderBy("label"))
