@@ -3,8 +3,10 @@
 Defaults are chosen for correctness at small SF and sane behavior at
 cluster scale: AQE on (runtime re-planning, skew-join handling,
 partition coalescing), Arrow on (all our Python-side codecs are
-Pandas-UDF/Arrow batched), broadcast threshold left to Spark but all
-dimension joins in this package broadcast explicitly.
+Pandas-UDF/Arrow batched), broadcast threshold left to Spark —
+bounded dims (region/nation/band literals) broadcast explicitly,
+SF-scaling dims are deliberately unhinted (registry.scaling_dim) so
+the size-based planner/AQE decides per scale.
 """
 
 from __future__ import annotations
