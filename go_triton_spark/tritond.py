@@ -5,11 +5,14 @@ pure-Python ZMTP transport (zmtp.py):
 
 - ``Put(stream, partition_key, record)`` sends ONE 2-frame message:
   frame 1 = compact JSON header ``{"stream_name":...,"partition_key":
-  ...}`` (field order and byte layout matching Go's json.Marshal of
-  the header struct, client.go:104-115), frame 2 = msgpack-encoded
-  record map (client.go:117-122) — byte-identical to the reference
-  client, so an existing tritond daemon consumer receives exactly the
-  payloads it does today.
+  ...}`` (byte-identical to Go's json.Marshal of the header struct —
+  field order and spacing pinned by a golden test; client.go:104-115),
+  frame 2 = the record as a msgpack map (client.go:117-122, via the
+  package's golden-tested codec). Any msgpack consumer decodes frame 2
+  to the same map (encoders may legally pick different integer/string
+  widths for the same value, so only the decoded form — not every
+  byte — is guaranteed across implementations); an existing tritond
+  daemon consumer therefore reads these messages unchanged.
 - a bounded idle-connection pool (client.go:121-140): Put grabs an
   idle connection or dials a new one; at most ``num_idle_conn``
   connections are kept for reuse; a send failure closes that
