@@ -282,3 +282,27 @@ def test_observe_inline_metrics(spark, sf_dir):
     n_kept = kept.count()
     assert obs.get["rows_seen"] == docs.count()
     assert obs.get["rows_seen"] - obs.get["too_short"] == n_kept
+
+
+def test_scaling_dims_work_without_broadcast(spark):
+    """The 100 TB path of the scaling_dim policy: with broadcast joins
+    disabled entirely (what AQE effectively decides when customer/
+    supplier/part outgrow the threshold), the unhinted queries must
+    still plan (shuffle join) and return identical rows — proving no
+    hidden correctness dependence on the broadcast strategy."""
+    from go_triton_spark.operators import REGISTRY
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for name in ("join_inner", "q3_shipping_priority",
+                 "q9_product_profit", "q21_waiting_supplier"):
+        base = sorted(map(tuple, REGISTRY[name].spark(spark, SF).collect()))
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = _plan(spark, name)
+            again = sorted(map(tuple,
+                               REGISTRY[name].spark(spark, SF).collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), \
+            f"{name}: expected a shuffle join with broadcasts disabled"
+        assert base == again, f"{name}: rows changed with join strategy"
