@@ -143,6 +143,31 @@ def cmd_tritond(args) -> int:
     return 0
 
 
+def cmd_put(args) -> int:
+    """Wire-producer side: read JSON-lines records from stdin and Put
+    each to a tritond endpoint (ours or a reference daemon — the
+    protocol is the same bytes). Partition key comes from
+    --partition-key-field (falling back to the record's position)."""
+    from go_triton_spark.tritond import ZmqClient
+
+    client = ZmqClient(args.endpoint)
+    n = 0
+    try:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            key = str(rec.get(args.key_field, n)) if args.key_field else str(n)
+            client.put(args.stream, key, rec)
+            n += 1
+    finally:
+        client.close()
+    print(json.dumps({"sent": n, "stream": args.stream,
+                      "endpoint": args.endpoint}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     eng = _engine()
     date = _dt.datetime.strptime(args.date, "%Y%m%d").date()
@@ -263,6 +288,14 @@ def main(argv: list[str] | None = None) -> int:
     p_tritond.add_argument("--batch-size", type=int, default=200,
                            dest="batch_size")
     p_tritond.set_defaults(fn=cmd_tritond)
+
+    p_put = sub.add_parser(
+        "put", help="send stdin JSON-lines to a tritond endpoint")
+    p_put.add_argument("--stream", required=True)
+    p_put.add_argument("--endpoint", default="tcp://127.0.0.1:3515")
+    p_put.add_argument("--partition-key-field", dest="key_field",
+                       help="record field to use as partition key")
+    p_put.set_defaults(fn=cmd_put)
 
     p_queries = sub.add_parser("queries", help="list registry queries")
     p_queries.add_argument("--tag", help="filter by tag (e.g. llm, dedup)")

@@ -255,3 +255,31 @@ def test_greeting_fuzz_rejected_property():
 
     with pytest.raises(ZmtpError):
         decode_greeting(good[:63])  # short read is never ok
+
+
+def test_cli_put_sends_stdin_jsonl(monkeypatch, capsys):
+    """`triton-spark put` streams stdin JSON-lines to an endpoint with
+    the chosen partition-key field."""
+    import io
+    import json as _json
+
+    from go_triton_spark import cli
+
+    srv = MockTritondServer()
+    try:
+        lines = "".join(_json.dumps({"event_id": i, "user_id": i % 3}) + "\n"
+                        for i in range(7))
+        monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+        assert cli.main(["put", "--stream", "events",
+                         "--endpoint", srv.endpoint,
+                         "--partition-key-field", "user_id"]) == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["sent"] == 7
+        deadline = time.time() + 10
+        while len(srv.messages) < 7 and time.time() < deadline:
+            time.sleep(0.02)
+        assert len(srv.messages) == 7
+        assert {h["partition_key"] for h, _ in srv.messages} == {"0", "1", "2"}
+        assert all(h["stream_name"] == "events" for h, _ in srv.messages)
+    finally:
+        srv.stop()
