@@ -18,7 +18,7 @@ built-in JVM expressions on purpose (UDFs are the slow path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_triton_spark.operators.registry import query, tables
