@@ -50,7 +50,8 @@ def cmd_store(args) -> int:
     from go_triton_spark.types import EVENTS_SCHEMA
 
     eng = _engine()
-    pipe = eng.store(args.stream, schema=EVENTS_SCHEMA, once=args.once)
+    pipe = eng.store(args.stream, schema=EVENTS_SCHEMA, once=args.once,
+                     skip_to_latest=args.skip_to_latest)
     if args.once:
         pipe.await_once()
         pipe.stop()
@@ -59,6 +60,10 @@ def cmd_store(args) -> int:
             pipe.query.awaitTermination()
         except KeyboardInterrupt:  # graceful SIGINT drain (triton.go:117-126)
             pipe.stop()
+    if getattr(args, "mirror_db", None):
+        n = eng.mirror_checkpoints(args.mirror_db)
+        print(f"mirrored {n} checkpoint rows to {args.mirror_db}",
+              file=sys.stderr)
     return 0
 
 
@@ -232,6 +237,14 @@ def main(argv: list[str] | None = None) -> int:
 
     p_store = sub.add_parser("store", help="stream ingest -> archive")
     p_store.add_argument("--stream", required=True)
+    p_store.add_argument("--skip-to-latest", action="store_true",
+                         dest="skip_to_latest",
+                         help="ignore backlog; start from LATEST "
+                              "(triton.go:197-199)")
+    p_store.add_argument("--checkpoint-db", dest="mirror_db",
+                         default=os.environ.get("TRITON_DB"),
+                         help="mirror checkpoint rows into this DB URL "
+                              "when the run ends (default: $TRITON_DB)")
     p_store.add_argument("--once", action="store_true",
                          help="drain available input then exit")
     p_store.set_defaults(fn=cmd_store)

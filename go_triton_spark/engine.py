@@ -51,9 +51,22 @@ class TritonEngine:
     # ----------------------------------------------------- store (ingest)
 
     def store(self, stream: str, schema=None, once: bool = False,
-              trigger_seconds: float = 1.0) -> StorePipeline:
-        """Start the ingest pipeline for a stream (``triton store``)."""
+              trigger_seconds: float = 1.0,
+              skip_to_latest: bool = False) -> StorePipeline:
+        """Start the ingest pipeline for a stream (``triton store``).
+
+        ``skip_to_latest`` overrides the stream's start position to
+        LATEST — the reference's ``store --skip-to-latest`` flag
+        (triton.go:197-199): ignore the backlog, archive only records
+        arriving from now on. Only meaningful on a FIRST start; once a
+        checkpoint exists, resume position comes from the checkpoint.
+        """
+        import dataclasses
+
         cfg = self.config_for(stream)
+        if skip_to_latest:
+            cfg = dataclasses.replace(
+                cfg, options={**cfg.options, "start_position": "LATEST"})
         pipe = StorePipeline(self.spark, cfg, self.client,
                              self.archive.root, self.checkpoint_root)
         pipe.start(schema=schema, once=once, trigger_seconds=trigger_seconds)

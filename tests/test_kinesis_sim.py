@@ -122,3 +122,36 @@ def test_msgpack_payload_format(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(r.event_id for r in captured) == [0, 1, 2, 3]
     assert all(r.ts is not None for r in captured)
+
+
+def test_engine_store_skip_to_latest_flag(spark, tmp_path):
+    """`store --skip-to-latest` (triton.go:197-199): the engine-level
+    override sets start_position=LATEST without touching the stream
+    config — the backlog is never archived, records landing after the
+    first start are."""
+    import datetime as dt
+
+    root = str(tmp_path / "shards")
+    _put(root, "shardId-000", 0, [_rec(i) for i in range(5)])  # backlog
+    cfg = load_config(f"""
+events:
+  name: events
+  partition_key: user_id
+  source: kinesis_sim
+  path: {root}
+""")
+    eng = TritonEngine(spark, str(tmp_path), config=cfg, client="archive")
+    pipe = eng.store("events", schema=EVENTS_SCHEMA, once=True,
+                     skip_to_latest=True)
+    pipe.await_once()
+    pipe.stop()
+    # new records arrive; resume (checkpoint now owns the position)
+    _put(root, "shardId-000", 1, [_rec(70)])
+    pipe = eng.store("events", schema=EVENTS_SCHEMA, once=True,
+                     skip_to_latest=True)
+    pipe.await_once()
+    pipe.stop()
+    out = eng.cat("events", dt.datetime.now(tz=dt.timezone.utc).date())
+    assert {r.event_id for r in out.select("event_id").collect()} == {70}
+    # the shared config object was not mutated by the override
+    assert "start_position" not in cfg["events"].options
