@@ -17,7 +17,11 @@ JSON stats line.
 Environment (mirrors triton.go:34-56 env wiring):
     TRITON_CONFIG  stream-config YAML path    (required for store/cat)
     TRITON_ROOT    engine root directory      (default ./triton-data;
-                   stands in for TRITON_BUCKET — local/S3A path)
+                   local/S3A path)
+    TRITON_BUCKET  accepted as a synonym for TRITON_ROOT so existing
+                   reference deployments migrate unchanged
+                   (triton.go:194, triton.go:293); TRITON_ROOT wins
+                   when both are set
     TRITON_CLIENT  client name                (default "archive";
                    '-' rejected, triton.go:224-227)
     TRITON_DB      checkpoint-mirror DB URL   (sqlite://file.db or
@@ -34,12 +38,19 @@ import os
 import sys
 
 
+def _root() -> str:
+    """Engine root dir; TRITON_BUCKET is the reference's name for it."""
+    return (os.environ.get("TRITON_ROOT")
+            or os.environ.get("TRITON_BUCKET")
+            or "./triton-data")
+
+
 def _engine(schema_needed: bool = False):
     from go_triton_spark.engine import TritonEngine
     from go_triton_spark.session import get_spark
 
     config = os.environ.get("TRITON_CONFIG")
-    root = os.environ.get("TRITON_ROOT", "./triton-data")
+    root = _root()
     client = os.environ.get("TRITON_CLIENT", "archive")
     spark = get_spark("triton-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -127,7 +138,7 @@ def cmd_tritond(args) -> int:
     """
     from go_triton_spark.tritond import TritondDaemon
 
-    root = os.environ.get("TRITON_ROOT", "./triton-data")
+    root = _root()
     daemon = TritondDaemon(os.path.join(root, "incoming"),
                            host=args.host, port=args.port,
                            batch_size=args.batch_size)

@@ -54,24 +54,28 @@ def _category(qd) -> str:
     return tags[0]
 
 
-def _driver_green() -> set:
-    """Names already fully green in a past driver CORRECTNESS_r*.json.
+def _driver_green_rounds() -> dict:
+    """Last round each name was fully green in CORRECTNESS_r*.json.
 
     The driver's correctness gate walks ``queries()`` in registration
-    order and stops after a budgeted prefix (~50 of 138), so one round
-    can't gate everything. Each round we front-load the queries that
-    have never earned a green (rows+schema+hash) row, so the UNION of
-    rounds converges to full driver coverage. Reading the artifacts at
-    import time keeps this self-maintaining — no per-round code edit.
+    order and stops after a budgeted prefix (~50 of 159), so one round
+    can't gate everything. Each round we front-load first the queries
+    that have never earned a green (rows+schema+hash) row, then the
+    STALEST greens (oldest last-green round first), so the union of
+    rounds converges to full coverage AND no query's latest check
+    drifts arbitrarily far behind plan changes. Reading the artifacts
+    at import time keeps this self-maintaining — no per-round edit.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    green: set = set()
+    green: dict = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -80,19 +84,19 @@ def _driver_green() -> set:
         for name, rec in rows.items():
             if (isinstance(rec, dict) and rec.get("rows_match")
                     and rec.get("schema_match") and rec.get("hash_match")):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return green
 
 
 def _reorder_registry() -> None:
-    """Rebuild REGISTRY: flagship first, never-green queries next.
+    """Rebuild REGISTRY: flagship, never-green, then stalest-green first.
 
-    Within each priority tier (unchecked, then already-green) we
-    round-robin across categories so any prefix keeps category spread.
-    Order only affects WHICH queries the driver's budgeted prefix
-    checks — never what any query returns.
+    Within each priority tier (never-checked, then each last-green
+    round ascending) we round-robin across categories so any prefix
+    keeps category spread. Order only affects WHICH queries the
+    driver's budgeted prefix checks — never what any query returns.
     """
-    green = _driver_green()
+    green = _driver_green_rounds()
 
     def rr(names_by_cat: dict) -> list:
         out: list = []
@@ -106,14 +110,16 @@ def _reorder_registry() -> None:
                     idx[c] += 1
         return out
 
-    pending: dict[str, list] = {}
-    done: dict[str, list] = {}
+    # tier 0 = never driver-green; tier r = last green in round r
+    tiers: dict = {}
     for name, qd in REGISTRY.items():
         if name == "q1_pricing_summary":
             continue
-        tier = done if name in green else pending
-        tier.setdefault(_category(qd), []).append(name)
-    order = ["q1_pricing_summary"] + rr(pending) + rr(done)
+        tiers.setdefault(green.get(name, 0), {}) \
+             .setdefault(_category(qd), []).append(name)
+    order = ["q1_pricing_summary"]
+    for rnd in sorted(tiers):
+        order.extend(rr(tiers[rnd]))
     reordered = {name: REGISTRY[name] for name in order}
     REGISTRY.clear()
     REGISTRY.update(reordered)

@@ -97,3 +97,19 @@ def test_cli_query_runs_and_limits(spark, capsys):
 
     assert cli.main(["query", "no_such_query"]) == 2
     assert "unknown query" in capsys.readouterr().err
+
+
+def test_triton_bucket_env_alias(monkeypatch):
+    """TRITON_BUCKET is the reference's env name for the root
+    (triton.go:194, :293); accept it as a TRITON_ROOT synonym."""
+    from go_triton_spark import cli
+
+    monkeypatch.delenv("TRITON_ROOT", raising=False)
+    monkeypatch.delenv("TRITON_BUCKET", raising=False)
+    assert cli._root() == "./triton-data"
+
+    monkeypatch.setenv("TRITON_BUCKET", "/bucket/path")
+    assert cli._root() == "/bucket/path"
+
+    monkeypatch.setenv("TRITON_ROOT", "/root/path")  # ROOT wins when both set
+    assert cli._root() == "/root/path"

@@ -20,31 +20,32 @@ def test_queries_and_oracles_consistent(spark):
     assert df.count() > 0
 
 
-def test_registry_prefix_front_loads_unchecked_queries():
+def test_registry_prefix_front_loads_stalest_queries():
     """The driver gates queries() in registration order and stops after
-    a budgeted prefix (~50), so one round can't check all 138. The
+    a budgeted prefix (~50), so one round can't check all 159. The
     registry orders: flagship first, then every query that has never
-    earned a green CORRECTNESS row (round-robin across categories for
-    spread), then the already-green ones — so the union over rounds
-    converges to full driver coverage."""
-    from go_triton_spark.operators import REGISTRY, _category, _driver_green
+    earned a green CORRECTNESS row, then greens by ascending last-green
+    round (stalest first, round-robin across categories for spread) —
+    so the union over rounds converges to full driver coverage and no
+    query's latest check drifts arbitrarily stale."""
+    from go_triton_spark.operators import (REGISTRY, _category,
+                                           _driver_green_rounds)
 
     names = list(REGISTRY)
     assert names[0] == "q1_pricing_summary"  # flagship leads
-    green = _driver_green()
+    green = _driver_green_rounds()
     rest = names[1:]
-    pending = [n for n in rest if n not in green]
-    # every never-green query precedes every already-green query
-    if pending:
-        last_pending = max(rest.index(n) for n in pending)
-        first_green = min((rest.index(n) for n in rest if n in green),
-                          default=len(rest))
-        assert last_pending < first_green or not green
-    # round-robin spread: a prefix of the pending tier the size of the
-    # category count touches every pending category
-    pending_cats = {_category(REGISTRY[n]) for n in pending}
-    window = pending[:len(pending_cats)]
-    assert {_category(REGISTRY[n]) for n in window} == pending_cats
+    # ordering key is non-decreasing: never-green (0) first, then by
+    # ascending last-green round
+    keys = [green.get(n, 0) for n in rest]
+    assert keys == sorted(keys)
+    # round-robin spread: a prefix of the stalest tier the size of its
+    # category count touches every category in that tier
+    if keys:
+        tier0 = [n for n in rest if green.get(n, 0) == keys[0]]
+        tier0_cats = {_category(REGISTRY[n]) for n in tier0}
+        window = tier0[:len(tier0_cats)]
+        assert {_category(REGISTRY[n]) for n in window} == tier0_cats
 
 
 def test_registry_outputs_have_no_narrow_or_array_columns(spark):
