@@ -61,6 +61,8 @@ def cmd_store(args) -> int:
     from go_triton_spark.types import EVENTS_SCHEMA
 
     eng = _engine()
+    mirror_db = getattr(args, "mirror_db", None)
+    interval = getattr(args, "mirror_interval", 10.0)
     pipe = eng.store(args.stream, schema=EVENTS_SCHEMA, once=args.once,
                      skip_to_latest=args.skip_to_latest)
     if args.once:
@@ -68,10 +70,18 @@ def cmd_store(args) -> int:
         pipe.stop()
     else:
         try:
-            pipe.query.awaitTermination()
+            if mirror_db:
+                # mirror DURING the run (the reference's Checkpointer
+                # upserts continuously, checkpoint.go:27-76) so an
+                # external monitor polling the DB sees live rows — and
+                # rows survive a kill, not just a clean stop
+                while not pipe.query.awaitTermination(interval):
+                    eng.mirror_checkpoints(mirror_db)
+            else:
+                pipe.query.awaitTermination()
         except KeyboardInterrupt:  # graceful SIGINT drain (triton.go:117-126)
             pipe.stop()
-    if getattr(args, "mirror_db", None):
+    if mirror_db:
         n = eng.mirror_checkpoints(args.mirror_db)
         print(f"mirrored {n} checkpoint rows to {args.mirror_db}",
               file=sys.stderr)
@@ -255,7 +265,12 @@ def main(argv: list[str] | None = None) -> int:
     p_store.add_argument("--checkpoint-db", dest="mirror_db",
                          default=os.environ.get("TRITON_DB"),
                          help="mirror checkpoint rows into this DB URL "
-                              "when the run ends (default: $TRITON_DB)")
+                              "periodically during the run and once at "
+                              "the end (default: $TRITON_DB)")
+    p_store.add_argument("--mirror-interval", dest="mirror_interval",
+                         type=float, default=10.0, metavar="SECONDS",
+                         help="seconds between live checkpoint-DB "
+                              "mirrors (default: 10)")
     p_store.add_argument("--once", action="store_true",
                          help="drain available input then exit")
     p_store.set_defaults(fn=cmd_store)

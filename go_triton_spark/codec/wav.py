@@ -84,8 +84,13 @@ def parse_wav(data: bytes) -> dict:
     duration_ms = n_frames * 1000 // sample_rate
     if len(x):
         peak = int(np.abs(x).max())
-        # exact integer sum of squares, one float sqrt, one round
-        rms_u = int(round(float(np.sqrt(int((x * x).sum()) / len(x)))))
+        # exact integer sum of squares, one float sqrt, one round.
+        # int64 accumulation would wrap: one full-scale 32-bit sample
+        # squared is ~2^62, so two of them overflow silently. Chunked
+        # object-dtype Python-int sums stay exact at any depth.
+        sq = int(sum((x[i:i + 65536].astype(object) ** 2).sum()
+                     for i in range(0, len(x), 65536)))
+        rms_u = int(round(float(np.sqrt(sq / len(x)))))
     else:
         peak = rms_u = 0
     return {

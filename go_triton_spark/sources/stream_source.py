@@ -29,23 +29,92 @@ Streaming's equivalents, selected by ``StreamConfig.options['source']``:
                guidance if absent.
 
 Start-position semantics (S2/S7): for file sources, "TRIM_HORIZON" ==
-process existing files, "LATEST" == only new files
-(``latestFirst``/existing-file handling), and resume-from-checkpoint is
-automatic via ``checkpointLocation`` (S6) — strictly stronger than the
-reference's SQL checkpoint table (at-least-once -> exactly-once).
+process existing files; "LATEST" == a REAL backlog skip — the files
+present at first start are snapshotted and excluded via a broadcast
+anti-filter (Spark's own ``latestFirst`` only reorders the backlog, it
+never skips it). Resume-from-checkpoint is automatic via
+``checkpointLocation`` (S6) — strictly stronger than the reference's
+SQL checkpoint table (at-least-once -> exactly-once).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from go_triton_spark.config import StreamConfig
 
 
+def _list_files_recursive(spark: SparkSession, path: str) -> list[str]:
+    """Driver-side recursive file listing via Hadoop FS (works for any
+    configured scheme). Cost is the same O(existing files) listing
+    FileStreamSource itself performs on every micro-batch, paid once."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toUri().getPath())
+    return out
+
+
+_STRIP_SCHEME = r"^[a-zA-Z][a-zA-Z0-9.+-]*:(//[^/]*)?"
+
+
+def _latest_seen_files(spark: SparkSession, path: str,
+                       seen_files_log: str | None) -> list[str]:
+    """The backlog snapshot for LATEST: files present at FIRST start.
+
+    Persisted under ``seen_files_log`` (plain text, written through
+    Spark so any checkpoint filesystem works): a restart must exclude
+    the ORIGINAL backlog only — files that arrived while the pipeline
+    was down belong to the stream and are replayed from the checkpoint,
+    so re-snapshotting on resume would wrongly drop them.
+    """
+    if seen_files_log:
+        try:
+            return [r.value for r in spark.read.text(seen_files_log).collect()]
+        except Exception:
+            pass  # first start — no snapshot yet
+    seen = _list_files_recursive(spark, path)
+    if seen_files_log:
+        (spark.createDataFrame([(p,) for p in seen], "value string")
+         .coalesce(1).write.mode("overwrite").text(seen_files_log))
+    return seen
+
+
+def _exclude_seen_files(spark: SparkSession, df: DataFrame,
+                        seen: list[str]) -> DataFrame:
+    """Anti-filter the snapshot: stream-static left-outer join on the
+    scheme-stripped ``input_file_name`` against a broadcast list of
+    snapshot paths (names only — bounded by backlog file COUNT, not
+    data size), keep non-matches."""
+    if not seen:
+        return df
+    ex = spark.createDataFrame([(p,) for p in seen], "_gts_seen_file string")
+    key = F.regexp_replace(F.input_file_name(), _STRIP_SCHEME, "")
+    return (df.withColumn("_gts_src_file", key)
+            .join(F.broadcast(ex),
+                  F.col("_gts_src_file") == F.col("_gts_seen_file"),
+                  "left_outer")
+            .where(F.col("_gts_seen_file").isNull())
+            .drop("_gts_src_file", "_gts_seen_file"))
+
+
 def open_stream(spark: SparkSession, cfg: StreamConfig,
-                schema: T.StructType | None = None) -> DataFrame:
-    """Return an unbounded DataFrame for the configured stream."""
+                schema: T.StructType | None = None,
+                seen_files_log: str | None = None) -> DataFrame:
+    """Return an unbounded DataFrame for the configured stream.
+
+    ``seen_files_log``: where to persist the LATEST backlog snapshot
+    for file sources (StorePipeline passes a directory next to the
+    query checkpoint so resume keeps first-start semantics).
+    """
     source = cfg.options.get("source", "file")
     if source == "file":
         path = cfg.options.get("path")
@@ -60,7 +129,12 @@ def open_stream(spark: SparkSession, cfg: StreamConfig,
         if mft:
             reader = reader.option("maxFilesPerTrigger", str(mft))
         if cfg.options.get("start_position", "TRIM_HORIZON") == "LATEST":
-            reader = reader.option("latestFirst", "true")
+            # Real skip (triton.go:197-199 semantics): snapshot the
+            # backlog and anti-filter it. latestFirst alone only
+            # REORDERS existing files — every backlog file would still
+            # be archived.
+            seen = _latest_seen_files(spark, path, seen_files_log)
+            return _exclude_seen_files(spark, reader.load(path), seen)
         return reader.load(path)
     if source == "kinesis_sim":
         path = cfg.options.get("path")

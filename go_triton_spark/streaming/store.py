@@ -62,7 +62,10 @@ class StorePipeline:
               once: bool = False) -> StreamingQuery:
         """Start the ingest query (S8/S9). ``once=True`` drains available
         input then stops — the unit-test and backfill mode."""
-        src = open_stream(self.spark, self.cfg, schema=schema)
+        checkpoint = (f"{self.checkpoint_root}/"
+                      f"{self.cfg.stream_name}-{self.client}")
+        src = open_stream(self.spark, self.cfg, schema=schema,
+                          seen_files_log=f"{checkpoint}-latest-snapshot")
         # Binary-payload sources (the real-AWS kinesis adapter) surface
         # raw msgpack maps in a `data` column; decode to the declared
         # record schema here — the reference's reader-side msgpack
@@ -79,8 +82,7 @@ class StorePipeline:
             .queryName(f"store-{self.cfg.stream_name}-{self.client}")
             .partitionBy("stream", "client", "date", "hour")
             .option("path", self.archive_root)
-            .option("checkpointLocation",
-                    f"{self.checkpoint_root}/{self.cfg.stream_name}-{self.client}")
+            .option("checkpointLocation", checkpoint)
             .outputMode("append")
         )
         if once:

@@ -29,6 +29,7 @@ It exists for tests AND as the in-sandbox stand-in for a real daemon.
 from __future__ import annotations
 
 import json
+import os
 import socket
 import threading
 
@@ -65,7 +66,9 @@ class ZmqClient:
         if endpoint.startswith("tcp://"):
             endpoint = endpoint[len("tcp://"):]
         host, _, port = endpoint.rpartition(":")
-        self.addr = (host or "127.0.0.1", int(port))
+        # bracketed IPv6 ("tcp://[::1]:3515"): create_connection wants
+        # the bare address, libzmq-style endpoints keep the brackets
+        self.addr = (host.strip("[]") or "127.0.0.1", int(port))
         self.timeout = timeout
         self.num_idle_conn = num_idle_conn
         self._idle: list[ZmtpConnection] = []
@@ -197,6 +200,15 @@ class TritondDaemon(MockTritondServer):
                 except ValueError:
                     continue  # malformed: skip, stream survives
                 stream = header.get("stream_name") or "unknown"
+                # stream_name comes verbatim off the wire and becomes a
+                # path segment under out_root; reject anything that
+                # could escape it (the reference forwards the name to
+                # Kinesis, where a hostile name has no filesystem
+                # consequence — here it would)
+                if (not isinstance(stream, str) or stream in (".", "..")
+                        or "\\" in stream or "\x00" in stream
+                        or os.path.basename(stream) != stream):
+                    continue  # malformed: skip, stream survives
                 with self._buf_lock:
                     buf = self._buffers.setdefault(stream, [])
                     buf.append(record)

@@ -113,3 +113,47 @@ def test_triton_bucket_env_alias(monkeypatch):
 
     monkeypatch.setenv("TRITON_ROOT", "/root/path")  # ROOT wins when both set
     assert cli._root() == "/root/path"
+
+
+def test_store_mirrors_checkpoint_db_during_run(spark, cli_env, tmp_path):
+    """--checkpoint-db must mirror DURING a long-running store (the
+    reference's Checkpointer upserts continuously, checkpoint.go:27-76)
+    — an external monitor polling the DB sees live rows, and rows
+    survive a kill, not only a clean stop."""
+    import sqlite3
+    import threading
+    import time
+
+    from go_triton_spark import cli
+
+    db = str(tmp_path / "live.db")
+    done = threading.Event()
+
+    def run():
+        cli.main(["store", "--stream", "events",
+                  "--checkpoint-db", db, "--mirror-interval", "0.5"])
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    # poll the DB like an external monitor would — rows must appear
+    # while the store is still running
+    deadline = time.time() + 60
+    rows = []
+    while time.time() < deadline and not rows:
+        if done.is_set():
+            raise AssertionError("store exited before it was stopped")
+        try:
+            con = sqlite3.connect(db)
+            rows = con.execute(
+                "SELECT stream FROM triton_checkpoint").fetchall()
+            con.close()
+        except sqlite3.OperationalError:
+            pass  # DB/table not created yet
+        time.sleep(0.25)
+    assert rows and rows[0][0] == "events"
+    for q in spark.streams.active:  # terminate -> loop exits -> final mirror
+        if q.name and q.name.startswith("store-events"):
+            q.stop()
+    assert done.wait(60)
+    t.join(10)

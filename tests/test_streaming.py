@@ -193,3 +193,31 @@ def test_stream_stats_progress_monitor(engine, tmp_path):
     assert key in stats, stats
     assert stats[key]["num_input_rows"] == 12
     assert "addBatch" in stats[key]["duration_ms"]
+
+
+def test_skip_to_latest_file_source_skips_backlog(engine, tmp_path):
+    """`store --skip-to-latest` on the DEFAULT file source must really
+    skip the backlog (triton.go:197-199) — Spark's latestFirst only
+    reorders existing files, so the engine snapshots first-start files
+    and anti-filters them. Resume keeps first-start semantics: files
+    that arrive later (even while stopped) ARE archived."""
+    src = f"{tmp_path}/incoming/events"
+    _write_events_json(src, _recs(10))          # backlog, must be skipped
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True,
+                        skip_to_latest=True)
+    pipe.await_once()
+    pipe.stop()
+    import glob
+    assert glob.glob(f"{tmp_path}/archive/**/*.parquet",
+                     recursive=True) == []  # backlog skipped entirely
+    today = dt.datetime.now(tz=UTC).date()
+
+    _write_events_json(src, _recs(5, start=100))  # arrives while stopped
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True,
+                        skip_to_latest=True)
+    pipe.await_once()
+    pipe.stop()
+    out = engine.cat("events", today)
+    assert out.count() == 5  # new file archived, snapshot not re-taken
+    assert set(r[0] for r in out.select("event_id").collect()) == \
+        set(range(100, 105))

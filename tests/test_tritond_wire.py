@@ -283,3 +283,46 @@ def test_cli_put_sends_stdin_jsonl(monkeypatch, capsys):
         assert all(h["stream_name"] == "events" for h, _ in srv.messages)
     finally:
         srv.stop()
+
+
+def test_daemon_rejects_path_escaping_stream_names(tmp_path):
+    """stream_name arrives verbatim off the wire and becomes a path
+    segment under out_root; traversal names ('../x', absolute, nested)
+    must be skipped like any malformed message — the reference forwards
+    the name to Kinesis where it has no filesystem consequence, here it
+    would escape the root."""
+    import os
+
+    from go_triton_spark.tritond import TritondDaemon
+
+    out_root = str(tmp_path / "incoming")
+    daemon = TritondDaemon(out_root, batch_size=1, flush_interval=0.1)
+    try:
+        c = ZmqClient(daemon.endpoint)
+        rec = {"event_id": 1}
+        for evil in ("../escape", "../../tmp/escape", "/abs/escape",
+                     "a/b", ".", "..", "x\\y"):
+            c.put(evil, "k", rec)
+        c.put("good_stream", "k", rec)  # stream survives the bad ones
+        c.close()
+        deadline = time.time() + 15
+        while daemon.flushed < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        assert daemon.flushed == 1
+    finally:
+        daemon.stop()
+    assert not (tmp_path / "escape").exists()
+    assert not (tmp_path / "incoming" / "a").exists()
+    assert os.listdir(out_root) == ["good_stream"]
+
+
+def test_zmq_client_parses_bracketed_ipv6_endpoint():
+    """libzmq accepts 'tcp://[::1]:3515'; create_connection needs the
+    bare address, so brackets must be stripped."""
+    # exercise only the endpoint parse (no dial happens in __init__)
+    c2 = ZmqClient("tcp://[::1]:3515")
+    assert c2.addr == ("::1", 3515)
+    c2.close()
+    c3 = ZmqClient("tcp://127.0.0.1:4000")
+    assert c3.addr == ("127.0.0.1", 4000)
+    c3.close()

@@ -102,3 +102,18 @@ def test_truncated_and_non_pcm_rejected():
     struct.pack_into("<H", bad, 20, 3)
     with pytest.raises(ValueError, match="format tag"):
         parse_wav(bytes(bad))
+
+
+def test_32bit_full_scale_rms_exact():
+    """Sum-of-squares must not wrap int64: one full-scale 32-bit sample
+    squared is ~2^62, so a handful of them silently overflowed the old
+    int64 accumulator. Exact accumulation gives rms == |sample| for a
+    constant full-scale signal."""
+    from go_triton_spark.codec.wav import build_wav, parse_wav
+
+    full = 2**31 - 1
+    meta = parse_wav(build_wav([full, -full, full, -full] * 4,
+                               bit_depth=32))
+    assert meta["bit_depth"] == 32
+    assert meta["peak"] == full
+    assert meta["rms_u"] == full  # int64 wrap produced garbage here
