@@ -44,17 +44,28 @@ def _coerce(v, dt: T.DataType):
 
 def decode_msgpack_column(df: DataFrame, schema: T.StructType,
                           data_col: str = "data",
-                          on_corrupt: str = "skip") -> DataFrame:
+                          on_corrupt: str = "skip",
+                          on_error=None,
+                          context: dict | None = None) -> DataFrame:
     """Decode a binary msgpack-map column into ``schema`` columns.
 
-    ``on_corrupt``: "skip" (reference semantics — log-free drop, keep
+    ``on_corrupt``: "skip" (reference semantics — drop, report, keep
     going) or "raise". One payload = one record map; payloads that
     decode to non-maps are treated as corrupt.
+
+    ``on_error``: reporter invoked per skipped record, executor-side
+    (the reference reports each skip to Sentry from the reader loop,
+    stream_reader.go:159-192). Defaults to the process-global reporter
+    (log + count). ``context`` is merged into every report.
     """
     import pandas as pd
 
+    from go_triton_spark.reporting import get_error_reporter, safe_report
+
     fields = schema.fields
     names = [f.name for f in fields]
+    reporter = on_error if on_error is not None else get_error_reporter()
+    ctx = dict(context or {})
 
     def batches(it):
         for pdf in it:
@@ -62,12 +73,17 @@ def decode_msgpack_column(df: DataFrame, schema: T.StructType,
             for raw in pdf[data_col]:
                 try:
                     obj, _ = unpackb(bytes(raw))
-                except (MsgpackError, TypeError):
+                except (MsgpackError, TypeError) as e:
                     if on_corrupt == "skip":
+                        safe_report(reporter, "corrupt_record",
+                                    f"msgpack decode failed: {e}", **ctx)
                         continue
                     raise
                 if not isinstance(obj, dict):
                     if on_corrupt == "skip":
+                        safe_report(reporter, "corrupt_record",
+                                    f"non-map record: {type(obj).__name__}",
+                                    **ctx)
                         continue
                     raise MsgpackError(f"non-map record: {type(obj)}")
                 rows.append(obj)

@@ -52,7 +52,8 @@ class TritonEngine:
 
     def store(self, stream: str, schema=None, once: bool = False,
               trigger_seconds: float = 1.0,
-              skip_to_latest: bool = False) -> StorePipeline:
+              skip_to_latest: bool = False,
+              on_error=None) -> StorePipeline:
         """Start the ingest pipeline for a stream (``triton store``).
 
         ``skip_to_latest`` overrides the stream's start position to
@@ -60,6 +61,10 @@ class TritonEngine:
         (triton.go:197-199): ignore the backlog, archive only records
         arriving from now on. Only meaningful on a FIRST start; once a
         checkpoint exists, resume position comes from the checkpoint.
+
+        ``on_error``: reporter for skipped/corrupt records and stream
+        failures (the reference's Sentry hook, stream_reader.go:159-192;
+        see go_triton_spark.reporting). Default = log + count.
         """
         import dataclasses
 
@@ -68,7 +73,8 @@ class TritonEngine:
             cfg = dataclasses.replace(
                 cfg, options={**cfg.options, "start_position": "LATEST"})
         pipe = StorePipeline(self.spark, cfg, self.client,
-                             self.archive.root, self.checkpoint_root)
+                             self.archive.root, self.checkpoint_root,
+                             on_error=on_error)
         pipe.start(schema=schema, once=once, trigger_seconds=trigger_seconds)
         self._pipelines[stream] = pipe
         return pipe

@@ -35,7 +35,7 @@ class StorePipeline:
     """One stream's ingest pipeline (reference Store, triton/store.go:20-32)."""
 
     def __init__(self, spark: SparkSession, cfg: StreamConfig, client: str,
-                 archive_root: str, checkpoint_root: str):
+                 archive_root: str, checkpoint_root: str, on_error=None):
         if "-" in client:
             raise ValueError("client name cannot contain '-' (key delimiter, "
                              "triton.go:224-227)")
@@ -44,7 +44,27 @@ class StorePipeline:
         self.client = client
         self.archive_root = archive_root
         self.checkpoint_root = checkpoint_root
+        # reporter for skipped records / stream failures (the
+        # reference's Sentry hook, stream_reader.go:159-192); default =
+        # process-global log+count reporter
+        self.on_error = on_error
         self.query: StreamingQuery | None = None
+
+    def _report_query_failure(self) -> None:
+        """Driver-side: surface a failed streaming query to the reporter."""
+        if self.query is None:
+            return
+        try:
+            exc = self.query.exception()
+        except Exception:
+            return
+        if exc is not None:
+            from go_triton_spark.reporting import (get_error_reporter,
+                                                   safe_report)
+            reporter = (self.on_error if self.on_error is not None
+                        else get_error_reporter())
+            safe_report(reporter, "stream_error", str(exc),
+                        stream=self.cfg.stream_name, client=self.client)
 
     def _with_partitions(self, df: DataFrame) -> DataFrame:
         """Stamp processing-time partition columns (store.go:86 semantics:
@@ -75,7 +95,10 @@ class StorePipeline:
                 and "data" in src.columns
                 and isinstance(src.schema["data"].dataType, _BinaryType)):
             from go_triton_spark.codec.decode import decode_msgpack_column
-            src = decode_msgpack_column(src, schema)
+            src = decode_msgpack_column(
+                src, schema, on_error=self.on_error,
+                context={"stream": self.cfg.stream_name,
+                         "client": self.client})
         out = self._with_partitions(src)
         writer = (
             out.writeStream.format("parquet")
@@ -97,9 +120,11 @@ class StorePipeline:
         if self.query is not None:
             self.query.stop()
             self.query.awaitTermination(timeout)
+            self._report_query_failure()
             self.query = None
 
     def await_once(self, timeout: float = 120.0) -> None:
         """Block until an availableNow query finishes (test helper)."""
         if self.query is not None:
             self.query.awaitTermination(timeout)
+            self._report_query_failure()
