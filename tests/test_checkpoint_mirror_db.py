@@ -158,3 +158,112 @@ def test_cli_stats_reads_triton_db_env(tmp_path, monkeypatch):
     calls.clear()
     assert cli.main(["stats", "--mirror-db", "sqlite://flag.db"]) == 0
     assert calls["url"] == "sqlite://flag.db"
+
+
+# ---- strict per-flavor statement-stream stubs (round-5 hardening) ----
+#
+# These model the two postgres drivers' transaction protocols exactly
+# and FAIL on any statement drift from the reference Checkpointer
+# (triton/checkpoint.go:27-76): implicit BEGIN at the first statement
+# in a transaction, COMMIT at `with con:` exit, and — the flavor
+# difference — psycopg (v3) also CLOSES the connection at with-exit
+# while psycopg2 only commits.
+
+_PG_UPSERT = (
+    "INSERT INTO triton_checkpoint "
+    "(client, stream, shard, seq_num, updated) "
+    "VALUES (%s, %s, %s, %s, %s) "
+    "ON CONFLICT (client, stream, shard) DO UPDATE SET "
+    "seq_num = excluded.seq_num, updated = excluded.updated")
+_PG_SELECT = "SELECT client, stream, shard, updated FROM triton_checkpoint"
+_PG_SELECT_CLIENT = _PG_SELECT + " WHERE client = %s"
+
+
+class _StrictPgCursor:
+    def __init__(self, con):
+        self.con = con
+
+    def _statement(self, sql, params):
+        allowed = (CREATE_TABLE_STMT, _PG_UPSERT,
+                   _PG_SELECT, _PG_SELECT_CLIENT)
+        assert sql in allowed, f"statement drift from checkpoint.go: {sql!r}"
+        assert "?" not in sql, "sqlite placeholder leaked to postgres"
+        if not self.con.in_tx:
+            self.con.stream.append("BEGIN")  # drivers BEGIN implicitly
+            self.con.in_tx = True
+        self.con.stream.append(sql)
+
+    def execute(self, sql, params=()):
+        self._statement(sql, params)
+        self.con.last_params = tuple(params)
+
+    def executemany(self, sql, seq):
+        seq = list(seq)
+        self._statement(sql, seq)
+        self.con.rows.extend(seq)
+
+    def fetchall(self):
+        return [(c, s, sh, up) for (c, s, sh, _q, up) in self.con.rows]
+
+
+class _StrictPgCon:
+    close_on_exit = True  # psycopg (v3) semantics
+
+    def __init__(self):
+        self.stream, self.rows = [], []
+        self.in_tx = False
+        self.close_calls = 0
+
+    def cursor(self):
+        return _StrictPgCursor(self)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        self.stream.append("COMMIT" if exc_type is None else "ROLLBACK")
+        self.in_tx = False
+        if self.close_on_exit:
+            self.close_calls += 1
+        return False
+
+    def close(self):
+        self.close_calls += 1
+
+
+class _StrictPg2Con(_StrictPgCon):
+    close_on_exit = False  # psycopg2: with-exit commits, does NOT close
+
+
+@pytest.mark.parametrize("con_cls", [_StrictPgCon, _StrictPg2Con],
+                         ids=["psycopg3", "psycopg2"])
+def test_postgres_full_transaction_stream(tmp_path, con_cls):
+    """Exact wire-order a real driver would see for one mirror:
+    BEGIN -> verbatim reference DDL -> one %s upsert -> COMMIT, then
+    the connection is closed regardless of driver flavor (psycopg2's
+    with-exit does not close, so mirror_to_db must close explicitly)."""
+    root = _fake_checkpoints(tmp_path / "ck")
+    con = con_cls()
+    n = mirror_to_db(root, "postgres://db-host/triton",
+                     _con=con, _placeholder="%s")
+    assert n == 1
+    assert con.stream == ["BEGIN", CREATE_TABLE_STMT, _PG_UPSERT, "COMMIT"]
+    assert con.close_calls >= 1
+    (row,) = con.rows
+    assert row[0] == "archive" and row[1] == "events" and row[3] == "7"
+
+
+@pytest.mark.parametrize("con_cls", [_StrictPgCon, _StrictPg2Con],
+                         ids=["psycopg3", "psycopg2"])
+def test_postgres_stats_statement_stream(tmp_path, con_cls):
+    """GetCheckpointStats parity (checkpoint.go:127-151): one SELECT,
+    %s-parameterized client filter, connection closed after."""
+    con = con_cls()
+    con.rows.append(("archive", "events", "shardId-0", "7",
+                     __import__("time").time()))
+    ages = stats_from_db("postgres://db-host/triton", client="archive",
+                         _con=con, _placeholder="%s")
+    assert set(ages) == {"archive.events.shardId-0.age"}
+    assert con.stream == ["BEGIN", _PG_SELECT_CLIENT]
+    assert con.last_params == ("archive",)
+    assert con.close_calls >= 1
