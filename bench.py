@@ -86,6 +86,8 @@ HEADLINE = [
     "knn_graph_lsh",
     "semdedup_prune",
     "mm_wav_decode",
+    "emb_label_knn_purity",      # r5: track the LSH-stack reuser
+    "dedup_levenshtein_qgram",   # r5: track the q-gram routing variant
 ]
 
 

@@ -44,8 +44,14 @@ _SELF_N2 = ("aggregate(transform(embedding, x -> cast(x as double) * cast(x as d
 
 def _exact_pair_scores(spark: SparkSession, cand: DataFrame, e: DataFrame,
                        a_col: str, b_col: str,
-                       broadcast_a: bool = False) -> DataFrame:
+                       broadcast_a: bool = False,
+                       pre_partitioned: bool = False) -> DataFrame:
     """Exact cosine rescore of a candidate-pair table.
+
+    ``pre_partitioned=True``: the caller already issued the explicit
+    repartition on a_col (e.g. _capped_pairs folds it into its dedup),
+    so repeating it here would add a pointless second shuffle of the
+    pair table.
 
     Two deliberate plan choices, both for the compute-dense HOF pass:
     (1) squared norms are computed once per VECTOR and joined in as
@@ -79,7 +85,9 @@ def _exact_pair_scores(spark: SparkSession, cand: DataFrame, e: DataFrame,
     ne = e.select(F.col("vec_id").alias(b_col),
                   F.col("embedding").alias("n_emb"),
                   F.expr(_SELF_N2).alias("n_n2"))
-    return (cand.repartition(nparts, F.col(a_col))
+    if not pre_partitioned:
+        cand = cand.repartition(nparts, F.col(a_col))
+    return (cand
             .join(qe, a_col).join(ne, b_col)
             .withColumn("score", F.round(
                 F.expr(_DOT) / F.sqrt(F.col("q_n2") * F.col("n_n2")), 6)))
@@ -721,7 +729,20 @@ def _capped_pairs(e: DataFrame, a_col: str, b_col: str,
 
     ``ordered=True`` emits only pairs with b < a (the semdedup
     "lower-id candidate" shape); otherwise both directions, a != b.
+
+    Dedup piggybacks on the rescore partitioning (round-5 recovery of
+    the grouped-pair rewrite's local cost): a pair repeats only when
+    two ids co-bucket in MULTIPLE bands, and partitioning on a_col
+    alone already colocates every copy of (a, b) — so one explicit
+    ``repartition(n, a_col)`` satisfies BOTH the dropDuplicates
+    clustering requirement (subset of the dedup keys) and
+    _exact_pair_scores' byte-blind-AQE guard, collapsing the old
+    distinct-on-(a,b) exchange + rescore repartition into a single
+    shuffle of the pair table. Callers pass the result to
+    _exact_pair_scores with ``pre_partitioned=True``.
     """
+    spark = e.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     grp = (_capped_buckets(e)
            .groupBy("band", "sig")
            .agg(F.sort_array(F.collect_list("vec_id")).alias("members")))
@@ -730,7 +751,9 @@ def _capped_pairs(e: DataFrame, a_col: str, b_col: str,
             .select(a_col, F.explode("members").alias(b_col)))
     cond = (F.col(b_col) < F.col(a_col)) if ordered \
         else (F.col(b_col) != F.col(a_col))
-    return base.where(cond).distinct()
+    return (base.where(cond)
+            .repartition(nparts, F.col(a_col))
+            .dropDuplicates([a_col, b_col]))
 
 
 def _knn_oracle() -> str:
@@ -797,7 +820,8 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated."""
     (e,) = tables(spark, sf_dir, "embeddings")
     cand = _capped_pairs(e, "vec_id", "neighbor_id")
-    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
+    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
+                                pre_partitioned=True)
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -861,7 +885,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the full keep/drop vector."""
     (e,) = tables(spark, sf_dir, "embeddings")
     cand = _capped_pairs(e, "vec_id", "lower_id", ordered=True)
-    pruned = (_exact_pair_scores(spark, cand, e, "vec_id", "lower_id")
+    pruned = (_exact_pair_scores(spark, cand, e, "vec_id", "lower_id",
+                                 pre_partitioned=True)
               .where(F.col("score") >= _SEM_T)
               .select("vec_id").distinct()
               .withColumn("hit", F.lit(True)))
@@ -936,7 +961,8 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (e,) = tables(spark, sf_dir, "embeddings")
     cand = _capped_pairs(e, "vec_id", "neighbor_id")
-    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
+    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
+                                pre_partitioned=True)
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
     top = (scored.withColumn("rank", F.row_number().over(w))
@@ -1057,7 +1083,8 @@ def emb_label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 1e-6, so the driver hash-gates it."""
     (e,) = tables(spark, sf_dir, "embeddings")
     cand = _capped_pairs(e, "vec_id", "neighbor_id")
-    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id")
+    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
+                                pre_partitioned=True)
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
     top = (scored.withColumn("rank", F.row_number().over(w))

@@ -150,6 +150,8 @@ def main() -> int:
         QUERIES = QUERIES5
     if "--batch6" in sys.argv:
         QUERIES = QUERIES6
+    if "--queries" in sys.argv:  # explicit list for targeted re-runs
+        QUERIES = sys.argv[sys.argv.index("--queries") + 1].split(",")
     mults = [int(x) for x in (
         sys.argv[sys.argv.index("--mults") + 1].split(",")
         if "--mults" in sys.argv else ["1", "2", "5", "10"])]
