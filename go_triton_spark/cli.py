@@ -201,7 +201,8 @@ def cmd_compact(args) -> int:
     physical = eng.configs.get(args.stream)
     name = physical.stream_name if physical else args.stream
     stats = eng.archive.compact(name, date, client,
-                                target_file_mb=args.target_mb)
+                                target_file_mb=args.target_mb,
+                                min_age_hours=args.min_age_hours)
     print(json.dumps(stats))
     return 0
 
@@ -302,6 +303,11 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("--date", required=True, metavar="YYYYMMDD")
     p_compact.add_argument("--client")
     p_compact.add_argument("--target-mb", type=int, default=128)
+    p_compact.add_argument("--min-age-hours", type=float, default=1.0,
+                           dest="min_age_hours",
+                           help="skip hour partitions younger than this "
+                                "(live-ingest safety; negative forces the "
+                                "live hour — quiesced ingest only)")
     p_compact.set_defaults(fn=cmd_compact)
 
     p_expire = sub.add_parser("expire", help="drop date partitions older than cutoff")

@@ -71,7 +71,12 @@ class ArchiveStore:
             .withColumn("client", F.lit(client))
             .withColumn("date", F.lit(when.strftime("%Y%m%d")))
             .withColumn("hour", F.lit(when.strftime("%H")))
-            .withColumn("_archive_sort", F.lit(ts))
+            # cast: F.lit(int) infers INT32 for epoch seconds, but the
+            # streaming sink stamps INT64 (unix_timestamp) — mixed
+            # physical types across archive files break any read that
+            # touches the column (vectorized reader refuses the
+            # narrow->wide convert per file)
+            .withColumn("_archive_sort", F.lit(ts).cast("long"))
         )
         (out.write.mode(mode)
             .partitionBy(*_PARTITION_COLS)
@@ -92,6 +97,28 @@ class ArchiveStore:
         - manifest order (S15/S16): orderBy(date, _archive_sort) when
           ``ordered``; skip it for analytical consumers that don't need
           replay fidelity (saves a global sort)
+
+        Read path (round-5): DIRECTORY LISTING, not the streaming
+        sink's ``_spark_metadata`` manifest. Reading the root lets
+        Spark's FileStreamSink detection take over and restricts the
+        scan to manifest-listed files — which (a) silently hides
+        batch-ingested rows and (b) breaks the instant ``compact``
+        rewrites an hour (the manifest still names the old files; a
+        post-compaction cat died with FileNotFoundException). Reading
+        the ``stream=`` subdir (``basePath`` preserves the partition
+        columns) lists the filesystem instead, so batch, streaming,
+        and compacted archives all replay uniformly.
+        A file not yet committed to the sink manifest may be replayed
+        (at-least-once on crash — the reference's own guarantee,
+        store.go:51-67), and a cat racing a micro-batch file
+        mid-write can fail transiently (footer not yet on disk) —
+        retry, exactly like the documented compact-swap race. The
+        read deliberately does NOT set ``ignoreCorruptFiles``: it
+        converts ANY per-file read error — including schema
+        mismatches — into silent row loss (measured: a stray INT32
+        ``_archive_sort`` made an ordered cat silently drop every
+        INT64 file, 280 -> 180 rows, while count() said 280). Replay
+        integrity fails loudly instead.
         """
         end_date = end_date or start_date
         list_dates_from_range(start_date, end_date)  # validate range
@@ -99,8 +126,22 @@ class ArchiveStore:
             raise FileNotFoundError(
                 f"archive root {self.root!r} does not exist — nothing has "
                 f"been stored yet (run the store pipeline first)")
+        stream_dir = os.path.join(self.root, f"stream={stream}")
+        if os.path.isdir(stream_dir) or "://" in self.root:
+            # the shared FileStatusCache serves STALE listings for a
+            # path read before new sink files landed (the manifest
+            # read never hit it — the sink log is re-read per query);
+            # a replay of a live archive must list fresh every time
+            self.spark.catalog.refreshByPath(stream_dir)
+            src = (self.spark.read
+                   .option("basePath", self.root)
+                   .parquet(stream_dir))
+        else:
+            # unknown stream: keep the old root read (returns an empty
+            # result through the filters rather than a listing error)
+            src = self.spark.read.parquet(self.root)
         df = (
-            self.spark.read.parquet(self.root)
+            src
             .where((F.col("stream") == stream)
                    & (F.col("date") >= start_date.strftime("%Y%m%d"))
                    & (F.col("date") <= end_date.strftime("%Y%m%d")))
@@ -126,7 +167,8 @@ class ArchiveStore:
     # --------------------------------------------------------- maintain
 
     def compact(self, stream: str, date: _dt.date, client: str,
-                target_file_mb: int = 128) -> dict:
+                target_file_mb: int = 128,
+                min_age_hours: float = 1.0) -> dict:
         """Compact one (stream, client, date) slice's small files.
 
         Streaming ingest writes >= 1 file per micro-batch per hour
@@ -144,6 +186,16 @@ class ArchiveStore:
         filesystem-backed archives, and concurrent readers of the
         exact swap instant may need one retry (rename is atomic per
         path, not across the pair).
+
+        Live-ingest safety (round-5): hour partitions younger than
+        ``min_age_hours`` are SKIPPED (counted in ``hours_skipped``).
+        The streaming sink appends to the wall-clock hour — and a
+        micro-batch that STARTED just before rollover still lands in
+        the previous hour shortly after — so compacting a hot hour
+        could read-rewrite-swap while a new file lands in between,
+        deleting it with the swapped-out dir. One hour of grace keeps
+        ``compact`` safe to run as a cron next to a live ``store``
+        with no coordination.
         """
         import math
         import shutil
@@ -153,10 +205,20 @@ class ArchiveStore:
             f"date={date.strftime('%Y%m%d')}")
         if not os.path.isdir(slice_dir):
             raise FileNotFoundError(f"no archive partition at {slice_dir}")
-        stats = {"hours": 0, "files_before": 0, "files_after": 0, "bytes": 0}
+        hot_cutoff = (_dt.datetime.now(tz=_dt.timezone.utc)
+                      - _dt.timedelta(hours=min_age_hours))
+        stats = {"hours": 0, "hours_skipped": 0, "files_before": 0,
+                 "files_after": 0, "bytes": 0}
         for hour_name in sorted(os.listdir(slice_dir)):
             hour_dir = os.path.join(slice_dir, hour_name)
             if not (os.path.isdir(hour_dir) and hour_name.startswith("hour=")):
+                continue
+            part_end = _dt.datetime(
+                date.year, date.month, date.day,
+                int(hour_name[len("hour="):]),
+                tzinfo=_dt.timezone.utc) + _dt.timedelta(hours=1)
+            if part_end > hot_cutoff:
+                stats["hours_skipped"] += 1
                 continue
             files = [f for f in os.listdir(hour_dir) if f.endswith(".parquet")]
             nbytes = sum(os.path.getsize(os.path.join(hour_dir, f))

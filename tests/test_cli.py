@@ -61,7 +61,10 @@ def test_cli_compact_and_expire(spark, cli_env, capsys):
     for _ in range(3):
         assert main(["store", "--stream", "events", "--once"]) == 0
     today = dt.datetime.now(tz=dt.timezone.utc).strftime("%Y%m%d")
-    assert main(["compact", "--stream", "events", "--date", today]) == 0
+    # ingest is quiesced (store --once finished), so force the live
+    # hour past the hot-hour guard with a negative min-age
+    assert main(["compact", "--stream", "events", "--date", today,
+                 "--min-age-hours", "-1"]) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["files_after"] <= stats["files_before"]
     assert stats["files_after"] >= 1

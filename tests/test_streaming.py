@@ -221,3 +221,83 @@ def test_skip_to_latest_file_source_skips_backlog(engine, tmp_path):
     assert out.count() == 5  # new file archived, snapshot not re-taken
     assert set(r[0] for r in out.select("event_id").collect()) == \
         set(range(100, 105))
+
+
+def test_compact_under_load_no_loss_no_reader_failure(engine, tmp_path, spark):
+    """`compact` running next to a LIVE store and concurrent `cat`
+    readers (the production shape: a compaction cron against an archive
+    that never stops ingesting). Invariants: cold hours get rewritten,
+    the live hour is skipped (hot-hour guard — compacting it could
+    delete a file landing mid-swap), readers never fail, counts only
+    grow, and nothing is lost. Also regression-covers the round-5 read
+    fix: cat must survive a real rewrite of a streaming-ingested
+    archive (the sink manifest still names the old files)."""
+    import threading
+    import time
+
+    # seed a COLD slice 3 hours back: 6 small files in one hour
+    seed_when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=3)
+    seed_df = spark.createDataFrame(
+        [(r["event_id"], dt.datetime(2020, 1, 1, tzinfo=UTC), r["user_id"],
+          r["event_type"], r["value"], r["props"])
+         for r in _recs(180, start=1000)], schema=EVENTS_SCHEMA)
+    for i in range(6):
+        engine.archive.ingest_dataframe(
+            seed_df.where(f"event_id % 6 = {i}"), "events", "archive",
+            when=seed_when + dt.timedelta(seconds=i))
+
+    src = f"{tmp_path}/incoming/events"
+    os.makedirs(src, exist_ok=True)
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=False,
+                        trigger_seconds=0.3)
+    dates = sorted({seed_when.date(), dt.datetime.now(tz=UTC).date()})
+    read_errors, counts = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(engine.cat("events", dates[0], dates[-1],
+                                         client="archive",
+                                         ordered=False).count())
+            except Exception as exc:  # noqa: BLE001 — record, don't die
+                read_errors.append(repr(exc))
+            time.sleep(0.1)
+
+    rt = threading.Thread(target=reader, daemon=True)
+    rt.start()
+    compact_stats = []
+    try:
+        for i in range(5):  # drip live input...
+            _write_events_json(src, _recs(20, start=i * 20))
+            if i in (1, 3):  # ...with compactions mid-ingest
+                for d in dates:
+                    compact_stats.append(
+                        engine.archive.compact("events", d, "archive"))
+            time.sleep(0.4)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if engine.cat("events", dates[0], dates[-1],
+                              client="archive").count() >= 280:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        stop.set()
+        rt.join(10)
+        assert pipe.query.exception() is None, pipe.query.exception()
+        pipe.stop()
+
+    out = engine.cat("events", dates[0], dates[-1], client="archive")
+    ids = sorted(r[0] for r in out.select("event_id").collect())
+    assert ids == sorted(list(range(100)) + list(range(1000, 1180))), \
+        f"record loss/dup: {len(ids)} rows"
+    assert not read_errors, f"reader failed during compaction: {read_errors[:3]}"
+    assert counts == sorted(counts), "a cat saw fewer rows than an earlier cat"
+    rewrote = [s for s in compact_stats
+               if s["hours"] and s["files_after"] < s["files_before"]]
+    assert rewrote, f"no compaction actually rewrote files: {compact_stats}"
+    assert any(s["hours_skipped"] >= 1 for s in compact_stats), \
+        "live hour was not skipped by the hot-hour guard"
