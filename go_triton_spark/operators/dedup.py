@@ -726,11 +726,15 @@ def dedup_levenshtein_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     On the driver's synthetic documents the vocabulary is tiny (the
     most common 4-gram appears in 40% of docs), so the rarest-33
     prefix grams still collide — 115k candidates vs 126k block pairs
-    at sf0.1, and the gram machinery makes it ~3x slower than the
-    salted blocked join locally. On the 10x duplicate-heavy replica it
-    already wins (51s vs 80s), and on natural heavy-tailed web text
-    (the 100 TB case) rare grams are discriminative and the candidate
-    set approaches output size. Route by corpus: blocked+salted for
+    at sf0.1, and the gram machinery makes it ~1.5x slower than the
+    salted blocked join locally (was ~3x in round 4; the round-5
+    rewrite below folds three recomputations of the gram-rank subtree
+    into one consumer and replaces the posting-list self-join with
+    grouped-members pair generation — warm sf0.1 10.1s -> ~4.5s). On
+    the 10x duplicate-heavy replica it wins (72s vs 97s measured
+    post-rewrite), and on natural heavy-tailed web text (the 100 TB
+    case) rare grams are discriminative and the candidate set
+    approaches output size. Route by corpus: blocked+salted for
     small-vocab/dense corpora, this for natural text at scale.
     """
     (d,) = tables(spark, sf_dir, "documents")
@@ -749,25 +753,37 @@ def dedup_levenshtein_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = (g.join(cnt, "gram")
            .withColumn("rn", F.row_number().over(wdoc))
            .withColumn("nd", F.count("*").over(Window.partitionBy("doc_id"))))
-    prefix_grams = (pre.where(F.col("rn") <= _QPREFIX)
-                    .select("doc_id", "lang", "bucket", "gram"))
-    pa = prefix_grams.select(F.col("doc_id").alias("id_a"), "lang", "bucket", "gram")
-    pb = prefix_grams.select(F.col("doc_id").alias("id_b"), "lang", "bucket", "gram")
-    c1 = (pa.join(pb, ["lang", "bucket", "gram"])
-          .where(F.col("id_a") < F.col("id_b"))
-          .select("id_a", "id_b"))
-    low = (pre.where((F.col("rn") == 1) & (F.col("nd") <= _QPREFIX - 1))
-           .select("doc_id", "lang", "bucket"))
-    c2 = (low.select(F.col("doc_id").alias("id_a"), "lang", "bucket")
-          .join(low.select(F.col("doc_id").alias("id_b"), "lang", "bucket"),
-                ["lang", "bucket"])
-          .where(F.col("id_a") < F.col("id_b"))
-          .select("id_a", "id_b"))
-    cand = c1.union(c2).distinct()
+    # ONE consumer of the (join + double window) subtree — the
+    # round-4 shape filtered it three ways (prefix grams twice for a
+    # self-join, low docs once more) and Spark re-ran the whole
+    # subtree per branch (10 Window nodes in the plan). Low-gram docs
+    # (bound vacuous) get a synthetic per-block "gram" so the SAME
+    # posting-list pair generator yields their in-block fallback
+    # pairs; 4-char grams can never equal the 9-char sentinel.
+    keyed = (pre.where(F.col("rn") <= _QPREFIX)
+             .select("doc_id", "lang", "bucket", F.explode(F.when(
+                 (F.col("rn") == 1) & (F.col("nd") <= _QPREFIX - 1),
+                 F.array(F.col("gram"), F.lit("__LOWBLK__")))
+                 .otherwise(F.array(F.col("gram")))).alias("gram")))
+    # pairs via grouped posting lists (no self-join): one exchange to
+    # the (lang, bucket, gram) key, in-task double explode. List
+    # length is bounded by the (lang, length-bucket) block size — the
+    # same bound the blocked-exact fallback already carries.
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand = (keyed.groupBy("lang", "bucket", "gram")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+            .where(F.size("members") >= 2)
+            .select(F.explode("members").alias("id_a"), "members")
+            .select("id_a", F.explode("members").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            # partitioning on id_a alone colocates every copy of the
+            # pair, so this one explicit exchange serves BOTH the
+            # dedup and the verify join (the _capped_pairs pattern)
+            .repartition(nparts, "id_a")
+            .dropDuplicates(["id_a", "id_b"]))
     va = sel.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
     vb = sel.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
-    return (cand.repartition(nparts, "id_a")
+    return (cand
             .join(va, "id_a").join(vb, "id_b")
             .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
             .where(F.col("dist") <= _QK)

@@ -284,6 +284,13 @@ def test_compact_under_load_no_loss_no_reader_failure(engine, tmp_path, spark):
             except Exception:
                 pass
             time.sleep(0.3)
+        # the live hour certainly exists now (the drain saw its rows),
+        # so this compaction deterministically exercises the hot-hour
+        # guard — the mid-ingest ones may run before the first live
+        # file lands on a slow machine
+        for d in dates:
+            compact_stats.append(
+                engine.archive.compact("events", d, "archive"))
     finally:
         stop.set()
         rt.join(10)
