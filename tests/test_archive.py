@@ -123,3 +123,47 @@ def test_read_tri_corrupt_file_skips(spark, tmp_path):
     df = read_tri(spark, str(tmp_path / "tri"), EVENTS_SCHEMA)
     rows = df.orderBy("event_id").collect()
     assert [r["event_id"] for r in rows] == [1, 2]
+
+
+def test_expire_concurrent_with_cat_of_live_range(spark, store, sf_dir):
+    """A retention cron (`expire`) dropping old date partitions must
+    not fail readers replaying RECENT dates: Spark's file listing
+    treats a directory deleted mid-listing as empty, and pruned-out
+    dates are never read. Loops a cat of the kept range while expire
+    deletes three old dates."""
+    import threading
+    import time
+
+    ev = _events(spark, sf_dir).limit(50)
+    keep_day = dt.datetime(2026, 8, 10, 12, tzinfo=UTC)
+    for off in (30, 20, 10, 0):  # three old dates + the kept one
+        store.ingest_dataframe(
+            ev, "events", "alpha",
+            when=keep_day - dt.timedelta(days=off))
+    errors, counts = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(store.cat("events", keep_day.date(),
+                                        client="alpha",
+                                        ordered=False).count())
+            except Exception as exc:  # noqa: BLE001
+                errors.append(repr(exc))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    time.sleep(0.3)
+    stats = store.expire("events", "alpha",
+                         keep_after=keep_day.date())
+    time.sleep(0.5)
+    stop.set()
+    t.join(10)
+    assert stats == {"dropped": 3, "kept": 1}
+    assert not errors, f"cat of the kept range failed during expire: {errors[:3]}"
+    assert counts and set(counts) == {50}
+    # the expired range reads as empty, not as an error
+    assert store.cat("events", (keep_day - dt.timedelta(days=30)).date(),
+                     (keep_day - dt.timedelta(days=10)).date(),
+                     client="alpha", ordered=False).count() == 0
