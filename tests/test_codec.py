@@ -362,3 +362,32 @@ def test_tri_flush_property_random_sizes():
             == b"".join(packb(r) for r in recs)
 
     check()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"),
+        whitelist_characters="_"), min_size=1, max_size=30),
+    st.text(alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"),
+        whitelist_characters="_"), min_size=1, max_size=20),
+    st.datetimes(min_value=dt.datetime(2000, 1, 1),
+                 max_value=dt.datetime(2100, 1, 1)),
+)
+def test_key_name_roundtrip_property(stream, client, when):
+    """generate_key_name -> parse_key_name roundtrips any dash-free
+    stream/client (the reference grammar: stream may contain '_',
+    client may not contain '-'; archive.go:45-68)."""
+    from go_triton_spark.codec.tri import generate_key_name, parse_key_name
+
+    if "-" in stream:  # stream with a dash would shift the client split
+        stream = stream.replace("-", "_")
+    when = when.replace(tzinfo=dt.timezone.utc, microsecond=0)
+    key = generate_key_name(stream, client, when)
+    ak = parse_key_name(key)
+    assert ak.stream_name == stream
+    assert ak.client_name == client
+    assert ak.t.date() == when.date()
+    assert ak.sort_value == int(when.timestamp())
+    assert ak.key == key

@@ -117,3 +117,71 @@ def test_32bit_full_scale_rms_exact():
     assert meta["bit_depth"] == 32
     assert meta["peak"] == full
     assert meta["rms_u"] == full  # int64 wrap produced garbage here
+
+
+# ---- property tests (round 5) ----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(-(2**15), 2**15 - 1), min_size=1, max_size=64),
+    st.sampled_from([8, 16, 32]),
+    st.integers(1, 4),
+    st.integers(1, 96000),
+)
+def test_wav_roundtrip_property(samples, depth, n_channels, rate):
+    """build_wav -> parse_wav returns exact integer stats for any
+    sample run, depth, channel count, and rate (frames floor-divide
+    by channels; 8-bit clamps to its domain)."""
+    from go_triton_spark.codec.wav import build_wav, parse_wav
+
+    if depth == 8:
+        samples = [max(-128, min(127, s)) for s in samples]
+    meta = parse_wav(build_wav(samples, sample_rate=rate,
+                               n_channels=n_channels, bit_depth=depth))
+    assert meta["bit_depth"] == depth
+    assert meta["sample_rate"] == rate
+    assert meta["n_channels"] == n_channels
+    assert meta["n_frames"] == len(samples) // n_channels
+    assert meta["peak"] == max(abs(s) for s in samples)
+    import math
+    exact = int(round(math.sqrt(
+        sum(s * s for s in samples) / len(samples))))
+    assert meta["rms_u"] == exact
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096))
+def test_wav_fuzz_rejects_or_parses(payload):
+    """parse_wav on arbitrary bytes either raises ValueError (the
+    corrupt-skip contract) or returns a well-formed stats dict — never
+    any other exception type."""
+    from go_triton_spark.codec.wav import parse_wav
+
+    try:
+        meta = parse_wav(payload)
+    except ValueError:
+        return
+    assert set(meta) == {"n_channels", "sample_rate", "bit_depth",
+                         "n_frames", "duration_ms", "peak", "rms_u"}
+    assert all(isinstance(v, int) for v in meta.values())
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 511), st.integers(0, 255))
+def test_wav_mutation_fuzz(flip_at, flip_to):
+    """Mutate a VALID wav at one byte: parse either still succeeds or
+    raises ValueError — mirrors the reference's skip-corrupt-record
+    semantics (stream_reader.go:174-194)."""
+    from go_triton_spark.codec.wav import build_wav, parse_wav
+
+    base = bytearray(build_wav(list(range(-50, 50)), bit_depth=16))
+    base[flip_at % len(base)] = flip_to
+    try:
+        meta = parse_wav(bytes(base))
+        assert meta["bit_depth"] in (8, 16, 24, 32)
+    except ValueError:
+        pass
