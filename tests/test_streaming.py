@@ -308,3 +308,25 @@ def test_compact_under_load_no_loss_no_reader_failure(engine, tmp_path, spark):
     assert rewrote, f"no compaction actually rewrote files: {compact_stats}"
     assert any(s["hours_skipped"] >= 1 for s in compact_stats), \
         "live hour was not skipped by the hot-hour guard"
+
+
+def test_mixed_batch_and_streaming_archive_replays_uniformly(engine, tmp_path):
+    """An archive written by BOTH the streaming store and batch
+    ingest_dataframe must replay as one table. Before round 5, cat
+    honored the streaming sink's _spark_metadata manifest, which
+    silently hid every batch-ingested row."""
+    _write_events_json(f"{tmp_path}/incoming/events", _recs(10))
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+
+    now = dt.datetime.now(tz=UTC)
+    batch_df = engine.spark.createDataFrame(
+        [(r["event_id"], dt.datetime(2020, 1, 1, tzinfo=UTC), r["user_id"],
+          r["event_type"], r["value"], r["props"])
+         for r in _recs(7, start=500)], schema=EVENTS_SCHEMA)
+    engine.archive.ingest_dataframe(batch_df, "events", "archive", when=now)
+
+    out = engine.cat("events", now.date(), client="archive")
+    ids = sorted(r[0] for r in out.select("event_id").collect())
+    assert ids == sorted(list(range(10)) + list(range(500, 507)))
