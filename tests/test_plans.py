@@ -306,3 +306,41 @@ def test_scaling_dims_work_without_broadcast(spark):
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), \
             f"{name}: expected a shuffle join with broadcasts disabled"
         assert base == again, f"{name}: rows changed with join strategy"
+
+
+def test_lsh_pair_generator_single_shuffle_dedup(spark):
+    """Round-5 shape contract for _capped_pairs: the pair table crosses
+    ONE user-specified exchange (repartition on a_col, which both the
+    dropDuplicates and the rescore joins reuse — partitioning on a
+    subset of the dedup keys satisfies the aggregate), not the old
+    distinct-on-(a,b) + rescore-repartition double shuffle; and there
+    is no bucket self-join (grouped member lists + in-task explode)."""
+    plan = _plan(spark, "knn_graph_lsh")
+    # exactly one explicit-count exchange (the a_col pin; AQE cannot
+    # coalesce REPARTITION_BY_NUM)
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
+    # the spill-safe windowed bucket cap survives (rank pushed down)
+    assert "WindowGroupLimit" in plan
+    # no bucket self-join: no join condition touches the (band, sig)
+    # bucket keys — pairs come from in-task member-list explodes
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "sig#" not in line and "band#" not in line, line
+
+
+def test_qgram_single_gram_rank_pass(spark):
+    """Round-5 shape contract for dedup_levenshtein_qgram: ONE
+    gram-ranking window subtree (2 Window nodes: the rank + the
+    distinct-gram count), not the round-4 triple recomputation (10
+    Window nodes), and pairs come from grouped posting lists, not a
+    posting self-join."""
+    import re
+
+    plan = _plan(spark, "dedup_levenshtein_qgram")
+    n_windows = len(re.findall(r"\bWindow \[", plan))
+    assert n_windows <= 2, f"gram-rank subtree recomputed ({n_windows} Window nodes)"
+    # no posting-list SELF-join (keyed on lang+bucket+gram); the
+    # gram-frequency lookup join (gram only) is legitimate
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert not ("gram#" in line and "bucket#" in line), line
