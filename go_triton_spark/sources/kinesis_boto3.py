@@ -199,11 +199,19 @@ class KinesisSimpleStreamReader:
         self.min_interval = min_interval
         self._pollers: dict[str, ShardPoller] = {}
 
-    def _poller(self, shard: str, last_seq: str | None) -> ShardPoller:
+    def _poller(self, shard: str, last_seq: str | None,
+                first_seen: bool = False) -> ShardPoller:
+        # A shard DISCOVERED mid-stream (resharding child) always
+        # starts TRIM_HORIZON: LATEST means "skip the stream's backlog
+        # at first start", not "skip whatever landed in each new shard
+        # before its first poll" — a LATEST iterator there silently
+        # drops the records written between shard creation and
+        # discovery (KCL reads children from horizon for this reason).
+        position = "TRIM_HORIZON" if first_seen else self.start_position
         p = self._pollers.get(shard)
         if p is None or (last_seq or None) != p.last_sequence_number:
             p = ShardPoller(self.client, self.stream_name, shard,
-                            start_position=self.start_position,
+                            start_position=position,
                             last_sequence_number=last_seq or None)
             self._pollers[shard] = p
         return p
@@ -219,7 +227,8 @@ class KinesisSimpleStreamReader:
         end = dict(start)
         rows: list[tuple] = []
         for shard in list_shards(self.client, self.stream_name):
-            poller = self._poller(shard, start.get(shard, ""))
+            poller = self._poller(shard, start.get(shard, ""),
+                                  first_seen=shard not in start)
             for _ in range(self.polls_per_batch):
                 for rec in poller.fetch(min_interval=self.min_interval):
                     rows.append((shard, rec["SequenceNumber"],

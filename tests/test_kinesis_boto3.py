@@ -331,3 +331,34 @@ def test_replay_with_numeric_sequence_numbers_across_lengths():
     r = KinesisSimpleStreamReader(nf, "test-stream", min_interval=0.0)
     rows = r.readBetweenOffsets({"shard-0000": "8"}, {"shard-0000": "11"})
     assert [bytes(x[4]) for x in rows] == [b"d9", b"d10", b"d11"]
+
+
+def test_resharding_child_shard_reads_from_horizon_under_latest():
+    """A shard discovered MID-STREAM (resharding child) must start
+    TRIM_HORIZON even when the reader's start_position is LATEST —
+    LATEST means skip the stream's backlog at FIRST start, not drop
+    whatever landed in each new shard before its first poll (KCL
+    reads children from horizon for the same reason)."""
+    c = FakeKinesisClient()
+    c.add_record("s", "shard-0000", "100", b"old")  # pre-start backlog
+    r = KinesisSimpleStreamReader(c, "s", start_position="LATEST")
+    start = r.initialOffset()
+
+    rows, end = r.read(start)
+    assert rows == []  # LATEST skipped the backlog on the known shard
+
+    # resharding: a child shard appears WITH records already in it,
+    # and the parent keeps flowing
+    c.add_record("s", "shard-0001", "200", b"child-early")
+    c.add_record("s", "shard-0001", "201", b"child-late")
+    c.add_record("s", "shard-0000", "101", b"parent-new")
+    rows, end2 = r.read(end)
+    rows2, end3 = r.read(end2)  # fake serves one seq per poll
+    got = sorted((shard, bytes(data))
+                 for shard, _seq, _pk, _ts, data in rows + rows2)
+    # the child's pre-discovery records are NOT lost; parent serves
+    # only post-LATEST records
+    assert got == [("shard-0000", b"parent-new"),
+                   ("shard-0001", b"child-early"),
+                   ("shard-0001", b"child-late")]
+    assert end3["shard-0001"] == "201"
