@@ -225,7 +225,6 @@ class TritondDaemon(MockTritondServer):
         buf = self._buffers.get(stream)
         if not buf:
             return
-        import os
         import time as _time
         import uuid
 
