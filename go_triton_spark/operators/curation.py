@@ -78,6 +78,12 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (sh.where(F.col("doc_id") < 5)
              .select(F.explode("shingles").alias("shingle")).distinct())
     corpus = sh.where(F.col("doc_id") >= 5)
+    # SIZE CONTRACT for the broadcast: `bench` is the decontamination
+    # reference (eval-suite shingles), bounded by the benchmark corpus —
+    # thousands of docs -> at most a few million distinct shingles, tens
+    # of MB. It does NOT grow with the training corpus being scrubbed.
+    # If a deployment ever decontaminates against a corpus-sized
+    # blocklist, drop the hint and let AQE choose a shuffle semi-join.
     flagged = (corpus.select("doc_id", F.explode("shingles").alias("shingle"))
                .join(F.broadcast(bench), "shingle", "left_semi")
                .select("doc_id").distinct()
