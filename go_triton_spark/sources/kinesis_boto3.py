@@ -235,7 +235,16 @@ class KinesisSimpleStreamReader:
                                  rec.get("PartitionKey"),
                                  rec.get("ApproximateArrivalTimestamp"),
                                  rec["Data"]))
-            end[shard] = poller.last_sequence_number or start.get(shard, "")
+            if poller.last_sequence_number:
+                end[shard] = poller.last_sequence_number
+            elif shard in start:
+                end[shard] = start[shard]
+            # else: a discovered-but-still-empty child shard stays OUT
+            # of the offset map. Recording "" would make a FRESH reader
+            # (restart from checkpoint) treat it as known and hand it a
+            # LATEST iterator, dropping whatever lands in it before the
+            # next poll; absent, it is re-discovered as first_seen and
+            # reads TRIM_HORIZON.
         return rows, end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:

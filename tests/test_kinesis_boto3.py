@@ -362,3 +362,31 @@ def test_resharding_child_shard_reads_from_horizon_under_latest():
                    ("shard-0001", b"child-early"),
                    ("shard-0001", b"child-late")]
     assert end3["shard-0001"] == "201"
+
+
+def test_empty_child_shard_survives_reader_restart_under_latest():
+    """A child shard discovered while still EMPTY must stay out of the
+    committed offset map: recording "" would make a FRESH reader
+    (restart from checkpoint) treat it as known and give it a LATEST
+    iterator, silently dropping records that land in it before the
+    next poll. Absent, the restarted reader re-discovers it as
+    first-seen and reads TRIM_HORIZON."""
+    c = FakeKinesisClient()
+    c.add_record("s", "shard-0000", "100", b"old")
+    r1 = KinesisSimpleStreamReader(c, "s", start_position="LATEST")
+    start = r1.initialOffset()
+    _, end1 = r1.read(start)
+
+    # resharding creates a child that has produced NOTHING yet
+    c.streams.setdefault("s", {}).setdefault("shard-0001", [])
+    _, end2 = r1.read(end1)
+    assert "shard-0001" not in end2  # empty child not committed
+
+    # records arrive in the child; the PROCESS RESTARTS (fresh reader,
+    # offsets restored from the checkpoint) before the next poll
+    c.add_record("s", "shard-0001", "200", b"child-early")
+    r2 = KinesisSimpleStreamReader(c, "s", start_position="LATEST")
+    rows, end3 = r2.read(end2)
+    assert [(s, bytes(d)) for s, _q, _p, _t, d in rows] == \
+        [("shard-0001", b"child-early")]
+    assert end3["shard-0001"] == "200"
