@@ -64,10 +64,18 @@ class Client:
             return
         out_dir = os.path.join(self.out_root, physical_stream)
         os.makedirs(out_dir, exist_ok=True)
-        fname = os.path.join(out_dir, f"{int(time.time()*1000)}-{uuid.uuid4().hex[:8]}.json")
-        with open(fname, "w", encoding="utf-8") as f:
+        # write to a dot-prefixed temp (hidden from Spark file listings)
+        # and rename: the file stream source processes each path exactly
+        # once, so a batch discovered mid-write would be read truncated
+        # and the tail records silently lost. Rename makes the visible
+        # file appear complete or not at all (same contract as the
+        # tritond daemon's flush).
+        tmp = os.path.join(out_dir, f".{uuid.uuid4().hex[:12]}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
             for rec in buf:
                 f.write(json.dumps(rec, default=str) + "\n")
+        fname = os.path.join(out_dir, f"{int(time.time()*1000)}-{uuid.uuid4().hex[:8]}.json")
+        os.rename(tmp, fname)
         self._buffers[physical_stream] = []
 
     def flush(self) -> None:

@@ -70,3 +70,40 @@ def test_noop_client():
     n = NoopClient()
     n.put("s", "p", {"x": 1})
     n.close()
+
+
+def test_flush_is_atomic_no_visible_partial_on_crash(tmp_path, monkeypatch):
+    """The file stream source reads each discovered path exactly once,
+    so a batch file must become visible complete or not at all. A
+    crash mid-flush must leave only a dot-temp (hidden from Spark
+    listings), never a truncated visible .json."""
+    import json as _json
+    c = Client(load_config(YAML), str(tmp_path), batch_size=100)
+    rec = {"object_type": "delivery", "delivery_uuid": "u1", "version": 1,
+           "data": {}}
+    for i in range(5):
+        c.put("courier_activity", f"u{i}", rec)
+
+    calls = {"n": 0}
+    real_dumps = _json.dumps
+
+    def exploding_dumps(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die mid-batch
+            raise RuntimeError("simulated crash mid-write")
+        return real_dumps(*a, **kw)
+
+    monkeypatch.setattr("go_triton_spark.producer.json.dumps",
+                        exploding_dumps)
+    with pytest.raises(RuntimeError):
+        c.flush()
+    out = tmp_path / "courier_activity_v2"
+    assert list(out.glob("*.json")) == []  # nothing visible
+    assert all(f.name.startswith(".") for f in out.iterdir())
+
+    # recovery: a later flush (process that didn't die) re-delivers
+    monkeypatch.setattr("go_triton_spark.producer.json.dumps", real_dumps)
+    c.flush()
+    files = list(out.glob("*.json"))
+    assert len(files) == 1
+    assert len(files[0].read_text().strip().split("\n")) == 5
