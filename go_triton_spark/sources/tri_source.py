@@ -142,8 +142,15 @@ def write_tri(df: DataFrame, out_dir: str, stream_name: str, client_name: str,
         key = f"{day_s}/{stream_name}-{client_name}-{base_ts + idx}.tri"
         full = os.path.join(out_dir, key)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        with open(full, "wb") as f:
+        # dot-temp + rename: on S3 a PUT is atomic (the reference's
+        # uploader contract); a local/NFS write-in-place is not, and a
+        # concurrent read_tri listing could decode a truncated file.
+        # Rename gives the same appears-complete-or-not-at-all
+        # semantics, and both tri readers match only *.tri names.
+        tmp = f"{os.path.dirname(full)}/.{os.path.basename(full)}.tmp"
+        with open(tmp, "wb") as f:
             f.write(write_tri_bytes(recs))
+        os.rename(tmp, full)
         return [full]
 
     paths = (
