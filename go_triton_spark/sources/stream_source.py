@@ -79,8 +79,15 @@ def _latest_seen_files(spark: SparkSession, path: str,
     if seen_files_log:
         try:
             return [r.value for r in spark.read.text(seen_files_log).collect()]
-        except Exception:
-            pass  # first start — no snapshot yet
+        except Exception as exc:
+            # ONLY path-missing means first start. Any other read
+            # failure (permissions, transient FS) must NOT fall
+            # through to re-snapshotting: on a resume that would
+            # wrongly classify files that arrived during downtime as
+            # backlog and drop them.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
     seen = _list_files_recursive(spark, path)
     if seen_files_log:
         (spark.createDataFrame([(p,) for p in seen], "value string")
