@@ -46,6 +46,27 @@ def list_dates_from_range(start: _dt.date, end: _dt.date) -> list[_dt.date]:
     return out
 
 
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically exchange two directories (Linux renameat2
+    RENAME_EXCHANGE). Returns False when the syscall is unavailable or
+    fails (non-Linux, old glibc, cross-device) so callers fall back to
+    a rename pair. With exchange, a partition under compaction is
+    never absent from a concurrent listing — there is no instant where
+    neither the old nor the new file set is at the path."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        renameat2 = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    rc = renameat2(AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
+                   RENAME_EXCHANGE)
+    return rc == 0
+
+
 class ArchiveStore:
     """Batch-side archive table: ingest + replay ("cat")."""
 
@@ -121,21 +142,66 @@ class ArchiveStore:
         integrity fails loudly instead.
         """
         end_date = end_date or start_date
-        list_dates_from_range(start_date, end_date)  # validate range
+        wanted = {d.strftime("%Y%m%d")
+                  for d in list_dates_from_range(start_date, end_date)}
         if not os.path.isdir(self.root) and "://" not in self.root:
             raise FileNotFoundError(
                 f"archive root {self.root!r} does not exist — nothing has "
                 f"been stored yet (run the store pipeline first)")
         stream_dir = os.path.join(self.root, f"stream={stream}")
-        if os.path.isdir(stream_dir) or "://" in self.root:
-            # the shared FileStatusCache serves STALE listings for a
-            # path read before new sink files landed (the manifest
-            # read never hit it — the sink log is re-read per query);
-            # a replay of a live archive must list fresh every time
-            self.spark.catalog.refreshByPath(stream_dir)
-            src = (self.spark.read
-                   .option("basePath", self.root)
-                   .parquet(stream_dir))
+        # MANUAL PARTITION PRUNING AT THE LISTING LEVEL: enumerate the
+        # in-range date dirs ourselves and hand Spark only those paths.
+        # Reading stream_dir would make InMemoryFileIndex list the
+        # WHOLE archive before Catalyst prunes — O(all partitions ever)
+        # listing cost to replay one day, and a retention `expire`
+        # rmtree-ing an old date MID-LISTING kills a reader of a
+        # completely different range. Pruned, a cat never touches
+        # dates it doesn't read.
+        pruned: list[str] = []
+        if os.path.isdir(stream_dir) and "://" not in self.root:
+            client_dirs = ([f"client={client}"] if client is not None else
+                           [n for n in sorted(os.listdir(stream_dir))
+                            if n.startswith("client=")])
+            for cname in client_dirs:
+                cpath = os.path.join(stream_dir, cname)
+                if not os.path.isdir(cpath):
+                    continue
+                for dname in sorted(os.listdir(cpath)):
+                    if (dname.startswith("date=")
+                            and dname[len("date="):] in wanted):
+                        pruned.append(os.path.join(cpath, dname))
+        if pruned or (os.path.isdir(stream_dir) or "://" in self.root):
+            # planning (listing + schema inference from a footer) can
+            # race a compact swap: the listed file is gone by the time
+            # its footer is opened. Driver-side and cheap — re-list
+            # fresh and retry instead of surfacing the transient.
+            last: Exception | None = None
+            for _attempt in range(3):
+                # the shared FileStatusCache serves STALE listings for
+                # a path read before new sink files landed (the
+                # manifest read never hit it — the sink log is re-read
+                # per query); a replay of a live archive must list
+                # fresh every time
+                self.spark.catalog.refreshByPath(stream_dir)
+                try:
+                    # when no in-range partitions exist on local disk
+                    # (or on an object store), read the stream subtree
+                    # — empty-after-filter results keep the schema of
+                    # the existing files
+                    src = (self.spark.read
+                           .option("basePath", self.root)
+                           .parquet(*(pruned or [stream_dir])))
+                    last = None
+                    break
+                except Exception as exc:  # noqa: BLE001
+                    msg = str(exc)
+                    if ("FileNotFound" not in msg
+                            and "FILE_NOT_EXIST" not in msg
+                            and "PATH_NOT_FOUND" not in msg):
+                        raise
+                    last = exc
+            if last is not None:
+                raise last
         else:
             # unknown stream: keep the old root read (returns an empty
             # result through the filters rather than a listing error)
@@ -179,13 +245,18 @@ class ArchiveStore:
         files, range-partitioned on ``_archive_sort`` so replay order
         stays file-local (SURVEY S15).
 
-        Safety: each hour is written to a sibling tmp dir and swapped
-        in with two renames — the partition is never half-written. On
-        a real object store use a table format (Delta/Iceberg
+        Safety: each hour is written to a HIDDEN sibling tmp dir
+        (dot-prefixed basename — Spark listings prune hidden names, so
+        staging data is never counted by a concurrent cat) and swapped
+        in with one atomic renameat2(RENAME_EXCHANGE) — the partition
+        is never half-written and never absent (two plain renames as
+        the non-Linux fallback). A reader that LISTED the old files
+        just before the swap may still fail its open with
+        FILE_NOT_EXIST — path-based filesystems cannot keep replaced
+        paths alive — and needs one retry; cat re-lists fresh. On a
+        real object store use a table format (Delta/Iceberg
         rewrite-files) instead of rename; this implementation targets
-        filesystem-backed archives, and concurrent readers of the
-        exact swap instant may need one retry (rename is atomic per
-        path, not across the pair).
+        filesystem-backed archives.
 
         Live-ingest safety (round-5): hour partitions younger than
         ``min_age_hours`` are SKIPPED (counted in ``hours_skipped``).
@@ -230,16 +301,31 @@ class ArchiveStore:
                 stats["files_after"] += len(files)
                 stats["bytes"] += nbytes
                 continue
-            tmp_dir = hour_dir + "._compact_tmp"
-            old_dir = hour_dir + "._compact_old"
+            # DOT-PREFIXED basenames: Spark's listing prunes hidden
+            # (., _) names, so neither staging dir is ever visible to
+            # a concurrent cat. The old `hour=N._compact_tmp` siblings
+            # parsed as BOGUS PARTITION VALUES — a reader overlapping
+            # the post-commit-pre-swap (or pre-rmtree) window counted
+            # the hour twice (measured: 20 rows from a 10-row hour).
+            parent, base = os.path.split(hour_dir)
+            tmp_dir = os.path.join(parent, f".{base}._compact_tmp")
+            old_dir = os.path.join(parent, f".{base}._compact_old")
             shutil.rmtree(tmp_dir, ignore_errors=True)
             shutil.rmtree(old_dir, ignore_errors=True)
             (self.spark.read.parquet(hour_dir)
                  .repartitionByRange(n_out, "_archive_sort")
                  .write.parquet(tmp_dir))
-            os.rename(hour_dir, old_dir)
-            os.rename(tmp_dir, hour_dir)
-            shutil.rmtree(old_dir)
+            if _exchange_dirs(tmp_dir, hour_dir):
+                # atomic exchange: the partition is NEVER absent; the
+                # old files (now under the hidden tmp name) vanish only
+                # from readers' pre-swap path lists — one retry heals
+                shutil.rmtree(tmp_dir)
+            else:
+                # fallback pair of renames: a listing in the gap can
+                # see the hour briefly absent
+                os.rename(hour_dir, old_dir)
+                os.rename(tmp_dir, hour_dir)
+                shutil.rmtree(old_dir)
             stats["hours"] += 1
             stats["files_before"] += len(files)
             stats["files_after"] += len(

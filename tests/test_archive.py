@@ -157,7 +157,14 @@ def test_expire_concurrent_with_cat_of_live_range(spark, store, sf_dir):
     time.sleep(0.3)
     stats = store.expire("events", "alpha",
                          keep_after=keep_day.date())
-    time.sleep(0.5)
+    # liveness, not correctness: on a co-loaded machine a single
+    # cat().count() can outlast the whole expire window — keep the
+    # reader alive until it has recorded an observation landing
+    # during-or-after the expire
+    n0 = len(counts)
+    deadline = time.time() + 60
+    while len(counts) <= n0 and not errors and time.time() < deadline:
+        time.sleep(0.2)
     stop.set()
     t.join(10)
     assert stats == {"dropped": 3, "kept": 1}
