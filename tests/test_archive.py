@@ -174,3 +174,19 @@ def test_expire_concurrent_with_cat_of_live_range(spark, store, sf_dir):
     assert store.cat("events", (keep_day - dt.timedelta(days=30)).date(),
                      (keep_day - dt.timedelta(days=10)).date(),
                      client="alpha", ordered=False).count() == 0
+
+
+def test_exchange_dirs_atomic_swap(tmp_path):
+    """renameat2(RENAME_EXCHANGE) path: both directories exist at all
+    times, contents swapped. (On kernels/filesystems without the
+    syscall the helper returns False and compact uses the rename-pair
+    fallback — skip rather than fail there.)"""
+    from go_triton_spark.plans.archive_store import _exchange_dirs
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    (a / "fa").write_text("A")
+    (b / "fb").write_text("B")
+    if not _exchange_dirs(str(a), str(b)):
+        pytest.skip("renameat2 RENAME_EXCHANGE unavailable")
+    assert os.listdir(a) == ["fb"] and os.listdir(b) == ["fa"]
