@@ -30,12 +30,27 @@ from pyspark.sql import functions as F
 _PARTITION_COLS = ["stream", "client", "date", "hour"]
 
 
+def coerce_date(d: "_dt.date | str") -> _dt.date:
+    """Accept a date, an ISO string (2026-08-14), or the reference's
+    compact form (20260814) — the CLI always parses, but library
+    callers reasonably pass strings."""
+    if isinstance(d, _dt.datetime):
+        return d.date()
+    if isinstance(d, _dt.date):
+        return d
+    s = str(d).strip()
+    if "-" in s:
+        return _dt.date.fromisoformat(s)
+    return _dt.datetime.strptime(s, "%Y%m%d").date()
+
+
 def list_dates_from_range(start: _dt.date, end: _dt.date) -> list[_dt.date]:
     """Expand [start, end] inclusive into days.
 
     Mirrors triton/store_reader.go:13-29 (which panics on start>end; we
     raise ValueError).
     """
+    start, end = coerce_date(start), coerce_date(end)
     if start > end:
         raise ValueError("invalid date range: start after end")
     out = []
@@ -141,7 +156,8 @@ class ArchiveStore:
         INT64 file, 280 -> 180 rows, while count() said 280). Replay
         integrity fails loudly instead.
         """
-        end_date = end_date or start_date
+        start_date = coerce_date(start_date)
+        end_date = coerce_date(end_date) if end_date else start_date
         wanted = {d.strftime("%Y%m%d")
                   for d in list_dates_from_range(start_date, end_date)}
         if not os.path.isdir(self.root) and "://" not in self.root:
@@ -271,6 +287,7 @@ class ArchiveStore:
         import math
         import shutil
 
+        date = coerce_date(date)
         slice_dir = os.path.join(
             self.root, f"stream={stream}", f"client={client}",
             f"date={date.strftime('%Y%m%d')}")
@@ -345,7 +362,7 @@ class ArchiveStore:
 
         slice_dir = os.path.join(
             self.root, f"stream={stream}", f"client={client}")
-        cutoff = keep_after.strftime("%Y%m%d")
+        cutoff = coerce_date(keep_after).strftime("%Y%m%d")
         stats = {"dropped": 0, "kept": 0}
         if not os.path.isdir(slice_dir):
             return stats

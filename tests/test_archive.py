@@ -190,3 +190,15 @@ def test_exchange_dirs_atomic_swap(tmp_path):
     if not _exchange_dirs(str(a), str(b)):
         pytest.skip("renameat2 RENAME_EXCHANGE unavailable")
     assert os.listdir(a) == ["fb"] and os.listdir(b) == ["fa"]
+
+
+def test_cat_accepts_string_dates(spark, store, sf_dir):
+    """Library callers reasonably pass '2015-06-30' or '20150630'
+    where the CLI would have parsed; both must mean the same day."""
+    ev = _events(spark, sf_dir).limit(4)
+    store.ingest_dataframe(ev, "events", "archive",
+                           when=dt.datetime(2015, 6, 30, 2, tzinfo=UTC))
+    assert store.cat("events", "2015-06-30").count() == 4
+    assert store.cat("events", "20150630", "20150630").count() == 4
+    with pytest.raises(ValueError):
+        store.cat("events", "2015-07-02", "2015-07-01")
