@@ -350,3 +350,77 @@ def test_mixed_batch_and_streaming_archive_replays_uniformly(engine, tmp_path):
     out = engine.cat("events", now.date(), client="archive")
     ids = sorted(r[0] for r in out.select("event_id").collect())
     assert ids == sorted(list(range(10)) + list(range(500, 507)))
+
+
+def test_kill_nine_mid_ingest_no_record_loss(spark, tmp_path):
+    """Crash semantics, for real: SIGKILL the `store` CLI process
+    mid-run (no drain, no JVM shutdown hooks), write more input while
+    it is down, then resume from the same checkpoint in-process. The
+    claim under test is the reference's own guarantee
+    (triton/store.go:51-67): AT-LEAST-ONCE — nothing is lost; only
+    the batch in flight at the kill may replay (cat lists the
+    filesystem, not the sink manifest, so an uncommitted batch's
+    files count as delivered)."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    cfgfile = tmp_path / "triton.yaml"
+    cfgfile.write_text(f"""
+events:
+  name: events
+  partition_key: user_id
+  source: file
+  format: json
+  path: {tmp_path}/incoming/events
+""")
+    src = f"{tmp_path}/incoming/events"
+    for b in range(4):
+        _write_events_json(src, _recs(15, start=b * 15))
+
+    env = dict(os.environ,
+               TRITON_CONFIG=str(cfgfile),
+               TRITON_ROOT=str(tmp_path),
+               TRITON_CLIENT="archive")
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "go_triton_spark.cli", "store",
+         "--stream", "events"],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    archive_dir = tmp_path / "archive" / "stream=events"
+
+    def committed():
+        return (list(archive_dir.rglob("*.parquet"))
+                if archive_dir.exists() else [])
+
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline and not committed():
+            assert proc.poll() is None, \
+                "store subprocess died before first commit"
+            time.sleep(0.5)
+        assert committed(), "no micro-batch committed within 180s"
+    finally:
+        proc.send_signal(signal.SIGKILL)  # crash, not a drain
+    proc.wait(30)
+
+    # records arriving while the process is down
+    _write_events_json(src, _recs(10, start=100))
+
+    eng = TritonEngine(spark, str(tmp_path),
+                       config=load_config(cfgfile.read_text()),
+                       client="archive")
+    pipe = eng.store("events", schema=EVENTS_SCHEMA, once=True)
+    pipe.await_once()
+    pipe.stop()
+
+    today = dt.datetime.now(tz=UTC).date()
+    ids = [r[0] for r in eng.cat("events", today)
+           .select("event_id").collect()]
+    expect = set(range(60)) | set(range(100, 110))
+    assert set(ids) == expect, (
+        f"records lost across kill -9: missing {sorted(expect - set(ids))[:10]}")
+    dups = len(ids) - len(set(ids))
+    # at-least-once: only the in-flight batch may replay
+    assert dups <= 60, f"replays beyond the crashed backlog: {dups}"
