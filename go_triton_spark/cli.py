@@ -66,9 +66,19 @@ def cmd_store(args) -> int:
     pipe = eng.store(args.stream, schema=EVENTS_SCHEMA, once=args.once,
                      skip_to_latest=args.skip_to_latest)
     if args.once:
-        pipe.await_once()
-        pipe.stop()
-    else:
+        try:
+            pipe.await_once()
+            pipe.stop()
+        finally:
+            # the final mirror must run even when the drain raised —
+            # a monitor needs the freshest committed offsets exactly
+            # when the stream just died
+            if mirror_db:
+                n = eng.mirror_checkpoints(mirror_db)
+                print(f"mirrored {n} checkpoint rows to {mirror_db}",
+                      file=sys.stderr)
+        return 0
+    try:
         try:
             if mirror_db:
                 # mirror DURING the run (the reference's Checkpointer
@@ -81,10 +91,18 @@ def cmd_store(args) -> int:
                 pipe.query.awaitTermination()
         except KeyboardInterrupt:  # graceful SIGINT drain (triton.go:117-126)
             pipe.stop()
-    if mirror_db:
-        n = eng.mirror_checkpoints(args.mirror_db)
-        print(f"mirrored {n} checkpoint rows to {args.mirror_db}",
-              file=sys.stderr)
+    finally:
+        # StreamingQueryException from awaitTermination lands here too:
+        # stop the pipeline and mirror the last committed state before
+        # re-raising, instead of leaving the DB stale at failure time
+        try:
+            pipe.stop()
+        except Exception:  # noqa: BLE001 — already stopping on error
+            pass
+        if mirror_db:
+            n = eng.mirror_checkpoints(mirror_db)
+            print(f"mirrored {n} checkpoint rows to {mirror_db}",
+                  file=sys.stderr)
     return 0
 
 

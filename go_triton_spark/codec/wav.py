@@ -85,11 +85,17 @@ def parse_wav(data: bytes) -> dict:
     if len(x):
         peak = int(np.abs(x).max())
         # exact integer sum of squares, one float sqrt, one round.
-        # int64 accumulation would wrap: one full-scale 32-bit sample
-        # squared is ~2^62, so two of them overflow silently. Chunked
-        # object-dtype Python-int sums stay exact at any depth.
-        sq = int(sum((x[i:i + 65536].astype(object) ** 2).sum()
-                     for i in range(0, len(x), 65536)))
+        # int64 accumulation wraps for wide samples: one full-scale
+        # 32-bit sample squared is ~2^62, so two of them overflow
+        # silently. But for <=16-bit audio a squared sample is <=2^30,
+        # so int64 stays exact up to 2^33 (~8.6e9) samples — keep the
+        # hot path vectorized there and pay the ~10x-slower chunked
+        # object-dtype (Python bigint) sum only for 24/32-bit depths.
+        if bit_depth <= 16:
+            sq = int(np.square(x).sum())
+        else:
+            sq = int(sum((x[i:i + 65536].astype(object) ** 2).sum()
+                         for i in range(0, len(x), 65536)))
         rms_u = int(round(float(np.sqrt(sq / len(x)))))
     else:
         peak = rms_u = 0

@@ -217,7 +217,13 @@ class ArchiveStore:
                         raise
                     last = exc
             if last is not None:
-                raise last
+                # final PATH_NOT_FOUND on an object-store stream_dir
+                # (no local isdir() probe exists there): fall back to
+                # the root read, exactly like the local-path else
+                # branch below — an unknown stream returns an empty
+                # result through the filters on every filesystem,
+                # instead of raising only when the root is a URI
+                src = self.spark.read.parquet(self.root)
         else:
             # unknown stream: keep the old root read (returns an empty
             # result through the filters rather than a listing error)

@@ -254,8 +254,15 @@ class KinesisSimpleStreamReader:
         for shard, end_seq in end.items():
             if not end_seq or end_seq == start.get(shard, ""):
                 continue
+            # A shard with NO start sequence (mid-stream resharding
+            # child first committed in the crashed batch) must replay
+            # from TRIM_HORIZON, mirroring read()'s first_seen rule: a
+            # LATEST iterator here would open past the committed range
+            # and silently return none of its records.
+            position = ("TRIM_HORIZON" if not start.get(shard)
+                        else self.start_position)
             poller = ShardPoller(self.client, self.stream_name, shard,
-                                 start_position=self.start_position,
+                                 start_position=position,
                                  last_sequence_number=start.get(shard) or None)
             while True:
                 recs = poller.fetch(min_interval=0.0)

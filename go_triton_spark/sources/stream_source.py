@@ -59,7 +59,14 @@ def _list_files_recursive(spark: SparkSession, path: str) -> list[str]:
     out: list[str] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
-        out.append(it.next().getPath().toUri().getPath())
+        # RAW (percent-encoded) path, NOT getPath(): the snapshot is
+        # compared against input_file_name(), which Spark serves
+        # percent-encoded (SparkPath keeps the url-encoded form) — a
+        # decoded snapshot entry for "a b.json" would never match the
+        # stream's "a%20b.json" and the backlog file would leak through
+        # LATEST. Both sides come from Hadoop Path URI encoding, so the
+        # encoded forms agree byte-for-byte.
+        out.append(it.next().getPath().toUri().getRawPath())
     return out
 
 

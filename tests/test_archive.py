@@ -55,6 +55,21 @@ def test_cat_date_pruning(spark, store, sf_dir):
     assert "PartitionFilters" in plan
 
 
+def test_cat_unknown_stream_empty_on_uri_root(spark, tmp_path, sf_dir):
+    """Unknown-stream parity across filesystems: on a URI root (here
+    file://, the cheapest object-store stand-in — '://' routes cat down
+    the no-isdir-probe branch) cat() of a stream that was never stored
+    must return an EMPTY result through the filters, exactly like the
+    local-path fallback, not raise PATH_NOT_FOUND after the retries."""
+    root = tmp_path / "archive_uri"
+    st = ArchiveStore(spark, "file://" + str(root))
+    ev = _events(spark, sf_dir).limit(5)
+    st.ingest_dataframe(ev, "events", "archive",
+                        when=dt.datetime(2015, 6, 30, 5, tzinfo=UTC))
+    out = st.cat("nosuchstream", dt.date(2015, 6, 30))
+    assert out.count() == 0
+
+
 def test_cat_replay_order(spark, store, sf_dir):
     ev = _events(spark, sf_dir).limit(5)
     # two ingests same day, later ts second — replay must preserve file order

@@ -118,6 +118,40 @@ def test_triton_bucket_env_alias(monkeypatch):
     assert cli._root() == "/root/path"
 
 
+def test_store_final_mirror_runs_when_stream_fails(monkeypatch, tmp_path):
+    """A failed streaming query raises StreamingQueryException out of
+    awaitTermination — the final checkpoint mirror must STILL run (the
+    external DB matters most at the exact moment the stream dies), and
+    the failure must still propagate to the caller."""
+    from go_triton_spark import cli
+
+    calls = {"mirror": 0, "stopped": 0}
+
+    class _FailingQuery:
+        def awaitTermination(self, timeout=None):
+            raise RuntimeError("simulated StreamingQueryException")
+
+    class _Pipe:
+        query = _FailingQuery()
+
+        def stop(self):
+            calls["stopped"] += 1
+
+    class _Eng:
+        def store(self, *a, **kw):
+            return _Pipe()
+
+        def mirror_checkpoints(self, db):
+            calls["mirror"] += 1
+            return 1
+
+    monkeypatch.setattr(cli, "_engine", lambda: _Eng())
+    with pytest.raises(RuntimeError, match="simulated"):
+        cli.main(["store", "--stream", "events",
+                  "--checkpoint-db", str(tmp_path / "m.db")])
+    assert calls["mirror"] == 1 and calls["stopped"] == 1
+
+
 def test_store_mirrors_checkpoint_db_during_run(spark, cli_env, tmp_path):
     """--checkpoint-db must mirror DURING a long-running store (the
     reference's Checkpointer upserts continuously, checkpoint.go:27-76)

@@ -202,6 +202,21 @@ def test_simple_reader_replay_between_offsets():
     assert [bytes(x[4]) for x in rows] == [b"d1", b"d2"]
 
 
+def test_replay_of_unseen_child_shard_under_latest_uses_horizon():
+    """Crash-recovery replay of a resharding child shard that is IN the
+    committed end but ABSENT from start must read TRIM_HORIZON even
+    when the reader was configured LATEST — a LATEST iterator opens
+    past the committed range and returns none of its records (the
+    readBetweenOffsets mirror of read()'s first_seen rule)."""
+    c = FakeKinesisClient()
+    for i in range(2):
+        c.add_record("test-stream", "child-0002", f"c{i}", f"d{i}".encode())
+    r = KinesisSimpleStreamReader(c, "test-stream", start_position="LATEST",
+                                  min_interval=0.0)
+    rows = r.readBetweenOffsets({}, {"child-0002": "c1"})
+    assert [bytes(x[4]) for x in rows] == [b"d0", b"d1"]
+
+
 def test_reader_rejects_bad_start_position():
     with pytest.raises(ValueError):
         KinesisSimpleStreamReader(FakeKinesisClient(), "s",

@@ -223,6 +223,36 @@ def test_skip_to_latest_file_source_skips_backlog(engine, tmp_path):
         set(range(100, 105))
 
 
+def test_skip_to_latest_excludes_backlog_files_with_spaces(engine, tmp_path):
+    """Encoding parity for the LATEST snapshot: input_file_name() is
+    percent-encoded ('a b.json' streams as 'a%20b.json'), so the
+    snapshot must store the RAW URI path — a decoded snapshot entry
+    never matches and the backlog file leaks through LATEST."""
+    import json as _json
+
+    src = f"{tmp_path}/incoming/events"
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "old batch [a].json"), "w") as f:
+        for r in _recs(4):
+            f.write(_json.dumps(r) + "\n")
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True,
+                        skip_to_latest=True)
+    pipe.await_once()
+    pipe.stop()
+    import glob
+    assert glob.glob(f"{tmp_path}/archive/**/*.parquet", recursive=True) == []
+    # and new files (also with spaces) still flow
+    with open(os.path.join(src, "new batch [b].json"), "w") as f:
+        for r in _recs(3, start=50):
+            f.write(_json.dumps(r) + "\n")
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=True,
+                        skip_to_latest=True)
+    pipe.await_once()
+    pipe.stop()
+    out = engine.cat("events", dt.datetime.now(tz=UTC).date())
+    assert set(r[0] for r in out.select("event_id").collect()) == {50, 51, 52}
+
+
 def test_compact_under_load_no_loss_no_reader_failure(engine, tmp_path, spark):
     """`compact` running next to a LIVE store and concurrent `cat`
     readers (the production shape: a compaction cron against an archive
