@@ -62,7 +62,7 @@ HEADLINE = [
     "text_token_count",
     "text_quality_score",
     "text_fingerprint",
-    "mm_decode_stub",
+    "mm_image_decode",
     "mm_frame_sample",
     "tfidf_top_terms",
     "sessionize_events",

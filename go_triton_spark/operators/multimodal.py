@@ -1,21 +1,19 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Image/video decode libraries are not available in this environment
-(and binaries aren't in the testdata), so THOSE decodes are
-deterministic stubs — but the Spark-side plumbing is real and what
-the operators exercise: binary columns, Arrow-batched mapInPandas
-with a declared schema, partition-parallel frame expansion. AUDIO is
-the exception: ``mm_wav_decode`` parses real RIFF/PCM WAV bytes with
-``codec/wav.py`` (pure stdlib+numpy) — chunk walk, multi-depth PCM,
-corrupt-skip — no stub anywhere on that path.
+Two formats decode REAL bytes with production parsers, no stub on the
+path: ``mm_wav_decode`` (RIFF/PCM audio, codec/wav.py — chunk walk,
+multi-depth PCM) and ``mm_image_decode`` / ``mm_image_resize``
+(Windows BMP, codec/bmp.py — header/palette/padded-row parse, real
+nearest-neighbor downsample over the parsed pixel array). Both are
+pure stdlib+numpy, golden-gated, and skip corrupt payloads with the
+engine's ValueError contract.
 
-The stub derives "media" bytes from ``documents.text`` (utf-8 encode)
-and fakes decode metadata with arithmetic on byte lengths — chosen so
-the DuckDB oracle can verify the pipeline end-to-end even though the
-middle runs through pandas batches.
-
-Swap points for production (marked NOTE below): replace
-``_fake_decode`` with PIL/ffmpeg calls; schema and batching stay.
+Compressed media (PNG/JPEG/video) needs native libraries this
+environment lacks; those operators exercise the real Spark-side
+plumbing — binary columns, Arrow-batched mapInPandas with a declared
+schema, partition-parallel frame expansion — over deterministic
+byte-arithmetic stand-ins the DuckDB oracle can verify, with the
+PIL/ffmpeg swap points marked NOTE below.
 """
 
 from __future__ import annotations
@@ -56,56 +54,95 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DECODE_SCHEMA = T.StructType([
+def _gate_pixels(doc_id: int):
+    """The mm_image_* gate corpus: a W x H RGB image whose every pixel
+    is a closed-form function of (x, y, doc_id), so the DuckDB oracle
+    can recompute any aggregate of the DECODED pixels analytically —
+    the image analog of mm_wav_decode's square wave. Real BMP bytes
+    travel in between (build_bmp -> binary column -> parse_bmp)."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 13, 4 + doc_id % 7
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return np.dstack([(x + 2 * y + doc_id) % 256,
+                      (3 * x + y + 2 * doc_id) % 256,
+                      (x * y + doc_id) % 256]).astype("uint8")
+
+
+_IMG_DECODE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("width", T.IntegerType()),
-    T.StructField("height", T.IntegerType()),
-    T.StructField("channels", T.IntegerType()),
-    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("bit_depth", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
 ])
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decoder.
-
-    NOTE: production swap point — replace with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))``; raise/skip on corrupt
-    payloads exactly like the .tri codec's corrupt-skip semantics.
-    """
-    n = len(payload)
-    return (n % 320 + 32, n % 240 + 32, 3)
-
-
 @query(
-    "mm_decode_stub",
+    "mm_image_decode",
     oracle="""
-    SELECT doc_id,
-           cast(octet_length(encode(text)) % 320 + 32 as bigint) AS width,
-           cast(octet_length(encode(text)) % 240 + 32 as bigint) AS height,
-           cast(3 as bigint) AS channels,
-           cast(octet_length(encode(text)) as bigint) AS n_bytes
-    FROM documents
+    SELECT d.doc_id,
+           cast(4 + d.doc_id % 13 as bigint) AS width,
+           cast(4 + d.doc_id % 7 as bigint)  AS height,
+           cast(24 as bigint)                AS bit_depth,
+           cast((4 + d.doc_id % 13) * (4 + d.doc_id % 7) as bigint) AS n_pixels,
+           cast(sum((gx.x + 2 * gy.y + d.doc_id) % 256) as bigint)      AS sum_r,
+           cast(sum((3 * gx.x + gy.y + 2 * d.doc_id) % 256) as bigint)  AS sum_g,
+           cast(sum((gx.x * gy.y + d.doc_id) % 256) as bigint)          AS sum_b
+    FROM documents d
+    CROSS JOIN generate_series(0, 15) gx(x)
+    CROSS JOIN generate_series(0, 10) gy(y)
+    WHERE d.doc_id % 97 <> 13
+      AND gx.x < 4 + d.doc_id % 13 AND gy.y < 4 + d.doc_id % 7
+    GROUP BY d.doc_id
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "image"),
 )
-def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode pipeline: binary column -> mapInPandas ->
-    typed metadata rows. The oracle verifies the whole path (the stub's
-    outputs are arithmetic on byte length, so SQL can check them)."""
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no stub: each row carries a complete 24-bit
+    BMP payload (binary column) that codec/bmp.py genuinely parses —
+    file/DIB header walk, 4-byte row padding, bottom-up flip — and the
+    operator aggregates the DECODED pixel array (per-channel sums).
+
+    Mirrors mm_wav_decode's gate design exactly: payloads synthesize
+    in the Arrow batch from a closed-form pixel formula (see
+    ``_gate_pixels``) so the DuckDB oracle knows every output
+    analytically, and every 97th payload is TRUNCATED — the parser
+    must reject it (ValueError) and the operator skips it, proving
+    corrupt-skip on real bytes. In production the payload column comes
+    from ``spark.read.format("binaryFile")`` or an archive table;
+    schema, batching, and partition-parallelism are identical.
+    """
+    from go_triton_spark.codec.bmp import build_bmp, parse_bmp
+
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    src = d.select("doc_id")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                w, h, c = _fake_decode(b)
-                out.append((doc_id, w, h, c, len(b)))
-            yield pd.DataFrame(out, columns=["doc_id", "width", "height",
-                                             "channels", "n_bytes"])
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_bmp(_gate_pixels(doc_id))
+                if doc_id % 97 == 13:
+                    payload = payload[:40]  # corrupt: truncated mid-header
+                try:
+                    m = parse_bmp(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle's WHERE
+                px = m["pixels"].astype("int64")
+                rows.append((doc_id, m["width"], m["height"],
+                             m["bit_depth"], m["n_pixels"],
+                             int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                             int(px[:, :, 2].sum())))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in _IMG_DECODE_SCHEMA])
 
-    return src.mapInPandas(decode, schema=_DECODE_SCHEMA)
+    return src.mapInPandas(decode, schema=_IMG_DECODE_SCHEMA)
 
 
 @query(
@@ -136,44 +173,64 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mm_resize_stub",
+    "mm_image_resize",
     oracle="""
-    SELECT doc_id,
-           cast(least(octet_length(encode(text)) % 320 + 32, 64) as bigint)
-             AS out_width,
-           cast(least(octet_length(encode(text)) % 240 + 32, 64) as bigint)
-             AS out_height,
-           cast(least(octet_length(encode(text)) % 320 + 32, 64)
-                * least(octet_length(encode(text)) % 240 + 32, 64) * 3 as bigint)
-             AS out_bytes
-    FROM documents
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h,
+             least(4 + doc_id % 13, 8) AS ow, least(4 + doc_id % 7, 8) AS oh
+      FROM documents WHERE doc_id % 97 <> 13
+    )
+    SELECT p.doc_id,
+           cast(p.ow as bigint) AS out_width,
+           cast(p.oh as bigint) AS out_height,
+           cast(sum(((gx.x * p.w) // p.ow + 2 * ((gy.y * p.h) // p.oh)
+                     + p.doc_id) % 256) as bigint) AS sum_r
+    FROM p
+    CROSS JOIN generate_series(0, 7) gx(x)
+    CROSS JOIN generate_series(0, 7) gy(y)
+    WHERE gx.x < p.ow AND gy.y < p.oh
+    GROUP BY p.doc_id, p.ow, p.oh
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "image"),
 )
-def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: decode (stub) -> clamp to a 64x64 target box ->
-    emit resized dims + payload size. NOTE production swap point:
-    ``img.thumbnail((64, 64))`` in the pandas batch; the batch shape,
-    schema, and partition-parallelism are what this operator proves."""
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over real bytes: parse the BMP payload, nearest-
+    neighbor downsample the DECODED pixel array into an 8x8 target box
+    (codec/bmp.py resize_nearest — integer index math, so the oracle
+    reproduces every output pixel), aggregate the resized red channel.
+    Corrupt payloads (every 97th, truncated) are skipped at the parse,
+    same contract as mm_image_decode / mm_wav_decode."""
+    from go_triton_spark.codec.bmp import build_bmp, parse_bmp, resize_nearest
+
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    src = d.select("doc_id")
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
-        T.StructField("out_width", T.IntegerType()),
-        T.StructField("out_height", T.IntegerType()),
-        T.StructField("out_bytes", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
     ])
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, c = _fake_decode(bytes(payload))
-                ow, oh = min(w, 64), min(h, 64)
-                out.append((doc_id, ow, oh, ow * oh * c))
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_bmp(_gate_pixels(doc_id))
+                if doc_id % 97 == 13:
+                    payload = payload[:40]
+                try:
+                    m = parse_bmp(payload)
+                except ValueError:
+                    continue
+                small = resize_nearest(m["pixels"],
+                                       min(m["width"], 8), min(m["height"], 8))
+                out.append((doc_id, small.shape[1], small.shape[0],
+                            int(small[:, :, 0].astype("int64").sum())))
             yield pd.DataFrame(out, columns=["doc_id", "out_width",
-                                             "out_height", "out_bytes"])
+                                             "out_height", "sum_r"])
 
     return src.mapInPandas(resize, schema=schema)
 

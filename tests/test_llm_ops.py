@@ -107,10 +107,35 @@ def test_text_quality_bounds(spark):
     assert all(0.0 < r["distinct_ratio"] <= 1.0 for r in rows)
 
 
-def test_mm_decode_runs_through_pandas(spark):
-    rows = _run(spark, "mm_decode_stub").collect()
-    assert len(rows) == 500
-    assert all(32 <= r["width"] < 352 and r["channels"] == 3 for r in rows)
+def test_mm_image_decode_real_bytes_and_corrupt_skip(spark):
+    """mm_image_decode parses REAL BMP payloads in-flight: surviving
+    rows match the closed-form pixel formula, truncated payloads
+    (doc_id % 97 == 13) are skipped — corrupt-skip on real bytes."""
+    rows = _run(spark, "mm_image_decode").collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    skipped = sum(1 for i in range(n_docs) if i % 97 == 13)
+    assert len(rows) == n_docs - skipped
+    for r in rows:
+        assert r["doc_id"] % 97 != 13
+        w, h = 4 + r["doc_id"] % 13, 4 + r["doc_id"] % 7
+        assert (r["width"], r["height"], r["bit_depth"]) == (w, h, 24)
+        assert r["n_pixels"] == w * h
+        assert r["sum_r"] == sum((x + 2 * y + r["doc_id"]) % 256
+                                 for x in range(w) for y in range(h))
+
+
+def test_mm_image_resize_is_real_nearest_neighbor(spark):
+    """mm_image_resize downsamples the DECODED pixel array: every
+    resized red-channel sum equals the nearest-neighbor index math
+    applied to the closed-form source pixels."""
+    rows = _run(spark, "mm_image_resize").collect()
+    for r in rows[:50]:
+        w, h = 4 + r["doc_id"] % 13, 4 + r["doc_id"] % 7
+        ow, oh = min(w, 8), min(h, 8)
+        assert (r["out_width"], r["out_height"]) == (ow, oh)
+        exp = sum(((ox * w) // ow + 2 * ((oy * h) // oh) + r["doc_id"]) % 256
+                  for ox in range(ow) for oy in range(oh))
+        assert r["sum_r"] == exp
 
 
 def test_mm_wav_decode_real_bytes_and_corrupt_skip(spark):
