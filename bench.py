@@ -5,7 +5,10 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes its full plan via the noop sink (no driver
-collect), timed individually; ``value`` is the suite total.
+collect). Per query: one uncounted warmup pass, then the MEDIAN of
+``SPARK_GRAFT_BENCH_REPS`` (default 3) measured passes, with the
+min/max run spread recorded under ``spread``; ``value`` is the sum of
+medians.
 """
 
 from __future__ import annotations
@@ -118,28 +121,39 @@ def main() -> int:
         if os.path.exists(p):
             spark.read.parquet(p).limit(1).write.format("noop").mode("overwrite").save()
 
-    # best-of-N per query (default 2): damps one-off noise from GC /
-    # background load without hiding real cost — every rep executes the
-    # full plan through the noop sink
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # per-query: one WARMUP pass (uncounted — shuffle-file + code cache
+    # warm), then median-of-N measured passes (default 3) with the
+    # min/max spread recorded. Round-over-round ±10% single-shot noise
+    # made r4→r5 deltas unadjudicatable; medians with recorded spread
+    # turn >1.2x deltas into signal. Every pass executes the full plan
+    # through the noop sink — no driver collect anywhere.
+    import statistics
+
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    warmups = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         qd = REGISTRY[name]
-        best = None
+        runs: list[float] = []
         try:
-            for _ in range(max(reps, 1)):
+            for i in range(warmups + reps):
                 t0 = time.perf_counter()
                 qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                if i >= warmups:
+                    runs.append(dt)
+            med = statistics.median(runs)
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             # lose the whole benchmark artifact; record a penalty time
             # and the error so the regression is visible, not silent
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            best = 999.0
-        timings[name] = round(best, 3)
+            med = 999.0
+            runs = runs or [999.0]
+        timings[name] = round(med, 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += timings[name]
 
     out = {
@@ -147,6 +161,9 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "warmup": warmups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
