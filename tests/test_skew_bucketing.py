@@ -4,7 +4,9 @@ import os
 
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.skew import salted_join, write_bucketed
+from go_triton_spark.operators.skew import (detect_dominant_key,
+                                            salted_join, skew_aware_join,
+                                            write_bucketed)
 
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
@@ -55,6 +57,58 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _hot_corpus(spark, n=20000, hot_frac=0.5, hot_key=42):
+    """The skew-experiment shape: one NARROW key owns half the rows —
+    the case AQE's byte-based detector measurably misses
+    (tools/skew_experiment.py, SCALE.md round-5)."""
+    return spark.range(n).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(1000)) < int(hot_frac * 1000),
+               F.lit(hot_key)).otherwise(F.pmod("id", F.lit(1000)))
+         .cast("long").alias("k"),
+        F.col("id").alias("v"))
+
+
+def test_detect_dominant_key_hot_vs_uniform(spark):
+    hot = detect_dominant_key(_hot_corpus(spark), "k")
+    assert hot["key_value"] == 42
+    assert 0.35 <= hot["share"] <= 0.65, hot
+    uni = detect_dominant_key(
+        spark.range(20000).select(F.pmod("id", F.lit(1000)).alias("k")), "k")
+    assert uni["share"] <= 0.05, uni
+
+
+def test_detect_dominant_key_survives_key_clustered_layout(spark):
+    """Head-of-partition sampling must still see the hot key when the
+    data is SORTED by the key (a key owning p of the rows owns ~p of
+    the range partitions)."""
+    clustered = _hot_corpus(spark).orderBy("k")
+    probe = detect_dominant_key(clustered, "k")
+    assert probe["key_value"] == 42
+    assert probe["share"] >= 0.3, probe
+
+
+def test_skew_aware_join_routes_salted_on_hot_plain_on_uniform(spark):
+    """The guard engages on the experiment's 50%-key corpus and stays
+    off on uniform keys (VERDICT r5 ask #4) — and never changes the
+    join result either way."""
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(1000)],
+                                ["k", "name"])
+    hot = _hot_corpus(spark)
+    out_hot = skew_aware_join(hot, dim, "k")
+    assert out_hot._skew_route["route"] == "salted", out_hot._skew_route
+    plan = out_hot._jdf.queryExecution().analyzed().toString()
+    assert "_salt" in plan  # really the salted-join plan, not a flag
+    assert (sorted(map(tuple, out_hot.select("k", "v", "name").collect()))
+            == sorted(map(tuple, hot.join(dim, "k").collect())))
+
+    uni = spark.range(20000).select(
+        F.pmod("id", F.lit(1000)).alias("k"), F.col("id").alias("v"))
+    out_uni = skew_aware_join(uni, dim, "k")
+    assert out_uni._skew_route["route"] == "plain", out_uni._skew_route
+    assert "_salt" not in out_uni._jdf.queryExecution().analyzed().toString()
+    assert out_uni.count() == 20000
 
 
 def test_salted_join_equivalence_property(spark):

@@ -82,7 +82,7 @@ def _run(df) -> float:
 def main() -> int:
     from pyspark.sql import functions as F
 
-    from go_triton_spark.operators.skew import salted_join
+    from go_triton_spark.operators.skew import salted_join, skew_aware_join
     from go_triton_spark.session import get_spark
 
     mults = [int(x) for x in (
@@ -152,6 +152,13 @@ def main() -> int:
 
                 res[f"{shape}_salted"] = run_collect(
                     agg(salted_join(ev, users, "user_id")))
+
+                # the automatic route (round-6): probe + salt, timed
+                # INCLUDING the probe cost so the guard's overhead is
+                # part of its own row
+                j_auto = skew_aware_join(ev, users, "user_id")
+                res[f"{shape}_auto"] = run_collect(agg(j_auto))
+                res[f"{shape}_auto_route"] = j_auto._skew_route["route"]
         finally:
             for k in ("spark.sql.adaptive.skewJoin.enabled",
                       "spark.sql.adaptive.skewJoin."
