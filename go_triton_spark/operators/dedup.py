@@ -638,14 +638,23 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str,
                          (F.col("n").cast("double") * F.col("n"))
                          / F.lit(2.0 * pair_budget)))).cast("int").alias("salts")))
     blocked = sel.join(F.broadcast(stats), ["lang", "bucket"])
-    a = blocked.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
-        F.col("bucket").alias("bucket_a"), F.col("prefix").alias("pa"),
-        F.pmod(F.col("doc_id"), F.col("salts")).alias("salt_a"))
-    b = blocked.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
-        F.col("bucket").alias("bucket_b"), F.col("prefix").alias("pb"),
-        F.explode(F.sequence(F.lit(0), F.col("salts") - 1)).alias("salt_b"))
+    # BOTH join sides ride ONE exchange (round-6 fold, the
+    # dedup_levenshtein analog of _capped_pairs folding its distinct
+    # into the rescore partitioning): tag a-rows (salt = id % salts)
+    # and b-rows (salt exploded 0..salts-1) into a single side-tagged
+    # union, shuffle it ONCE on the block key, and carve the two join
+    # inputs back out with side filters. Filters and alias-projections
+    # preserve the child partitioning, so EnsureRequirements sees both
+    # sides already hashed on exactly the equi-keys and adds no
+    # exchange; physically the shuffle is written once and read twice
+    # (ReusedExchange). Same rows shuffled as the old two-repartition
+    # plan — one fewer exchange node and one fewer stage barrier.
+    a_rows = blocked.select(
+        F.lit(0).alias("side"), "doc_id", "lang", "bucket", "prefix",
+        F.pmod(F.col("doc_id"), F.col("salts")).alias("salt"))
+    b_rows = blocked.select(
+        F.lit(1).alias("side"), "doc_id", "lang", "bucket", "prefix",
+        F.explode(F.sequence(F.lit(0), F.col("salts") - 1)).alias("salt"))
     # CRITICAL: the dist<=8 filter lands in the join as a residual
     # condition, so levenshtein runs inside the join's tasks — and AQE
     # coalesces the join's shuffle to ONE partition here because the
@@ -657,8 +666,26 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str,
     # adds no further exchange since both sides already hash on the
     # equi-keys.
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = a.repartition(nparts, "lang_a", "bucket_a", "salt_a")
-    b = b.repartition(nparts, "lang_b", "bucket_b", "salt_b")
+    # the cache is the fold's enforcement: without it Catalyst pushes
+    # each side filter THROUGH the union, prunes the other branch, and
+    # reconstructs the old two-exchange two-stats-subtree plan.
+    # InMemoryRelation is an optimizer barrier that also REMEMBERS the
+    # repartition's hashpartitioning, so the join reads both sides
+    # from one materialization with no further exchange. Storage is
+    # the narrow tagged projection (id, lang, bucket, salt, <=80-char
+    # prefix) — about the bytes of ONE shuffle of it, paid once
+    # instead of shuffling twice; MEMORY_AND_DISK spills, never OOMs.
+    u = (a_rows.unionByName(b_rows)
+         .repartition(nparts, "lang", "bucket", "salt")
+         .cache())
+    a = u.where(F.col("side") == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("bucket").alias("bucket_a"), F.col("salt").alias("salt_a"),
+        F.col("prefix").alias("pa"))
+    b = u.where(F.col("side") == 1).select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("bucket").alias("bucket_b"), F.col("salt").alias("salt_b"),
+        F.col("prefix").alias("pb"))
     return (
         a.join(b.hint("shuffle_hash"),
                (F.col("lang_a") == F.col("lang_b"))

@@ -328,6 +328,42 @@ def test_lsh_pair_generator_single_shuffle_dedup(spark):
             assert "sig#" not in line and "band#" not in line, line
 
 
+def test_levenshtein_single_pair_exchange_fold(spark):
+    """Round-6 shape contract for dedup_levenshtein: BOTH sides of the
+    blocked self-join ride ONE cached exchange (side-tagged union,
+    repartitioned once on the block key, carved back out by side
+    filters) instead of the old two-repartition double shuffle. The
+    runtime tree-walk (caches counted once, AQE-final, reuse skipped)
+    must show <= 4 real shuffle exchanges and a join fed by two scans
+    of the SAME cache with no exchange in between."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from explain_audit import audit_plan
+
+    df = REGISTRY["dedup_levenshtein"].spark(spark, SF)
+    c = audit_plan(spark, df)
+    assert c["ex"] <= 4, dict(c)            # was 6 before the fold
+    assert c["ShuffledHashJoin"] == 1, dict(c)
+    assert c["cached_scan"] == 2, dict(c)   # both join sides hit the cache
+    # no exchange BETWEEN the cached scans and the join: the join's
+    # immediate subtree (stringified, stopping at the cache) is
+    # exchange-free because the cache remembers the repartition
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_seen = False
+    for line in plan.splitlines():
+        if "ShuffledHashJoin" in line:
+            join_seen = True
+            continue
+        if join_seen:
+            if "InMemoryRelation" in line:
+                break
+            assert "Exchange" not in line, line
+    assert join_seen
+
+
 def test_qgram_single_gram_rank_pass(spark):
     """Round-5 shape contract for dedup_levenshtein_qgram: ONE
     gram-ranking window subtree (2 Window nodes: the rank + the
