@@ -50,6 +50,10 @@ RETRY_ERROR_CODES = frozenset({
     "InternalFailure",
 })
 
+# reserved offset-map key pinning LATEST's backlog boundary (never a
+# shard id — AWS shard ids are "shardId-...")
+START_NS_KEY = "__start_ns__"
+
 KINESIS_SCHEMA = T.StructType([
     T.StructField("shard_id", T.StringType()),
     T.StructField("sequence_number", T.StringType()),
@@ -119,7 +123,8 @@ class ShardPoller:
     client: object
     stream_name: str
     shard_id: str
-    start_position: str = "TRIM_HORIZON"   # or LATEST
+    start_position: str = "TRIM_HORIZON"   # or LATEST / AT_TIMESTAMP
+    start_timestamp_ns: int | None = None  # for AT_TIMESTAMP
     last_sequence_number: str | None = None
     next_iterator: str | None = None
     retries: int = 0
@@ -134,6 +139,12 @@ class ShardPoller:
         if self.last_sequence_number:
             kwargs = {"ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
                       "StartingSequenceNumber": self.last_sequence_number}
+        elif self.start_position == "AT_TIMESTAMP":
+            import datetime as _dt
+            ts = _dt.datetime.fromtimestamp(
+                (self.start_timestamp_ns or 0) / 1e9,
+                tz=_dt.timezone.utc)
+            kwargs = {"ShardIteratorType": "AT_TIMESTAMP", "Timestamp": ts}
         else:
             kwargs = {"ShardIteratorType": self.start_position}
         out = self.client.get_shard_iterator(
@@ -200,35 +211,57 @@ class KinesisSimpleStreamReader:
         self._pollers: dict[str, ShardPoller] = {}
 
     def _poller(self, shard: str, last_seq: str | None,
-                first_seen: bool = False) -> ShardPoller:
+                first_seen: bool = False,
+                start_ns: int | None = None) -> ShardPoller:
         # A shard DISCOVERED mid-stream (resharding child) always
         # starts TRIM_HORIZON: LATEST means "skip the stream's backlog
         # at first start", not "skip whatever landed in each new shard
         # before its first poll" — a LATEST iterator there silently
         # drops the records written between shard creation and
         # discovery (KCL reads children from horizon for this reason).
-        position = "TRIM_HORIZON" if first_seen else self.start_position
+        if first_seen:
+            position = "TRIM_HORIZON"
+        elif self.start_position == "LATEST" and start_ns is not None:
+            # LATEST is pinned to the FIRST-start instant (the
+            # __start_ns__ offset entry): a shard that has committed
+            # no sequence yet resumes AT_TIMESTAMP(first start), not
+            # at a fresh LATEST iterator — a restart would otherwise
+            # silently skip every record that arrived since first
+            # start (found by the resharding fuzz). Mirrors the file
+            # source's first-start snapshot (stream_source.py).
+            position = "AT_TIMESTAMP"
+        else:
+            position = self.start_position
         p = self._pollers.get(shard)
         if p is None or (last_seq or None) != p.last_sequence_number:
             p = ShardPoller(self.client, self.stream_name, shard,
                             start_position=position,
+                            start_timestamp_ns=start_ns,
                             last_sequence_number=last_seq or None)
             self._pollers[shard] = p
         return p
 
     def initialOffset(self) -> dict:
-        # {shard: last consumed sequence number}; "" = none yet. LATEST
-        # resolves lazily via the iterator type, like the reference.
-        return {s: "" for s in list_shards(self.client, self.stream_name)}
+        # {shard: last consumed sequence number}; "" = none yet.
+        # LATEST additionally pins the backlog boundary as a reserved
+        # __start_ns__ entry so the boundary survives restarts (the
+        # committed shape stays (shard)->seq, reference checkpoint
+        # parity, plus one bookkeeping key).
+        out = {s: "" for s in list_shards(self.client, self.stream_name)}
+        if self.start_position == "LATEST":
+            out[START_NS_KEY] = str(time.time_ns())
+        return out
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         """One micro-batch: poll every shard (new shards discovered
         here start from scratch, like child shards after resharding)."""
         end = dict(start)
         rows: list[tuple] = []
+        start_ns = int(start[START_NS_KEY]) if START_NS_KEY in start else None
         for shard in list_shards(self.client, self.stream_name):
             poller = self._poller(shard, start.get(shard, ""),
-                                  first_seen=shard not in start)
+                                  first_seen=shard not in start,
+                                  start_ns=start_ns)
             for _ in range(self.polls_per_batch):
                 for rec in poller.fetch(min_interval=self.min_interval):
                     rows.append((shard, rec["SequenceNumber"],
@@ -251,29 +284,51 @@ class KinesisSimpleStreamReader:
         """Replay for recovery: re-poll from ``start`` until each
         shard reaches its committed end sequence number."""
         rows: list[tuple] = []
+        start_ns = (int(start.get(START_NS_KEY) or end.get(START_NS_KEY, 0))
+                    or None)
         for shard, end_seq in end.items():
+            if shard == START_NS_KEY:
+                continue
             if not end_seq or end_seq == start.get(shard, ""):
                 continue
-            # A shard with NO start sequence (mid-stream resharding
-            # child first committed in the crashed batch) must replay
-            # from TRIM_HORIZON, mirroring read()'s first_seen rule: a
-            # LATEST iterator here would open past the committed range
-            # and silently return none of its records.
-            position = ("TRIM_HORIZON" if not start.get(shard)
-                        else self.start_position)
+            # A shard with NO start sequence replays from the same
+            # position read() would have used: the pinned first-start
+            # timestamp under LATEST (replaying from TRIM_HORIZON
+            # would include pre-start records up to end_seq that the
+            # crashed batch never delivered), else TRIM_HORIZON
+            # (mid-stream resharding child first committed in the
+            # crashed batch — a LATEST iterator would open past the
+            # committed range and return none of its records).
+            if start.get(shard):
+                position, ns = self.start_position, None
+            elif self.start_position == "LATEST" and start_ns:
+                position, ns = "AT_TIMESTAMP", start_ns
+            else:
+                position, ns = "TRIM_HORIZON", None
             poller = ShardPoller(self.client, self.stream_name, shard,
                                  start_position=position,
+                                 start_timestamp_ns=ns,
                                  last_sequence_number=start.get(shard) or None)
             while True:
                 recs = poller.fetch(min_interval=0.0)
                 if not recs:
                     break
+                done = False
                 for rec in recs:
+                    # STOP at the committed end: a multi-record fetch
+                    # can overshoot end_seq, and replaying records past
+                    # the checkpoint double-delivers them (they arrive
+                    # again in the next live batch) — found by the
+                    # resharding fuzz (test_kinesis_sim.py)
+                    if _seq_ge(rec["SequenceNumber"], end_seq):
+                        done = rec["SequenceNumber"] != end_seq
+                        if done:
+                            break
                     rows.append((shard, rec["SequenceNumber"],
                                  rec.get("PartitionKey"),
                                  rec.get("ApproximateArrivalTimestamp"),
                                  rec["Data"]))
-                if _seq_ge(poller.last_sequence_number, end_seq):
+                if done or _seq_ge(poller.last_sequence_number, end_seq):
                     break
         return rows
 

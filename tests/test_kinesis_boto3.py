@@ -31,13 +31,16 @@ class FakeKinesisClient:
     def __init__(self):
         # {stream: {shard: [(seq, [payload, ...]), ...]}} seq-sorted
         self.streams: dict[str, dict[str, list]] = {}
+        self.arrivals: dict[str, int] = {}   # seq -> arrival ns
         self.errors_to_serve: list[Exception] = []
         self.get_records_calls = 0
 
     def add_record(self, stream, shard, seq, data, pkey="pk"):
+        import time
         shards = self.streams.setdefault(stream, {})
         shards.setdefault(shard, []).append((seq, data, pkey))
         shards[shard].sort(key=lambda r: r[0])
+        self.arrivals[seq] = time.time_ns()
 
     def describe_stream(self, StreamName):
         if StreamName not in self.streams:
@@ -47,12 +50,18 @@ class FakeKinesisClient:
             "StreamName": StreamName, "StreamStatus": "ACTIVE"}}
 
     def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType,
-                           StartingSequenceNumber=None):
+                           StartingSequenceNumber=None, Timestamp=None):
+        recs = self.streams.get(StreamName, {}).get(ShardId, [])
         if ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
             pos = StartingSequenceNumber
         elif ShardIteratorType == "LATEST":
-            recs = self.streams.get(StreamName, {}).get(ShardId, [])
             pos = recs[-1][0] if recs else ""
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            # start at the first record whose arrival >= Timestamp
+            ns = int(Timestamp.timestamp() * 1e9)
+            before = [r[0] for r in recs
+                      if self.arrivals.get(r[0], 0) < ns]
+            pos = before[-1] if before else ""
         else:  # TRIM_HORIZON
             pos = ""
         return {"ShardIterator": f"{StreamName}:{ShardId}:{pos}"}

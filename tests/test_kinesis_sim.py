@@ -155,3 +155,187 @@ events:
     assert {r.event_id for r in out.select("event_id").collect()} == {70}
     # the shared config object was not mutated by the override
     assert "start_position" not in cfg["events"].options
+
+
+# =====================================================================
+# Property-based resharding fuzz (VERDICT r5 ask #6)
+# =====================================================================
+#
+# Random split/merge/empty-child/append/read/restart sequences against
+# a scripted resharding Kinesis service, checked against an in-memory
+# reference log: NO LOSS, NO DUP, per-shard order preserved (the
+# stream_reader.go ordering guarantee), and readBetweenOffsets replays
+# exactly the committed span. Seeded-random over >=100 topologies so
+# every failure prints its reproducible seed.
+
+import random
+
+from go_triton_spark.sources.kinesis_boto3 import KinesisSimpleStreamReader
+
+
+class ReshardingFakeKinesis:
+    """Scripted service whose topology mutates mid-stream: shards can
+    split/merge (children start empty), closed parents stop growing.
+    Sequence numbers are globally monotonic zero-padded decimals (the
+    real Kinesis shape; numeric order = stream order). get_records
+    serves up to Limit records per call — unlike the one-record mocks,
+    a fetch can OVERSHOOT a committed range, which is exactly what a
+    recovery replay must tolerate."""
+
+    def __init__(self):
+        self.shards: dict[str, list] = {}
+        self.closed: set[str] = set()
+        self.arrivals: dict[str, int] = {}   # seq -> arrival ns
+        self._seq = 0
+        self._next_shard = 0
+
+    def new_shard(self) -> str:
+        name = f"shardId-{self._next_shard:04d}"
+        self._next_shard += 1
+        self.shards[name] = []
+        return name
+
+    def append(self, shard: str, data: bytes) -> str:
+        import time as _t
+        assert shard not in self.closed
+        self._seq += 1
+        seq = f"{self._seq:012d}"
+        self.shards[shard].append((seq, data))
+        self.arrivals[seq] = _t.time_ns()
+        return seq
+
+    def split(self, parent: str) -> tuple[str, str]:
+        self.closed.add(parent)
+        return self.new_shard(), self.new_shard()
+
+    def merge(self, a: str, b: str) -> str:
+        self.closed.update((a, b))
+        return self.new_shard()
+
+    def open_shards(self) -> list[str]:
+        return [s for s in self.shards if s not in self.closed]
+
+    # --- the boto3 client surface the reader uses -------------------
+    def describe_stream(self, StreamName):
+        return {"StreamDescription": {
+            "Shards": [{"ShardId": s} for s in sorted(self.shards)],
+            "StreamName": StreamName, "StreamStatus": "ACTIVE"}}
+
+    def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType,
+                           StartingSequenceNumber=None, Timestamp=None):
+        recs = self.shards.get(ShardId, [])
+        if ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+            pos = StartingSequenceNumber
+        elif ShardIteratorType == "LATEST":
+            pos = recs[-1][0] if recs else ""
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            ns = int(Timestamp.timestamp() * 1e9)
+            before = [r[0] for r in recs if self.arrivals[r[0]] < ns]
+            pos = before[-1] if before else ""
+        else:
+            pos = ""
+        return {"ShardIterator": f"{StreamName}|{ShardId}|{pos}"}
+
+    def get_records(self, ShardIterator, Limit):
+        _, shard, pos = ShardIterator.split("|")
+        out = [r for r in self.shards[shard] if r[0] > pos][:Limit]
+        nxt = out[-1][0] if out else pos
+        return {"NextShardIterator": ShardIterator.rsplit("|", 1)[0] + f"|{nxt}",
+                "Records": [{"SequenceNumber": sn, "Data": d,
+                             "PartitionKey": "pk"} for sn, d in out],
+                "MillisBehindLatest": 0}
+
+
+def _run_topology(seed: int) -> None:
+    rng = random.Random(seed)
+    svc = ReshardingFakeKinesis()
+    for _ in range(rng.randint(1, 3)):
+        svc.new_shard()
+
+    latest = rng.random() < 0.3
+    # pre-start backlog (skipped under LATEST)
+    skipped: set[bytes] = set()
+    for _ in range(rng.randint(0, 5)):
+        sh = rng.choice(svc.open_shards())
+        data = f"backlog-{seed}-{svc._seq}".encode()
+        svc.append(sh, data)
+        if latest:
+            skipped.add(data)
+
+    def new_reader():
+        return KinesisSimpleStreamReader(
+            svc, "s", start_position="LATEST" if latest else "TRIM_HORIZON",
+            min_interval=0.0)
+
+    # let the clock tick past the backlog appends: the AT_TIMESTAMP
+    # boundary travels as a datetime (microsecond resolution), so a
+    # same-microsecond backlog record would straddle it
+    import time as _t
+    t0 = _t.time_ns()
+    while _t.time_ns() - t0 < 2_000:
+        pass
+    reader = new_reader()
+    offsets = reader.initialOffset()
+    consumed: list[tuple] = []
+    history: list[tuple] = []
+
+    def do_read():
+        nonlocal offsets
+        start = dict(offsets)
+        rows, offsets = reader.read(start)
+        consumed.extend(rows)
+        history.append((start, dict(offsets), rows))
+
+    n_appended = 0
+    for _ in range(rng.randint(6, 18)):
+        op = rng.random()
+        open_shards = svc.open_shards()
+        if op < 0.45 and open_shards:
+            for _ in range(rng.randint(1, 4)):
+                sh = rng.choice(open_shards)
+                svc.append(sh, f"d-{seed}-{svc._seq}".encode())
+                n_appended += 1
+        elif op < 0.55 and len(open_shards) >= 1:
+            svc.split(rng.choice(open_shards))      # children start EMPTY
+        elif op < 0.62 and len(open_shards) >= 2:
+            a, b = rng.sample(open_shards, 2)
+            svc.merge(a, b)
+        elif op < 0.85:
+            do_read()
+        else:
+            reader = new_reader()                   # restart from offsets
+    # drain: two consecutive empty reads = done
+    empties = 0
+    for _ in range(60):
+        before = len(consumed)
+        do_read()
+        empties = empties + 1 if len(consumed) == before else 0
+        if empties >= 2:
+            break
+
+    # --- the reference-log invariants -------------------------------
+    all_data = [d for recs in svc.shards.values() for _, d in recs]
+    want = sorted(d for d in all_data if d not in skipped)
+    got = sorted(bytes(r[4]) for r in consumed)
+    assert got == want, (
+        f"seed={seed}: loss/dup — consumed {len(got)} vs appended "
+        f"{len(want)} (latest={latest})")
+    # per-shard order strictly increasing across batches and restarts
+    per_shard: dict[str, list] = {}
+    for r in consumed:
+        per_shard.setdefault(r[0], []).append(int(r[1]))
+    for sh, seqs in per_shard.items():
+        assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs), (
+            f"seed={seed}: order violated on {sh}")
+    # replay determinism: readBetweenOffsets over a committed span
+    # returns EXACTLY that span's rows — no overshoot into later data
+    for start, end, rows in rng.sample(history, min(3, len(history))):
+        replayed = new_reader().readBetweenOffsets(start, end)
+        assert sorted(bytes(r[4]) for r in replayed) == \
+            sorted(bytes(r[4]) for r in rows), (
+            f"seed={seed}: replay of {start}->{end} diverged")
+
+
+def test_resharding_fuzz_100_topologies():
+    for seed in range(200):
+        _run_topology(seed)
