@@ -83,11 +83,34 @@ def _exchange_dirs(a: str, b: str) -> bool:
 
 
 class ArchiveStore:
-    """Batch-side archive table: ingest + replay ("cat")."""
+    """Batch-side archive table: ingest + replay ("cat").
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``table_format`` (round-6 seam): ``"parquet"`` (default) keeps the
+    path-based layout above — listing-level pruning, rename-based
+    compaction, rmtree expiry. Any other value (``"delta"``,
+    ``"iceberg"``) routes writes and reads through
+    ``format(table_format)`` on the SAME root so a cluster deployment
+    with the connector on its classpath gets a manifest table —
+    snapshot-isolated reads, no rename-swap residue on object stores
+    (SCALE.md round-5 compaction note) — without touching any
+    operator. Maintenance (compact/expire) is engine-specific there
+    (OPTIMIZE / rewrite_data_files / VACUUM) and raises with a
+    pointer rather than pretending rename semantics apply.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 table_format: str = "parquet"):
         self.spark = spark
         self.root = root
+        self.table_format = table_format
+
+    def _require_parquet(self, op: str) -> None:
+        if self.table_format != "parquet":
+            raise NotImplementedError(
+                f"{op} is filesystem-rename based and only applies to the "
+                f"parquet layout; for {self.table_format!r} use the table "
+                f"format's own maintenance (Delta OPTIMIZE/VACUUM, Iceberg "
+                f"rewrite_data_files/expire_snapshots)")
 
     # ------------------------------------------------------------- write
 
@@ -116,7 +139,8 @@ class ArchiveStore:
         )
         (out.write.mode(mode)
             .partitionBy(*_PARTITION_COLS)
-            .parquet(self.root))
+            .format(self.table_format)   # "parquet" == .parquet(root)
+            .save(self.root))
 
     # -------------------------------------------------------------- read
 
@@ -160,6 +184,15 @@ class ArchiveStore:
         end_date = coerce_date(end_date) if end_date else start_date
         wanted = {d.strftime("%Y%m%d")
                   for d in list_dates_from_range(start_date, end_date)}
+        if self.table_format != "parquet":
+            # manifest table (round-6 seam): the format's own log
+            # handles file listing, partition pruning, and snapshot
+            # isolation — the manual listing/pruning/retry machinery
+            # below exists precisely because plain parquet paths lack
+            # those. Filters still prune via the manifest's stats.
+            src = self.spark.read.format(self.table_format).load(self.root)
+            return self._filter_cat(src, stream, start_date, end_date,
+                                    client, ordered)
         if not os.path.isdir(self.root) and "://" not in self.root:
             raise FileNotFoundError(
                 f"archive root {self.root!r} does not exist — nothing has "
@@ -228,6 +261,14 @@ class ArchiveStore:
             # unknown stream: keep the old root read (returns an empty
             # result through the filters rather than a listing error)
             src = self.spark.read.parquet(self.root)
+        return self._filter_cat(src, stream, start_date, end_date,
+                                client, ordered)
+
+    def _filter_cat(self, src: DataFrame, stream: str,
+                    start_date: _dt.date, end_date: _dt.date,
+                    client: str | None, ordered: bool) -> DataFrame:
+        """Shared cat tail: range/stream/client filters, the S14 guard,
+        replay ordering — identical for path and manifest layouts."""
         df = (
             src
             .where((F.col("stream") == stream)
@@ -293,6 +334,7 @@ class ArchiveStore:
         import math
         import shutil
 
+        self._require_parquet("compact")
         date = coerce_date(date)
         slice_dir = os.path.join(
             self.root, f"stream={stream}", f"client={client}",
@@ -366,6 +408,7 @@ class ArchiveStore:
         """
         import shutil
 
+        self._require_parquet("expire")
         slice_dir = os.path.join(
             self.root, f"stream={stream}", f"client={client}")
         cutoff = coerce_date(keep_after).strftime("%Y%m%d")

@@ -200,10 +200,12 @@ class _StrictPgCursor:
     def executemany(self, sql, seq):
         seq = list(seq)
         self._statement(sql, seq)
-        self.con.rows.extend(seq)
+        self.con.pending.extend(seq)
 
     def fetchall(self):
-        return [(c, s, sh, up) for (c, s, sh, _q, up) in self.con.rows]
+        # a SELECT in the same transaction sees its own pending writes
+        return [(c, s, sh, up)
+                for (c, s, sh, _q, up) in self.con.rows + self.con.pending]
 
 
 class _StrictPgCon:
@@ -211,7 +213,8 @@ class _StrictPgCon:
 
     def __init__(self):
         self.stream, self.rows = [], []
-        self.in_tx = False
+        self.pending = []  # uncommitted writes; COMMIT lands them,
+        self.in_tx = False  # ROLLBACK discards them (real tx semantics)
         self.close_calls = 0
 
     def cursor(self):
@@ -221,7 +224,12 @@ class _StrictPgCon:
         return self
 
     def __exit__(self, exc_type, *exc):
-        self.stream.append("COMMIT" if exc_type is None else "ROLLBACK")
+        if exc_type is None:
+            self.stream.append("COMMIT")
+            self.rows.extend(self.pending)
+        else:
+            self.stream.append("ROLLBACK")
+        self.pending = []
         self.in_tx = False
         if self.close_on_exit:
             self.close_calls += 1
@@ -251,6 +259,84 @@ def test_postgres_full_transaction_stream(tmp_path, con_cls):
     assert con.close_calls >= 1
     (row,) = con.rows
     assert row[0] == "archive" and row[1] == "events" and row[3] == "7"
+
+
+class _FakeOperationalError(Exception):
+    """Stands in for psycopg.OperationalError (connection dropped)."""
+
+
+class _DroppingPgCursor(_StrictPgCursor):
+    def execute(self, sql, params=()):
+        super().execute(sql, params)
+        self.con.maybe_drop(sql)
+
+    def executemany(self, sql, seq):
+        super().executemany(sql, seq)
+        self.con.maybe_drop(sql)
+
+
+def _dropping_con(base_cls, drop_on: str):
+    class _Dropping(base_cls):
+        def __init__(self):
+            super().__init__()
+            self.drop_on = drop_on
+
+        def maybe_drop(self, sql):
+            if self.drop_on and self.drop_on in sql:
+                self.drop_on = None  # drop once, like a real blip
+                raise _FakeOperationalError("server closed the connection")
+
+        def cursor(self):
+            return _DroppingPgCursor(self)
+
+    return _Dropping()
+
+
+@pytest.mark.parametrize("con_cls", [_StrictPgCon, _StrictPg2Con],
+                         ids=["psycopg3", "psycopg2"])
+@pytest.mark.parametrize("drop_on", ["CREATE TABLE", "INSERT INTO"],
+                         ids=["during-ddl", "mid-upsert"])
+def test_postgres_connection_drop_rolls_back_then_retry_converges(
+        tmp_path, con_cls, drop_on):
+    """Failure injection (VERDICT r5 ask #7): the connection drops
+    mid-transaction — after the DDL or mid-upsert. Documented contract
+    (single Go-style Tx, checkpoint.go:27-76): the error PROPAGATES
+    (the caller decides retry policy — the CLI's live-mirror loop
+    retries at its next interval), the transaction ROLLS BACK so the
+    external table never shows partial state, the connection is still
+    closed, and a plain retry of the same mirror converges because the
+    upsert is idempotent on (client, stream, shard)."""
+    root = _fake_checkpoints(tmp_path / "ck")
+    con = _dropping_con(con_cls, drop_on)
+    with pytest.raises(_FakeOperationalError):
+        mirror_to_db(root, "postgres://db-host/triton",
+                     _con=con, _placeholder="%s")
+    assert con.stream[-1] == "ROLLBACK"
+    assert con.rows == [] and con.pending == []   # no partial state
+    assert con.close_calls >= 1                   # no leaked connection
+    # the retry (fresh connection, same checkpoint dir) converges
+    con2 = con_cls()
+    n = mirror_to_db(root, "postgres://db-host/triton",
+                     _con=con2, _placeholder="%s")
+    assert n == 1
+    assert con2.stream == ["BEGIN", CREATE_TABLE_STMT, _PG_UPSERT, "COMMIT"]
+    (row,) = con2.rows
+    assert row[0] == "archive" and row[1] == "events" and row[3] == "7"
+
+
+@pytest.mark.parametrize("con_cls", [_StrictPgCon, _StrictPg2Con],
+                         ids=["psycopg3", "psycopg2"])
+def test_postgres_drop_between_select_and_upsert_in_stats(tmp_path, con_cls):
+    """The monitor path: connection dies right after its SELECT —
+    stats_from_db must propagate (stale-but-honest beats silently
+    empty) and still close the connection."""
+    con = _dropping_con(con_cls, "SELECT")
+    con.rows.append(("archive", "events", "shardId-0", "7",
+                     __import__("time").time()))
+    with pytest.raises(_FakeOperationalError):
+        stats_from_db("postgres://db-host/triton", client="archive",
+                      _con=con, _placeholder="%s")
+    assert con.close_calls >= 1
 
 
 @pytest.mark.parametrize("con_cls", [_StrictPgCon, _StrictPg2Con],
