@@ -1,0 +1,147 @@
+"""Real-bytes AVI (RIFF) video container parsing — the VIDEO leg of
+the real-decoder story (audio: codec/wav.py, image: codec/bmp.py).
+Like those, no native media library is needed for the uncompressed
+case: an AVI with 'DIB ' (raw BGR) frames is fully specified by the
+public RIFF grammar — ``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+strf)) LIST('movi' 00db...))`` — and each frame's pixel payload is the
+same 4-byte-padded bottom-up BGR layout as a BMP body, decoded by the
+shared ``codec.bmp.decode_dib_rows``.
+
+Scope: single video stream, 24-bit BI_RGB 'DIB ' frames in '00db'
+chunks (the uncompressed-AVI shape). Compressed fourccs (MJPG, H264…)
+need real codecs and raise ValueError, so callers apply the engine's
+corrupt/unsupported-skip semantics; the chunk walk itself skips
+unknown chunks (idx1, JUNK, INFO lists) and honors RIFF's odd-size pad
+byte, exactly like the WAV walker.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from go_triton_spark.codec.bmp import decode_dib_rows, encode_dib_rows
+
+_AVIH = 56   # MainAVIHeader size
+_STRH = 56   # AVIStreamHeader size
+
+
+def _chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) honoring the pad byte."""
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        csize = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + csize > len(data):
+            raise ValueError(f"truncated chunk {cid!r}")
+        yield cid, body, csize
+        pos = body + csize + (csize & 1)
+
+
+def parse_avi(data: bytes) -> dict:
+    """Parse one complete AVI; return metadata + decoded frames.
+
+    Returns dict with: width, height, n_frames, us_per_frame,
+    duration_ms, and ``frames`` — a list of (height, width, 3) uint8
+    RGB arrays, one per '00db' chunk in stream order. Fails loudly
+    (ValueError) on truncation, non-'DIB ' video, or frame-count
+    drift between the header and the movi list.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    end = min(len(data), 8 + riff_size)
+
+    width = height = n_frames = us_per_frame = None
+    handler_ok = False
+    frames: list[np.ndarray] = []
+
+    for cid, body, csize in _chunks(data, 12, end):
+        if cid != b"LIST":
+            continue  # idx1 / JUNK at top level: skipped
+        ltype = data[body:body + 4]
+        if ltype == b"hdrl":
+            for hcid, hbody, hsize in _chunks(data, body + 4, body + csize):
+                if hcid == b"avih":
+                    if hsize < _AVIH:
+                        raise ValueError("avih header too short")
+                    (us_per_frame, _rate, _pad, _flags, n_frames,
+                     _init, _streams, _buf, width, height) = \
+                        struct.unpack_from("<10I", data, hbody)
+                elif hcid == b"LIST" and data[hbody:hbody + 4] == b"strl":
+                    for scid, sbody, ssize in _chunks(
+                            data, hbody + 4, hbody + hsize):
+                        if scid != b"strh" or ssize < _STRH:
+                            continue
+                        fcc_type = data[sbody:sbody + 4]
+                        fcc_handler = data[sbody + 4:sbody + 8]
+                        if fcc_type == b"vids":
+                            if fcc_handler not in (b"DIB ", b"\x00" * 4):
+                                raise ValueError(
+                                    f"unsupported video codec "
+                                    f"{fcc_handler!r} (only raw 'DIB ')")
+                            handler_ok = True
+        elif ltype == b"movi":
+            if width is None:
+                raise ValueError("movi before hdrl")
+            for mcid, mbody, msize in _chunks(data, body + 4, body + csize):
+                if mcid[2:4] == b"dc":
+                    raise ValueError(
+                        "compressed frame chunk (..dc) — only raw 00db")
+                if mcid[2:4] != b"db":
+                    continue  # audio/other interleaved chunks: skipped
+                frames.append(decode_dib_rows(
+                    data[mbody:mbody + msize], width, height, 24))
+
+    if width is None or n_frames is None:
+        raise ValueError("missing avih header")
+    if not handler_ok:
+        raise ValueError("missing 'vids' stream header")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"frame-count drift: avih says {n_frames}, movi has "
+            f"{len(frames)}")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": int(n_frames),
+        "us_per_frame": int(us_per_frame),
+        "duration_ms": int(n_frames * us_per_frame) // 1000,
+        "frames": frames,
+    }
+
+
+def build_avi(frames, fps: int = 10) -> bytes:
+    """Assemble a canonical uncompressed AVI from same-sized RGB frame
+    arrays — deterministic bytes, the gate-corpus/test producer (the
+    video analog of build_wav / build_bmp)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames or any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("build_avi needs >=1 same-shaped (h,w,3) frames")
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    us_per_frame = 1_000_000 // fps
+
+    avih = b"avih" + struct.pack("<I", _AVIH) + struct.pack(
+        "<10I16x", us_per_frame, stride * h * fps, 0, 0x10, len(frames),
+        0, 1, stride * h, w, h)
+    strh = b"strh" + struct.pack("<I", _STRH) + (
+        b"vidsDIB " + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, 1, fps,
+                                  0, len(frames), stride * h, -1, 0,
+                                  0, 0, w, h))
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + \
+        b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + \
+        b"hdrl" + avih + strl
+
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", stride * h) + encode_dib_rows(f)
+        for f in frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + \
+        b"movi" + movi_body
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

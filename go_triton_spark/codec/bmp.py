@@ -80,12 +80,11 @@ def parse_bmp(data: bytes) -> dict:
         if int(idx.max()) >= len(pal):
             raise ValueError("palette index out of range")
         px = pal[idx]
-    elif bit_depth == 24:
-        px = rows[:, :width * 3].reshape(height, width, 3)[:, :, ::-1]
-    else:  # 32: BGRX, alpha byte dropped
-        px = rows[:, :width * 4].reshape(height, width, 4)[:, :, [2, 1, 0]]
-    if not top_down:
-        px = px[::-1]  # bottom-up storage -> row 0 = top
+        if not top_down:
+            px = px[::-1]
+    else:
+        px = decode_dib_rows(raw.tobytes(), width, height, bit_depth,
+                             top_down=top_down)
     return {
         "width": int(width),
         "height": int(height),
@@ -94,6 +93,41 @@ def parse_bmp(data: bytes) -> dict:
         "top_down": bool(top_down),
         "pixels": np.ascontiguousarray(px),
     }
+
+
+def decode_dib_rows(raw: bytes, width: int, height: int,
+                    bit_depth: int = 24, top_down: bool = False) -> np.ndarray:
+    """Decode a raw DIB pixel array (BGR(X), 4-byte-padded rows,
+    bottom-up unless top_down) to (height, width, 3) RGB — the row
+    codec shared by BMP files and AVI 'DIB ' video frames (codec/
+    avi.py), which store frames in exactly this layout."""
+    stride = (width * bit_depth // 8 + 3) & ~3
+    if len(raw) < stride * height:
+        raise ValueError("truncated DIB pixel rows")
+    rows = np.frombuffer(raw, dtype=np.uint8,
+                         count=stride * height).reshape(height, stride)
+    if bit_depth == 24:
+        px = rows[:, :width * 3].reshape(height, width, 3)[:, :, ::-1]
+    elif bit_depth == 32:  # BGRX, alpha byte dropped
+        px = rows[:, :width * 4].reshape(height, width, 4)[:, :, [2, 1, 0]]
+    else:
+        raise ValueError(f"unsupported DIB bit depth {bit_depth}")
+    if not top_down:
+        px = px[::-1]  # bottom-up storage -> row 0 = top
+    return px
+
+
+def encode_dib_rows(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Inverse of :func:`decode_dib_rows` for 24-bit RGB input."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    bgr = arr[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    return rows.tobytes()
 
 
 def build_bmp(pixels, top_down: bool = False) -> bytes:
@@ -107,17 +141,13 @@ def build_bmp(pixels, top_down: bool = False) -> bytes:
         raise ValueError("build_bmp expects (h, w, 3) RGB")
     h, w = arr.shape[:2]
     stride = (w * 3 + 3) & ~3
-    bgr = arr[:, :, ::-1]
-    if not top_down:
-        bgr = bgr[::-1]
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    body = encode_dib_rows(arr, top_down=top_down)
     pixel_offset = _FILE_HDR + _INFO_HDR
     size = pixel_offset + stride * h
     out = b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_offset)
     out += struct.pack("<IiihHIIiiII", _INFO_HDR, w, -h if top_down else h,
                        1, 24, BI_RGB, stride * h, 2835, 2835, 0, 0)
-    return out + rows.tobytes()
+    return out + body
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -1,17 +1,20 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Two formats decode REAL bytes with production parsers, no stub on the
-path: ``mm_wav_decode`` (RIFF/PCM audio, codec/wav.py — chunk walk,
-multi-depth PCM) and ``mm_image_decode`` / ``mm_image_resize``
+Three modalities decode REAL bytes with production parsers, no stub
+on the path: ``mm_wav_decode`` (RIFF/PCM audio, codec/wav.py — chunk
+walk, multi-depth PCM), ``mm_image_decode`` / ``mm_image_resize``
 (Windows BMP, codec/bmp.py — header/palette/padded-row parse, real
-nearest-neighbor downsample over the parsed pixel array). Both are
-pure stdlib+numpy, golden-gated, and skip corrupt payloads with the
+nearest-neighbor downsample over the parsed pixel array), and
+``mm_frame_sample`` (uncompressed AVI video, codec/avi.py —
+hdrl/strl/movi RIFF walk, per-frame DIB decode, stride sampling). All
+pure stdlib+numpy, golden-gated, skipping corrupt payloads with the
 engine's ValueError contract.
 
-Compressed media (PNG/JPEG/video) needs native libraries this
-environment lacks; those operators exercise the real Spark-side
-plumbing — binary columns, Arrow-batched mapInPandas with a declared
-schema, partition-parallel frame expansion — over deterministic
+Compressed media (PNG/JPEG/MJPG/H264) needs native libraries this
+environment lacks; the parsers REJECT those fourccs loudly, and the
+remaining stub operators exercise the real Spark-side plumbing —
+binary columns, Arrow-batched mapInPandas with a declared schema,
+partition-parallel frame expansion — over deterministic
 byte-arithmetic stand-ins the DuckDB oracle can verify, with the
 PIL/ffmpeg swap points marked NOTE below.
 """
@@ -145,31 +148,84 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(decode, schema=_IMG_DECODE_SCHEMA)
 
 
+def _gate_frame(doc_id: int, f: int):
+    """Frame f of the mm_frame_sample gate video: 8x6 RGB, every
+    channel a closed-form function of (x, y, f, doc_id) so the DuckDB
+    oracle recomputes any aggregate of the DECODED frames."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.int64)[None, :]
+    y = np.arange(6, dtype=np.int64)[:, None]
+    return np.dstack([(x + 2 * y + 3 * f + doc_id) % 256,
+                      (2 * x + y + 5 * f + doc_id) % 256,
+                      (x * y + 7 * f + doc_id) % 256]).astype("uint8")
+
+
 @query(
     "mm_frame_sample",
     oracle="""
-    SELECT doc_id, f.i AS frame_idx,
-           md5(substr(text, cast(f.i * 64 + 1 as integer), 64)) AS frame_hash
-    FROM documents
-    CROSS JOIN generate_series(0, 3) f(i)
-    WHERE length(text) >= f.i * 64 + 1
+    SELECT d.doc_id, gf.f AS frame_idx,
+           cast(sum((gx.x + 2 * gy.y + 3 * gf.f + d.doc_id) % 256)
+                as bigint) AS sum_r
+    FROM documents d
+    CROSS JOIN generate_series(0, 7) gf(f)
+    CROSS JOIN generate_series(0, 7) gx(x)
+    CROSS JOIN generate_series(0, 5) gy(y)
+    WHERE d.doc_id % 97 <> 13
+      AND gf.f < 2 + d.doc_id % 7 AND gf.f % 2 = 0
+    GROUP BY d.doc_id, gf.f
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "video"),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: one row per fixed-stride chunk ("frame") of the
-    payload, fingerprinted. The video-pipeline shape: explode a media
-    blob into per-frame rows partition-locally (no shuffle), hash or
-    feature-extract each frame."""
+    """REAL video frame sampling: each row carries a complete
+    uncompressed AVI (RIFF container, 'DIB ' frames) that
+    codec/avi.py genuinely parses — hdrl/strl/movi chunk walk, padded
+    bottom-up BGR frame decode via the shared DIB row codec — then
+    every SECOND frame is sampled and its red channel aggregated: the
+    video-pipeline shape (explode a media blob into per-frame rows
+    partition-locally, no shuffle) over real bytes.
+
+    Gate design mirrors mm_wav_decode / mm_image_decode: 2..8 frames
+    per doc with closed-form pixels (``_gate_frame``) so the oracle is
+    analytic, and every 97th container is TRUNCATED mid-header — the
+    parser rejects it and the operator skips the doc (corrupt-skip on
+    real bytes). Compressed fourccs raise in the parser, so a
+    production MJPG/H264 column routes to the documented ffmpeg swap
+    point instead of silently mis-decoding.
+    """
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+
     (d,) = tables(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", "text",
-                 F.explode(F.expr("sequence(0, 3)")).alias("frame_idx"))
-        .where(F.length("text") >= F.col("frame_idx") * 64 + 1)
-        .select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
-                F.md5(F.expr("substr(text, cast(frame_idx * 64 + 1 as int), 64)"))
-                 .alias("frame_hash"))
-    )
+    src = d.select("doc_id")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + doc_id % 7
+                payload = build_avi(
+                    [_gate_frame(doc_id, f) for f in range(n)], fps=10)
+                if doc_id % 97 == 13:
+                    payload = payload[:48]  # corrupt: truncated hdrl
+                try:
+                    m = parse_avi(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle
+                for f in range(0, m["n_frames"], 2):  # stride-2 sample
+                    fr = m["frames"][f].astype("int64")
+                    rows.append((doc_id, f, int(fr[:, :, 0].sum())))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_idx", "sum_r"])
+
+    return src.mapInPandas(sample, schema=schema)
 
 
 @query(

@@ -155,12 +155,28 @@ def test_mm_wav_decode_real_bytes_and_corrupt_skip(spark):
                 r["n_frames"], r["duration_ms"]) == (1, 8000, 16, 480, 60)
 
 
-def test_mm_frame_sample_stride(spark):
+def test_mm_frame_sample_real_avi_decode(spark):
+    """mm_frame_sample parses REAL AVI containers in-flight: every
+    surviving doc has frame 0, only EVEN frames appear (stride-2
+    sampling), truncated containers (doc_id % 97 == 13) are skipped,
+    and each sampled frame's red sum matches the closed-form pixels."""
     df = _run(spark, "mm_frame_sample")
-    # every doc has frame 0; longer docs have more frames
-    f0 = df.where("frame_idx = 0").count()
-    assert f0 == 500
-    assert df.count() >= f0
+    rows = df.collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    skipped = sum(1 for i in range(n_docs) if i % 97 == 13)
+    docs = {r["doc_id"] for r in rows}
+    assert len(docs) == n_docs - skipped
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+    for r in rows[:60]:
+        exp = sum((x + 2 * y + 3 * r["frame_idx"] + r["doc_id"]) % 256
+                  for x in range(8) for y in range(6))
+        assert r["sum_r"] == exp
+    # per-doc frame count = ceil(n_frames / 2)
+    import collections
+    per_doc = collections.Counter(r["doc_id"] for r in rows)
+    for d in list(docs)[:50]:
+        n = 2 + d % 7
+        assert per_doc[d] == (n + 1) // 2
 
 
 def test_embedding_lsh_recall_on_planted_neardups(spark, tmp_path):
