@@ -294,26 +294,43 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_feature_extract",
     oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 13 AS w, 4 + d.doc_id % 7 AS h,
+             gx.x AS x, gy.y AS y
+      FROM documents d
+      CROSS JOIN generate_series(0, 15) gx(x)
+      CROSS JOIN generate_series(0, 10) gy(y)
+      WHERE d.doc_id % 97 <> 13
+        AND gx.x < 4 + d.doc_id % 13 AND gy.y < 4 + d.doc_id % 7
+    )
     SELECT doc_id,
            array_to_string(
-             [cast(octet_length(encode(text)) as bigint),
-              cast(n_chars as bigint),
-              cast(ascii(substr(text, 1, 1)) as bigint),
-              cast(octet_length(encode(text)) % 256 as bigint)], '|')
-             AS features
-    FROM documents
+             [cast(sum((x + 2*y + doc_id) % 256) // (w * h) as bigint),
+              cast(sum((3*x + y + 2*doc_id) % 256) // (w * h) as bigint),
+              cast(sum((x*y + doc_id) % 256) // (w * h) as bigint),
+              cast(sum(CASE WHEN x < w - 1 THEN
+                    CASE WHEN (x + 2*y + doc_id) % 256 = 255
+                         THEN 255 ELSE 1 END ELSE 0 END) as bigint)],
+             '|') AS features
+    FROM px GROUP BY doc_id, w, h
     """,
     tags=("llm", "multimodal", "embedding"),
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: media payload -> fixed-dim numeric vector
-    (here 4 deterministic byte-level features; production swap point:
-    a vision/audio encoder inside the pandas batch emitting
-    array<float>). The array column is the handoff into the similarity
-    operators (ann_*, dedup_embedding_cosine)."""
+    """REAL feature extraction over decoded media: parse the BMP
+    payload (codec/bmp.py, same gate corpus as mm_image_decode) and
+    compute a fixed-dim vector from the PIXELS — per-channel means
+    plus total horizontal gradient of the red plane (a real edge-
+    energy feature; +1 steps except the mod-256 wrap, so the oracle
+    stays analytic). Production swap point: a vision/audio encoder in
+    the same pandas batch emitting array<float>; the vector column is
+    the handoff into the similarity operators (ann_*,
+    dedup_embedding_cosine). Corrupt payloads skip at the parse."""
+    from go_triton_spark.codec.bmp import build_bmp, parse_bmp
+
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id", "n_chars", "text",
-                   F.encode("text", "UTF-8").alias("payload"))
+    src = d.select("doc_id")
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -321,14 +338,26 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
-            for doc_id, n_chars, text, payload in zip(
-                    pdf["doc_id"], pdf["n_chars"], pdf["text"], pdf["payload"]):
-                b = bytes(payload)
-                rows.append((doc_id, [len(b), int(n_chars),
-                                      ord(text[0]) if text else 0,
-                                      len(b) % 256]))
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_bmp(_gate_pixels(doc_id))
+                if doc_id % 97 == 13:
+                    payload = payload[:40]
+                try:
+                    m = parse_bmp(payload)
+                except ValueError:
+                    continue
+                px = m["pixels"].astype("int64")
+                n = m["n_pixels"]
+                grad = int(np.abs(np.diff(px[:, :, 0], axis=1)).sum())
+                rows.append((doc_id, [int(px[:, :, 0].sum()) // n,
+                                      int(px[:, :, 1].sum()) // n,
+                                      int(px[:, :, 2].sum()) // n,
+                                      grad]))
             yield pd.DataFrame(rows, columns=["doc_id", "features"])
 
     # The array<long> vector is the real handoff type inside the engine;

@@ -380,3 +380,39 @@ def agg_median_mode_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderpriority", "median_price", "statuses_csv",
                     "mode_status")
             .orderBy("o_orderpriority"))
+
+
+@query(
+    "join_skew_aware",
+    oracle="""
+    SELECT d.lang,
+           cast(count(*) as bigint)        AS n_docs,
+           cast(sum(d.n_chars) as bigint)  AS total_chars,
+           max(m.label)                    AS label
+    FROM documents d
+    JOIN (SELECT DISTINCT lang, 'lang-' || lang AS label
+          FROM documents) m USING (lang)
+    GROUP BY d.lang
+    """,
+    tags=("relational", "join"),
+)
+def join_skew_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automatic narrow-key skew guard as a gated operator
+    (operators.skew.skew_aware_join): documents join a per-language
+    dim on ``lang`` — a NARROW, heavily skewed key (the testdata
+    corpus is ~44% 'en'), i.e. exactly the shape AQE's byte-based
+    skew detector cannot see (SCALE.md round-5/6). The guard probes
+    the key distribution at plan-build and routes through the salted
+    join here; result is route-invariant, so the DuckDB oracle is the
+    plain join and the gate hash-checks that salting never changes
+    the answer on the corpus that actually triggers it."""
+    from go_triton_spark.operators.skew import skew_aware_join
+
+    (d,) = tables(spark, sf_dir, "documents")
+    dim = (d.select("lang").distinct()
+           .select("lang", F.concat(F.lit("lang-"), "lang").alias("label")))
+    j = skew_aware_join(d.select("doc_id", "lang", "n_chars"), dim, "lang")
+    return (j.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.max("label").alias("label")))

@@ -179,6 +179,27 @@ def test_mm_frame_sample_real_avi_decode(spark):
         assert per_doc[d] == (n + 1) // 2
 
 
+def test_mm_feature_extract_real_pixel_features(spark):
+    """mm_feature_extract computes its vector from DECODED BMP pixels:
+    channel means + red-plane horizontal gradient, corrupt docs
+    skipped."""
+    import numpy as np
+
+    from go_triton_spark.codec.bmp import parse_bmp
+    from go_triton_spark.operators.multimodal import _gate_pixels
+
+    rows = _run(spark, "mm_feature_extract").collect()
+    n_docs = spark.read.parquet(SF + "/documents.parquet").count()
+    skipped = sum(1 for i in range(n_docs) if i % 97 == 13)
+    assert len(rows) == n_docs - skipped
+    for r in rows[:40]:
+        px = _gate_pixels(r["doc_id"]).astype("int64")
+        n = px.shape[0] * px.shape[1]
+        exp = [int(px[:, :, c].sum()) // n for c in range(3)]
+        exp.append(int(np.abs(np.diff(px[:, :, 0], axis=1)).sum()))
+        assert r["features"] == "|".join(str(v) for v in exp)
+
+
 def test_embedding_lsh_recall_on_planted_neardups(spark, tmp_path):
     """The SRP-banded path (cosine >= 0.9, where banding genuinely
     prunes) must recover planted near-duplicate vector pairs."""

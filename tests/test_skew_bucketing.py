@@ -111,6 +111,17 @@ def test_skew_aware_join_routes_salted_on_hot_plain_on_uniform(spark):
     assert out_uni.count() == 20000
 
 
+def test_join_skew_aware_query_routes_salted_on_testdata(spark, sf_dir):
+    """The gated operator really exercises the guard: the testdata
+    corpus is ~44% 'en', so the probe must choose the salted route
+    (visible as _salt in the analyzed plan)."""
+    from go_triton_spark.operators import REGISTRY
+
+    df = REGISTRY["join_skew_aware"].spark(spark, sf_dir)
+    assert "_salt" in df._jdf.queryExecution().analyzed().toString()
+    assert df.count() >= 1
+
+
 def test_salted_join_equivalence_property(spark):
     """Property (hypothesis-style over seeded cases): salting never
     changes the join result — any key distribution, any salt width."""
