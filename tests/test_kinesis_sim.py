@@ -339,3 +339,87 @@ def _run_topology(seed: int) -> None:
 def test_resharding_fuzz_100_topologies():
     for seed in range(200):
         _run_topology(seed)
+
+
+def test_file_sim_reader_topology_fuzz():
+    """The file-backed simulator's offset algebra under the same fuzz
+    discipline (no Spark needed — the reader is driven directly):
+    random shard creation / file appends / batches / reader restarts /
+    LATEST starts over 100 seeded topologies, against an in-memory
+    log: no loss, no dup, per-shard file order preserved."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from go_triton_spark.sources.kinesis_sim import KinesisSimStreamReader
+
+    schema = T.StructType([T.StructField("event_id", T.LongType())])
+
+    for seed in range(100):
+        rng = random.Random(10_000 + seed)
+        root = tempfile.mkdtemp(prefix=f"kfuzz{seed}_")
+        next_id = 0
+        appended: list[int] = []
+        skipped: set[int] = set()
+        per_shard_written: dict[str, list[int]] = {}
+
+        def put_file(shard):
+            nonlocal next_id
+            d = os.path.join(root, shard)
+            os.makedirs(d, exist_ok=True)
+            lst = per_shard_written.setdefault(shard, [])
+            ids = list(range(next_id, next_id + rng.randint(1, 3)))
+            next_id = ids[-1] + 1
+            with open(os.path.join(d, f"{len(os.listdir(d)):06d}.jsonl"),
+                      "w") as f:
+                for i in ids:
+                    f.write(json.dumps({"event_id": i}) + "\n")
+            appended.extend(ids)
+            lst.extend(ids)
+            return ids
+
+        shards = [f"shardId-{i:03d}" for i in range(rng.randint(1, 3))]
+        latest = rng.random() < 0.3
+        for _ in range(rng.randint(0, 4)):       # pre-start backlog
+            skipped.update(put_file(rng.choice(shards)))
+        if not latest:
+            skipped.clear()
+
+        def new_reader():
+            return KinesisSimStreamReader(
+                {"path": root,
+                 "start_position": "LATEST" if latest else "TRIM_HORIZON"},
+                schema)
+
+        reader = new_reader()
+        offsets = reader.initialOffset()
+        consumed: list[int] = []
+        per_shard_read: dict[str, list[int]] = {}
+
+        def batch():
+            nonlocal offsets
+            end = reader.latestOffset()
+            for part in reader.partitions(dict(offsets), end):
+                for row in reader.read(part):
+                    consumed.append(row[0])
+                    per_shard_read.setdefault(part.shard, []).append(row[0])
+            offsets = end
+
+        for _ in range(rng.randint(4, 12)):
+            op = rng.random()
+            if op < 0.4:
+                put_file(rng.choice(shards))
+            elif op < 0.5:
+                shards.append(f"shardId-{len(shards):03d}")  # resharding
+            elif op < 0.9:
+                batch()
+            else:
+                reader = new_reader()                        # restart
+        batch()
+
+        want = sorted(i for i in appended if i not in skipped)
+        assert sorted(consumed) == want, f"seed={seed}: loss/dup"
+        for sh, got in per_shard_read.items():
+            wrote = [i for i in per_shard_written.get(sh, [])
+                     if i not in skipped]
+            assert got == wrote, f"seed={seed}: order violated on {sh}"
