@@ -88,8 +88,22 @@ def _driver_green_rounds() -> dict:
     return green
 
 
+# Queries whose PHYSICAL PLAN changed materially in the noted round,
+# after their last driver-green check — staleness ordering can't see
+# plan edits, so these front-load right after the never-green tier
+# until the gate re-greens them. Self-clearing: once a name's last
+# driver-green round reaches the noted round, the entry is ignored
+# (safe to leave behind; prune opportunistically).
+_PLAN_CHANGED = {
+    "dedup_levenshtein": 6,    # r6 single-pair-exchange fold (cached union)
+    "mm_frame_sample": 6,      # r6 real AVI decode (new output schema)
+    "mm_feature_extract": 6,   # r6 real pixel features (new values)
+}
+
+
 def _reorder_registry() -> None:
-    """Rebuild REGISTRY: flagship, never-green, then stalest-green first.
+    """Rebuild REGISTRY: flagship, never-green, plan-changed, then
+    stalest-green first.
 
     Within each priority tier (never-checked, then each last-green
     round ascending) we round-robin across categories so any prefix
@@ -110,12 +124,17 @@ def _reorder_registry() -> None:
                     idx[c] += 1
         return out
 
-    # tier 0 = never driver-green; tier r = last green in round r
+    # tier 0 = never driver-green; tier 0.5 = plan changed since last
+    # green; tier r = last green in round r
     tiers: dict = {}
     for name, qd in REGISTRY.items():
         if name == "q1_pricing_summary":
             continue
-        tiers.setdefault(green.get(name, 0), {}) \
+        last = green.get(name, 0)
+        tier: float = last
+        if last and last < _PLAN_CHANGED.get(name, 0):
+            tier = 0.5
+        tiers.setdefault(tier, {}) \
              .setdefault(_category(qd), []).append(name)
     order = ["q1_pricing_summary"]
     for rnd in sorted(tiers):
