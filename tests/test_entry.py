@@ -28,16 +28,23 @@ def test_registry_prefix_front_loads_stalest_queries():
     round (stalest first, round-robin across categories for spread) —
     so the union over rounds converges to full driver coverage and no
     query's latest check drifts arbitrarily stale."""
-    from go_triton_spark.operators import (REGISTRY, _category,
-                                           _driver_green_rounds)
+    from go_triton_spark.operators import (_PLAN_CHANGED, REGISTRY,
+                                           _category, _driver_green_rounds)
 
     names = list(REGISTRY)
     assert names[0] == "q1_pricing_summary"  # flagship leads
     green = _driver_green_rounds()
     rest = names[1:]
-    # ordering key is non-decreasing: never-green (0) first, then by
-    # ascending last-green round
-    keys = [green.get(n, 0) for n in rest]
+
+    def key(n):
+        last = green.get(n, 0)
+        if last and last < _PLAN_CHANGED.get(n, 0):
+            return 0.5  # plan changed since last green: front-loaded
+        return last
+
+    # ordering key is non-decreasing: never-green (0), then
+    # plan-changed (0.5), then by ascending last-green round
+    keys = [key(n) for n in rest]
     assert keys == sorted(keys)
     # round-robin spread: a prefix of the stalest tier the size of its
     # category count touches every category in that tier
