@@ -343,8 +343,8 @@ class ArchiveStore:
             raise FileNotFoundError(f"no archive partition at {slice_dir}")
         hot_cutoff = (_dt.datetime.now(tz=_dt.timezone.utc)
                       - _dt.timedelta(hours=min_age_hours))
-        stats = {"hours": 0, "hours_skipped": 0, "files_before": 0,
-                 "files_after": 0, "bytes": 0}
+        stats = {"hours": 0, "hours_skipped": 0, "hours_vanished": 0,
+                 "files_before": 0, "files_after": 0, "bytes": 0}
         for hour_name in sorted(os.listdir(slice_dir)):
             hour_dir = os.path.join(slice_dir, hour_name)
             if not (os.path.isdir(hour_dir) and hour_name.startswith("hour=")):
@@ -356,47 +356,86 @@ class ArchiveStore:
             if part_end > hot_cutoff:
                 stats["hours_skipped"] += 1
                 continue
-            files = [f for f in os.listdir(hour_dir) if f.endswith(".parquet")]
-            nbytes = sum(os.path.getsize(os.path.join(hour_dir, f))
-                         for f in files)
-            n_out = max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
-            if len(files) <= n_out:
-                stats["hours"] += 1
-                stats["files_before"] += len(files)
-                stats["files_after"] += len(files)
-                stats["bytes"] += nbytes
-                continue
-            # DOT-PREFIXED basenames: Spark's listing prunes hidden
-            # (., _) names, so neither staging dir is ever visible to
-            # a concurrent cat. The old `hour=N._compact_tmp` siblings
-            # parsed as BOGUS PARTITION VALUES — a reader overlapping
-            # the post-commit-pre-swap (or pre-rmtree) window counted
-            # the hour twice (measured: 20 rows from a 10-row hour).
-            parent, base = os.path.split(hour_dir)
-            tmp_dir = os.path.join(parent, f".{base}._compact_tmp")
-            old_dir = os.path.join(parent, f".{base}._compact_old")
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            shutil.rmtree(old_dir, ignore_errors=True)
-            (self.spark.read.parquet(hour_dir)
-                 .repartitionByRange(n_out, "_archive_sort")
-                 .write.parquet(tmp_dir))
-            if _exchange_dirs(tmp_dir, hour_dir):
-                # atomic exchange: the partition is NEVER absent; the
-                # old files (now under the hidden tmp name) vanish only
-                # from readers' pre-swap path lists — one retry heals
-                shutil.rmtree(tmp_dir)
-            else:
-                # fallback pair of renames: a listing in the gap can
-                # see the hour briefly absent
-                os.rename(hour_dir, old_dir)
-                os.rename(tmp_dir, hour_dir)
-                shutil.rmtree(old_dir)
+            try:
+                self._compact_hour(hour_dir, target_file_mb, stats)
+            except Exception as exc:  # noqa: BLE001 — classified below
+                # a concurrent `expire` may rmtree this DATE between
+                # the hour listing and any step of the rewrite (the
+                # retention cron runs next to the compaction cron by
+                # design). If the hour is gone, that's retention
+                # winning the race, not an error — count it and move
+                # on (round-6 four-way soak found the raw
+                # AnalysisException leaking out here). Any failure
+                # with the hour still present is real and propagates.
+                msg = str(exc)
+                vanished_exc = (isinstance(exc, (FileNotFoundError, OSError))
+                                or "PATH_NOT_FOUND" in msg
+                                or "FileNotFound" in msg)
+                if vanished_exc and not os.path.isdir(hour_dir):
+                    # drop any staging leftovers: the tmp write may
+                    # have RESURRECTED the date path after the rmtree,
+                    # and retention's delete must stick
+                    parent, base = os.path.split(hour_dir)
+                    for leftover in (f".{base}._compact_tmp",
+                                     f".{base}._compact_old"):
+                        shutil.rmtree(os.path.join(parent, leftover),
+                                      ignore_errors=True)
+                    try:
+                        if not os.listdir(parent):
+                            os.rmdir(parent)
+                    except OSError:
+                        pass  # repopulated concurrently: leave it
+                    stats["hours_vanished"] += 1
+                    continue
+                raise
+        return stats
+
+    def _compact_hour(self, hour_dir: str, target_file_mb: int,
+                      stats: dict) -> None:
+        """Rewrite one hour partition in place (see ``compact``)."""
+        import math
+        import shutil
+
+        files = [f for f in os.listdir(hour_dir) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(hour_dir, f))
+                     for f in files)
+        n_out = max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+        if len(files) <= n_out:
             stats["hours"] += 1
             stats["files_before"] += len(files)
-            stats["files_after"] += len(
-                [f for f in os.listdir(hour_dir) if f.endswith(".parquet")])
+            stats["files_after"] += len(files)
             stats["bytes"] += nbytes
-        return stats
+            return
+        # DOT-PREFIXED basenames: Spark's listing prunes hidden
+        # (., _) names, so neither staging dir is ever visible to
+        # a concurrent cat. The old `hour=N._compact_tmp` siblings
+        # parsed as BOGUS PARTITION VALUES — a reader overlapping
+        # the post-commit-pre-swap (or pre-rmtree) window counted
+        # the hour twice (measured: 20 rows from a 10-row hour).
+        parent, base = os.path.split(hour_dir)
+        tmp_dir = os.path.join(parent, f".{base}._compact_tmp")
+        old_dir = os.path.join(parent, f".{base}._compact_old")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        (self.spark.read.parquet(hour_dir)
+             .repartitionByRange(n_out, "_archive_sort")
+             .write.parquet(tmp_dir))
+        if _exchange_dirs(tmp_dir, hour_dir):
+            # atomic exchange: the partition is NEVER absent; the
+            # old files (now under the hidden tmp name) vanish only
+            # from readers' pre-swap path lists — one retry heals
+            shutil.rmtree(tmp_dir)
+        else:
+            # fallback pair of renames: a listing in the gap can
+            # see the hour briefly absent
+            os.rename(hour_dir, old_dir)
+            os.rename(tmp_dir, hour_dir)
+            shutil.rmtree(old_dir)
+        stats["hours"] += 1
+        stats["files_before"] += len(files)
+        stats["files_after"] += len(
+            [f for f in os.listdir(hour_dir) if f.endswith(".parquet")])
+        stats["bytes"] += nbytes
 
     def expire(self, stream: str, client: str, keep_after: _dt.date) -> dict:
         """Retention: drop whole date partitions strictly older than

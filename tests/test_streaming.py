@@ -454,3 +454,124 @@ events:
     dups = len(ids) - len(set(ids))
     # at-least-once: only the in-flight batch may replay
     assert dups <= 60, f"replays beyond the crashed backlog: {dups}"
+
+
+def test_store_compact_expire_cat_four_way_concurrency(engine, tmp_path, spark):
+    """The full maintenance shape at once (round-6 soak): a LIVE store
+    ingesting, a compaction loop, a retention (expire) loop, and cat
+    readers — all concurrent. The r5 drives ran compact-under-load and
+    expire-under-read separately; this exercises their interactions:
+
+    - expire may rmtree the OLD date WHILE compact is rewriting it:
+      either order is fine (compact succeeds first, or fails loudly on
+      the vanished slice) but nothing may corrupt the surviving dates
+      and expire must win eventually.
+    - readers replay only the KEPT range; invariants are the documented
+      ones: at most one retry per swap race, counts over the kept range
+      monotone non-decreasing, zero loss at drain.
+    """
+    import threading
+    import time
+
+    now = dt.datetime.now(tz=UTC)
+    old_when = now - dt.timedelta(days=5)     # expiry target
+    cold_when = now - dt.timedelta(hours=3)   # compaction target
+
+    def _seed(when, start, n, files):
+        df = spark.createDataFrame(
+            [(r["event_id"], dt.datetime(2020, 1, 1, tzinfo=UTC),
+              r["user_id"], r["event_type"], r["value"], r["props"])
+             for r in _recs(n, start=start)], schema=EVENTS_SCHEMA)
+        for i in range(files):
+            engine.archive.ingest_dataframe(
+                df.where(f"event_id % {files} = {i}"), "events", "archive",
+                when=when + dt.timedelta(seconds=i))
+
+    _seed(old_when, 5000, 60, 3)
+    _seed(cold_when, 1000, 120, 6)
+
+    src = f"{tmp_path}/incoming/events"
+    os.makedirs(src, exist_ok=True)
+    pipe = engine.store("events", schema=EVENTS_SCHEMA, once=False,
+                        trigger_seconds=0.3)
+    kept_lo, kept_hi = cold_when.date(), now.date()
+    cutoff = (now - dt.timedelta(days=2)).date()
+
+    stop = threading.Event()
+    read_errors, counts, maint_errors = [], [], []
+
+    def one_cat():
+        return engine.cat("events", kept_lo, kept_hi,
+                          client="archive", ordered=False).count()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(one_cat())
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                if "FILE_NOT_EXIST" in msg or "FileNotFound" in msg:
+                    try:
+                        counts.append(one_cat())  # documented single retry
+                    except Exception as exc2:  # noqa: BLE001
+                        read_errors.append("retry failed: " + repr(exc2))
+                else:
+                    read_errors.append(repr(exc))
+            time.sleep(0.1)
+
+    def compactor():
+        targets = [old_when.date(), cold_when.date(), now.date()]
+        while not stop.is_set():
+            for d in targets:
+                try:
+                    engine.archive.compact("events", d, "archive")
+                except FileNotFoundError:
+                    pass  # expire won the race on the old date — loud+clean
+                except Exception as exc:  # noqa: BLE001
+                    maint_errors.append("compact: " + repr(exc))
+            time.sleep(0.3)
+
+    def expirer():
+        while not stop.is_set():
+            try:
+                engine.archive.expire("events", "archive", cutoff)
+            except Exception as exc:  # noqa: BLE001
+                maint_errors.append("expire: " + repr(exc))
+            time.sleep(0.25)
+
+    threads = [threading.Thread(target=f, daemon=True)
+               for f in (reader, compactor, expirer)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(5):
+            _write_events_json(src, _recs(20, start=i * 20))
+            time.sleep(0.35)
+        deadline = time.time() + 300  # liveness bound only, co-load-safe
+        while time.time() < deadline:
+            try:
+                if one_cat() >= 220:  # 120 cold + 100 live
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(15)
+        assert pipe.query.exception() is None, pipe.query.exception()
+        pipe.stop()
+
+    # nothing in the kept range lost or duplicated
+    out = engine.cat("events", kept_lo, kept_hi, client="archive")
+    ids = sorted(r[0] for r in out.select("event_id").collect())
+    assert ids == sorted(list(range(100)) + list(range(1000, 1120))), \
+        f"kept-range loss/dup: {len(ids)} rows"
+    # retention won: the old date is gone from disk
+    old_dir = os.path.join(str(tmp_path), "archive", "stream=events",
+                           "client=archive",
+                           f"date={old_when.strftime('%Y%m%d')}")
+    assert not os.path.isdir(old_dir), "expired date still on disk"
+    assert not read_errors, f"reader failures: {read_errors[:3]}"
+    assert not maint_errors, f"maintenance failures: {maint_errors[:3]}"
+    assert counts == sorted(counts), "a cat saw fewer rows than before"
