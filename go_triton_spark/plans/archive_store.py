@@ -82,6 +82,23 @@ def _exchange_dirs(a: str, b: str) -> bool:
     return rc == 0
 
 
+def _hadoop_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Child directory NAMES of ``path`` via the Hadoop FileSystem API —
+    the scheme-agnostic twin of ``os.listdir`` that makes the cat
+    listing-level pruning work on object stores (s3a://, gs://, ...),
+    not just local disk. One listStatus call, driver-side, O(children
+    of one dir) — never a recursive tree walk. Returns [] when the
+    path does not exist."""
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName()
+                  for st in fs.listStatus(jpath) if st.isDirectory())
+
+
 class ArchiveStore:
     """Batch-side archive table: ingest + replay ("cat").
 
@@ -206,20 +223,30 @@ class ArchiveStore:
         # rmtree-ing an old date MID-LISTING kills a reader of a
         # completely different range. Pruned, a cat never touches
         # dates it doesn't read.
+        is_uri = "://" in self.root
+        if is_uri:
+            # object stores have no os.listdir; the Hadoop FS twin
+            # keeps the pruning (round-6 — previously a URI root read
+            # the whole stream subtree: O(archive) listing per replay)
+            def _subdirs(p):
+                return _hadoop_subdirs(self.spark, p)
+        else:
+            def _subdirs(p):
+                return (sorted(os.listdir(p)) if os.path.isdir(p) else [])
         pruned: list[str] = []
-        if os.path.isdir(stream_dir) and "://" not in self.root:
+        stream_exists = (bool(_subdirs(stream_dir)) if is_uri
+                         else os.path.isdir(stream_dir))
+        if stream_exists:
             client_dirs = ([f"client={client}"] if client is not None else
-                           [n for n in sorted(os.listdir(stream_dir))
+                           [n for n in _subdirs(stream_dir)
                             if n.startswith("client=")])
             for cname in client_dirs:
                 cpath = os.path.join(stream_dir, cname)
-                if not os.path.isdir(cpath):
-                    continue
-                for dname in sorted(os.listdir(cpath)):
+                for dname in _subdirs(cpath):
                     if (dname.startswith("date=")
                             and dname[len("date="):] in wanted):
                         pruned.append(os.path.join(cpath, dname))
-        if pruned or (os.path.isdir(stream_dir) or "://" in self.root):
+        if pruned or stream_exists or is_uri:
             # planning (listing + schema inference from a footer) can
             # race a compact swap: the listed file is gone by the time
             # its footer is opened. Driver-side and cheap — re-list

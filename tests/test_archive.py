@@ -101,6 +101,23 @@ def test_table_format_seam_parquet_roundtrip_and_guards(spark, tmp_path, sf_dir)
         d.expire("events", "archive", when.date())
 
 
+def test_cat_uri_root_prunes_at_listing_level(spark, tmp_path, sf_dir):
+    """Round-6: the listing-level date pruning must also work on URI
+    roots (object stores) via the Hadoop FS listing — a one-day replay
+    must touch only that date's files, never list the whole archive
+    (and an expire of an out-of-range date can then never race it)."""
+    root = "file://" + str(tmp_path / "uri_archive")
+    st = ArchiveStore(spark, root)
+    ev = _events(spark, sf_dir).limit(8)
+    for day in (28, 29, 30):
+        st.ingest_dataframe(ev, "events", "archive",
+                            when=dt.datetime(2015, 6, day, 5, tzinfo=UTC))
+    out = st.cat("events", dt.date(2015, 6, 29))
+    assert out.count() == 8
+    files = out.inputFiles()
+    assert files and all("date=20150629" in f for f in files), files[:3]
+
+
 def test_cat_unknown_stream_empty_on_uri_root(spark, tmp_path, sf_dir):
     """Unknown-stream parity across filesystems: on a URI root (here
     file://, the cheapest object-store stand-in — '://' routes cat down
