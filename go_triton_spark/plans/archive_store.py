@@ -479,6 +479,24 @@ class ArchiveStore:
             self.root, f"stream={stream}", f"client={client}")
         cutoff = coerce_date(keep_after).strftime("%Y%m%d")
         stats = {"dropped": 0, "kept": 0}
+        if "://" in self.root:
+            # object stores: partition-dir DELETION is valid there
+            # (unlike rename-based compact) — Hadoop FS twin of the
+            # local walk (round-6; previously a URI root silently
+            # no-op'd and retention never ran)
+            jvm = self.spark._jvm
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            for name in _hadoop_subdirs(self.spark, slice_dir):
+                if not name.startswith("date="):
+                    continue
+                if name[len("date="):] < cutoff:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(slice_dir, name))
+                    p.getFileSystem(hconf).delete(p, True)
+                    stats["dropped"] += 1
+                else:
+                    stats["kept"] += 1
+            return stats
         if not os.path.isdir(slice_dir):
             return stats
         for name in sorted(os.listdir(slice_dir)):

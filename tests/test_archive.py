@@ -118,6 +118,25 @@ def test_cat_uri_root_prunes_at_listing_level(spark, tmp_path, sf_dir):
     assert files and all("date=20150629" in f for f in files), files[:3]
 
 
+def test_expire_works_on_uri_root(spark, tmp_path, sf_dir):
+    """Retention on a URI (object-store) root: dates strictly older
+    than the cutoff are deleted via the Hadoop FS, newer kept —
+    previously a URI root silently no-op'd and retention never ran."""
+    root = "file://" + str(tmp_path / "uri_exp")
+    st = ArchiveStore(spark, root)
+    ev = _events(spark, sf_dir).limit(5)
+    for day in (20, 21, 22):
+        st.ingest_dataframe(ev, "events", "archive",
+                            when=dt.datetime(2015, 6, day, 5, tzinfo=UTC))
+    stats = st.expire("events", "archive", dt.date(2015, 6, 21))
+    assert stats == {"dropped": 1, "kept": 2}
+    base = str(tmp_path / "uri_exp")
+    assert not os.path.isdir(os.path.join(
+        base, "stream=events", "client=archive", "date=20150620"))
+    assert st.cat("events", dt.date(2015, 6, 21), dt.date(2015, 6, 22)
+                  ).count() == 10
+
+
 def test_cat_unknown_stream_empty_on_uri_root(spark, tmp_path, sf_dir):
     """Unknown-stream parity across filesystems: on a URI root (here
     file://, the cheapest object-store stand-in — '://' routes cat down
