@@ -362,6 +362,15 @@ class ArchiveStore:
         import shutil
 
         self._require_parquet("compact")
+        if "://" in self.root:
+            # rename-based swaps cannot be atomic on object stores
+            # (S3 rename = copy+delete, a visible window) — the honest
+            # answer is the manifest seam, not a racy emulation
+            raise NotImplementedError(
+                "compact is rename-based and needs a real filesystem; "
+                "on an object store use table_format='delta'/'iceberg' "
+                "(ArchiveStore seam) and the format's OPTIMIZE / "
+                "rewrite_data_files")
         date = coerce_date(date)
         slice_dir = os.path.join(
             self.root, f"stream={stream}", f"client={client}",

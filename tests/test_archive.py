@@ -118,6 +118,14 @@ def test_cat_uri_root_prunes_at_listing_level(spark, tmp_path, sf_dir):
     assert files and all("date=20150629" in f for f in files), files[:3]
 
 
+def test_compact_refuses_uri_root_with_pointer(spark, tmp_path):
+    """Rename swaps cannot be atomic on object stores; compact on a
+    URI root must refuse loudly and point at the manifest seam."""
+    st = ArchiveStore(spark, "file://" + str(tmp_path / "uri_c"))
+    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
+        st.compact("events", dt.date(2015, 6, 30), "archive")
+
+
 def test_expire_works_on_uri_root(spark, tmp_path, sf_dir):
     """Retention on a URI (object-store) root: dates strictly older
     than the cutoff are deleted via the Hadoop FS, newer kept —
