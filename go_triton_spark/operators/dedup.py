@@ -32,9 +32,18 @@ from go_triton_spark.operators.registry import query, spread, tables
 # (operate on a pre-split `ws` column: re-evaluating split(text) inside the
 # transform lambda is O(tokens^2) per row — measured 3x slower at sf0.1)
 
+# The size guard is load-bearing: Spark's sequence(a, b) is NEVER
+# empty — with b < a it DESCENDS (sequence(1, -1) = [1, 0, -1]) — so
+# an unguarded transform indexes past the array and a <3-word document
+# CRASHES the whole shingle family under ANSI mode with
+# INVALID_ARRAY_INDEX. Invisible on the gated corpora (every testdata
+# doc has >= 3 words, corpus-test-enforced); found by the registry
+# differential fuzz on generated short/empty docs.
 _SHINGLES = (
+    "case when size(ws) >= 3 then "
     "array_distinct(transform(sequence(1, size(ws) - 2), "
-    "i -> concat_ws('_', ws[i - 1], ws[i], ws[i + 1])))"
+    "i -> concat_ws('_', ws[i - 1], ws[i], ws[i + 1]))) "
+    "else array_repeat('', 0) end"
 )
 
 _ORACLE_SHINGLES = (
@@ -79,6 +88,14 @@ def _shingle_df(spark, sf_dir) -> DataFrame:
     return (spread(d, spark)
             .select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+            # docs too short to shingle (<3 words) leave the n-gram
+            # family entirely: an empty shingle SET has no Jaccard
+            # semantics, and letting it through made two empty docs a
+            # vacuous "near-dup pair" in the minhash band join (found
+            # by the registry fuzz; the inverted-index oracle already
+            # excluded them). Exact dedup still catches identical
+            # short docs — that's its job, not Jaccard's.
+            .where(F.size("shingles") >= 1)
             .cache())
 
 

@@ -215,8 +215,8 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
              AS n_bpe_tokens,
-           array_to_string(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')[1:3], '|') AS first3
+           coalesce(array_to_string(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')[1:3], '|'), '') AS first3
     FROM documents
     """,
     tags=("llm", "text"),
@@ -226,7 +226,13 @@ def text_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs | digit runs | single punctuation) restricted to constructs
     portable between Java regex and RE2. Counting + inspection of the
     leftmost matches; the real tokenizer's merge step would run inside
-    a pandas batch downstream."""
+    a pandas batch downstream.
+
+    Empty text => zero tokens and first3 = '' on BOTH engines: DuckDB's
+    array_to_string over an empty slice is NULL (coalesced in the
+    oracle) while Spark's array_join is '' — found by the registry
+    differential fuzz (test_registry_differential.py), invisible on
+    the fixed corpus which has no empty documents."""
     (d,) = tables(spark, sf_dir, "documents")
     toks = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
     return d.select(

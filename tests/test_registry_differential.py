@@ -1,0 +1,126 @@
+"""Registry-level differential fuzz: run REGISTRY queries AND their
+DuckDB oracles over GENERATED documents corpora, not the fixed
+testdata — the driver's own gate, pointed at adversarial inputs
+(empty strings, unicode, punctuation runs, exact duplicates, single
+docs, all-identical langs).
+
+This closes the gap between the operator-level differential suite
+(test_differential_random.py: hand-written Spark vs hand-written SQL)
+and the gate (fixed corpus): here the EXACT production query and its
+EXACT shipped oracle face inputs the fixed corpus never contains. A
+mismatch means the operator and its oracle disagree on real data
+shapes — the bug class the gate cannot see.
+"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from go_triton_spark.operators import REGISTRY
+
+# text with adversarial shapes: whitespace runs, unicode, digits,
+# punctuation, repeated tokens; '|' excluded (feature separator)
+_WORD = st.one_of(
+    st.text(alphabet="abcdefg", min_size=1, max_size=8),
+    st.sampled_from(["the", "THE", "über", "naïve", "日本語", "3.14",
+                     "x@y.z", "...", "!!!", "a-b", "word,", "(paren)"]),
+)
+_TEXT = st.one_of(
+    st.just(""),
+    st.just("   "),
+    st.lists(_WORD, min_size=1, max_size=25).map(" ".join),
+    st.lists(st.just("dup dup dup"), min_size=1, max_size=5).map(" ".join),
+)
+_LANG = st.sampled_from(["en", "de", "zh", "es", "fr"])
+
+DOC_ROWS = st.lists(
+    st.tuples(_TEXT, _LANG, st.sampled_from(["web", "book", "code"])),
+    min_size=1, max_size=25)
+
+# Queries over `documents` whose outputs are deterministic on ANY
+# corpus (no sampling thresholds tied to corpus statistics, no
+# LSH banding randomness — those have their own recall tests).
+FUZZED_QUERIES = [
+    "text_token_count",
+    "text_fingerprint",
+    "text_chunk",
+    "dedup_exact",
+    "dedup_span_exact",
+    "text_ngram_counts",
+    "mm_binary_metadata",
+    "text_sequence_pack",
+    "text_language_id",
+    "text_quality_score",
+    "text_bpe_regex_tokens",
+    "text_gopher_filters",
+    "text_c4_filters",
+    "text_dup_profile",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "curate_pii_scrub",
+]
+
+_SETTINGS = settings(max_examples=8, deadline=None,
+                     suppress_health_check=[HealthCheck.too_slow,
+                                            HealthCheck.data_too_large])
+
+
+def _materialize(tmpdir: str, rows) -> str:
+    """Write a minimal sf-dir with ONLY documents.parquet (the fuzzed
+    queries read nothing else) in the exact testdata schema."""
+    pdf = pd.DataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    os.makedirs(tmpdir, exist_ok=True)
+    pdf.to_parquet(os.path.join(tmpdir, "documents.parquet"), index=False)
+    return tmpdir
+
+
+def _canon(df: pd.DataFrame) -> list:
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = []
+    for r in out.values.tolist():
+        rows.append(tuple(
+            None if pd.isna(x)
+            else round(float(x), 6) if isinstance(x, float)
+            else int(x) if isinstance(x, (int,)) and not isinstance(x, bool)
+            else x
+            for x in r))
+    return sorted(rows, key=repr)
+
+
+@pytest.fixture(scope="module")
+def _fuzz_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("regfuzz"))
+
+
+@_SETTINGS
+@given(rows=DOC_ROWS)
+def test_registry_queries_match_their_oracles_on_generated_corpora(
+        spark, _fuzz_dir, rows):
+    import shutil
+    import uuid
+
+    sf_dir = _materialize(
+        os.path.join(_fuzz_dir, uuid.uuid4().hex[:12]), rows)
+    try:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+        for name in FUZZED_QUERIES:
+            qd = REGISTRY[name]
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).df()
+            assert sorted(got.columns) == sorted(want.columns), name
+            assert _canon(got) == _canon(want), (
+                f"{name} diverged from its oracle on generated corpus "
+                f"({len(rows)} docs)")
+        con.close()
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
