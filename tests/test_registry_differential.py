@@ -124,3 +124,86 @@ def test_registry_queries_match_their_oracles_on_generated_corpora(
         con.close()
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# ---- embeddings-family fuzz ------------------------------------------
+
+import numpy as np
+
+EMB_DIM = 64
+
+# Deterministic emb queries (exact thresholds / twin oracles with
+# pinned tie-breaks); the banded/IVF recall paths have their own
+# planted-neardup tests.
+EMB_FUZZED = [
+    "dedup_embedding_cosine",
+    "emb_quantize_int8",
+    "emb_similarity_histogram",
+    "emb_centroids",
+]
+
+
+def _vec_strategy():
+    base = st.sampled_from([
+        "unit_x", "unit_y", "neg_x", "dup_a", "dup_a2", "tiny", "mixed"])
+    return base
+
+
+def _vec_of(kind: str, i: int):
+    v = np.zeros(EMB_DIM, dtype=np.float32)
+    if kind == "unit_x":
+        v[0] = 1.0
+    elif kind == "unit_y":
+        v[1] = 1.0
+    elif kind == "neg_x":
+        v[0] = -1.0
+    elif kind in ("dup_a", "dup_a2"):   # exact duplicates across rows
+        v[: 4] = [0.5, -0.25, 0.125, 1.0]
+    elif kind == "tiny":
+        v[2] = 1e-4
+    else:  # mixed, row-dependent but deterministic
+        v[: 8] = [((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(8)]
+    return v
+
+
+@_SETTINGS
+@given(kinds=st.lists(_vec_strategy(), min_size=2, max_size=12))
+def test_embedding_queries_match_oracles_on_generated_vectors(
+        spark, _fuzz_dir, kinds):
+    """Adversarial vector corpora: exact duplicates, near-zero norms,
+    antipodal pairs, tie-heavy similarity structure. NOTE the
+    deliberate exclusion of true all-zero vectors: cosine over a
+    zero-norm vector is undefined (0/0) and the engine contract —
+    like the oracle's — is that upstream curation drops them;
+    'tiny' (1e-4 norm) stands in for the nearly-degenerate case."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = os.path.join(_fuzz_dir, "emb" + uuid.uuid4().hex[:12])
+    os.makedirs(sf_dir, exist_ok=True)
+    vecs = [_vec_of(k, i) for i, k in enumerate(kinds)]
+    table = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+    })
+    pq.write_table(table, os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        for name in EMB_FUZZED:
+            qd = REGISTRY[name]
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).df()
+            assert sorted(got.columns) == sorted(want.columns), name
+            assert _canon(got) == _canon(want), (
+                f"{name} diverged on generated vectors ({kinds})")
+        con.close()
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
