@@ -207,3 +207,80 @@ def test_embedding_queries_match_oracles_on_generated_vectors(
         con.close()
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# ---- events/timeseries-family fuzz -----------------------------------
+
+import datetime as _dt
+
+EVT_FUZZED = [
+    "sessionize_events",
+    "funnel_click_to_purchase",
+    "cohort_weekly_retention",
+    "ts_gapfill_ffill",
+    "asof_join_events",
+    "evt_tumbling_window",
+    "evt_session_window",
+]
+
+_BASE_TS = _dt.datetime(2024, 3, 1, 0, 0, 0)
+
+# offsets chosen to hammer the boundaries: exact 30-min session gaps,
+# same-timestamp ties, single-event users, week/window edges
+_OFFSET_S = st.sampled_from([
+    0, 1, 59, 60, 1799, 1800, 1801,           # session-gap boundary
+    3600, 3599, 86400, 86400 * 7,             # hour/day/week edges
+    0,                                        # duplicate instant
+])
+_ETYPE = st.sampled_from(["click", "view", "purchase", "error"])
+
+EVT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), _OFFSET_S, _ETYPE),
+    min_size=1, max_size=20)
+
+
+@_SETTINGS
+@given(rows=EVT_ROWS)
+def test_event_queries_match_oracles_on_generated_events(
+        spark, _fuzz_dir, rows):
+    """Adversarial event streams: same-instant ties, events exactly ON
+    the 30-min session boundary, single-event users, week-edge
+    cohorts. Sessionization/funnel/cohort/gap-fill/as-of/windows must
+    agree with their oracles on every corner the smooth testdata
+    timeline never produces."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = os.path.join(_fuzz_dir, "evt" + uuid.uuid4().hex[:12])
+    os.makedirs(sf_dir, exist_ok=True)
+    ts = [_BASE_TS + _dt.timedelta(seconds=off + uid * 7)
+          for uid, off, _ in rows]
+    table = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([uid for uid, _, _ in rows], pa.int64()),
+        "event_type": pa.array([et for _, _, et in rows], pa.string()),
+        "value": pa.array([float(i) for i in range(len(rows))],
+                          pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    try:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')")
+        for name in EVT_FUZZED:
+            qd = REGISTRY[name]
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).df()
+            assert sorted(got.columns) == sorted(want.columns), name
+            assert _canon(got) == _canon(want), (
+                f"{name} diverged on generated events "
+                f"({len(rows)} rows: {rows})")
+        con.close()
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
