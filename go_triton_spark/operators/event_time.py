@@ -78,7 +78,7 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w)
-                          >= 1800
+                          > 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -97,7 +97,10 @@ def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via the built-in
     session_window — the streaming-stateful operator run in batch.
-    Oracle reproduces the merge rule (new session iff gap >= 30 min)
+    Oracle reproduces the merge rule (new session iff gap STRICTLY
+    exceeds 30 min — session_window's per-event interval is
+    [ts, ts+gap] for merging, so an event landing exactly on the
+    boundary still extends the session; registry-fuzz finding)
     with gaps-and-islands SQL."""
     (e,) = tables(spark, sf_dir, "events")
     return (

@@ -461,11 +461,15 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
+    HAVING count(*) > 0
     """,
     tags=("agg", "rollup"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy region -> nation -> grand total."""
+    """ROLLUP hierarchy region -> nation -> grand total.
+
+    Empty-input contract as agg_cube (oracle HAVING pins Spark-native
+    rollup: no rows over empty input; no non-empty result changes)."""
     c, n, r = tables(spark, sf_dir, "customer", "nation", "region")
     joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
@@ -478,13 +482,21 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
            {_isum('o_totalprice', 2)} AS value
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions: Spark expands grouping sets map-side
     (Expand operator) then runs one partial+final aggregate — 4 result
-    granularities for a single shuffle."""
+    granularities for a single shuffle.
+
+    Empty-input contract (registry fuzz finding): ANSI CUBE emits the
+    grand-total () row even over zero rows; Spark's Expand-based cube
+    emits nothing. The engine keeps the Spark-native shape — a
+    0-count grand total can ONLY arise from empty input, so the
+    oracle's HAVING n>0 pins exactly that contract and changes no
+    non-empty result."""
     (o,) = tables(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -520,14 +532,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_dsum('l_quantity * l_quantity')} AS s2,
            round(sqrt(({_dsum('l_quantity * l_quantity')} -
                  {_dsum('l_quantity')} * {_dsum('l_quantity')} / count(*))
-                 / (count(*) - 1)), 6) AS stddev_qty
+                 / nullif(count(*) - 1, 0)), 6) AS stddev_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "stats"),
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance/stddev via exact sum-of-squares (deterministic at any
-    parallelism, unlike streaming variance over doubles)."""
+    parallelism, unlike streaming variance over doubles).
+
+    Singleton groups have no sample stddev (n-1 = 0): both sides NULL
+    it via nullif — stddev_samp parity. Found by the relational
+    registry fuzz (ANSI Spark raised DIVIDE_BY_ZERO)."""
     (li,) = tables(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(f"""
@@ -537,7 +553,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_dsum('l_quantity * l_quantity')} AS s2,
                round(sqrt(({_dsum('l_quantity * l_quantity')} -
                      {_dsum('l_quantity')} * {_dsum('l_quantity')} / count(*))
-                     / (count(*) - 1)), 6) AS stddev_qty
+                     / nullif(count(*) - 1, 0)), 6) AS stddev_qty
         FROM lineitem GROUP BY l_returnflag
     """)
 

@@ -159,12 +159,18 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
            count(*) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
     tags=("agg", "cube"),
 )
 def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING() markers distinguish 'NULL because rolled up' from
-    data nulls in cube output."""
+    data nulls in cube output.
+
+    Empty-input contract as agg_cube: Spark-native cube emits no rows
+    over empty input where ANSI emits the () row; the oracle's
+    HAVING n>0 pins the engine contract (no non-empty result changes
+    — every real group has n>=1)."""
     (o,) = tables(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
             .agg((F.grouping("o_orderstatus") * 2

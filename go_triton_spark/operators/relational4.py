@@ -35,9 +35,10 @@ def _dsum(expr: str) -> str:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+             AS slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                  * sx) / n, 6) AS intercept
     FROM s
     """,
     tags=("agg", "stats"),
@@ -47,7 +48,13 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact decimal sufficient statistics — the engines' regr_slope
     over doubles is summation-order-dependent; this form is reproducible
     at any parallelism. One map-side-combinable pass; scales to 100 TB
-    because the sufficient statistics are 5 numbers per group."""
+    because the sufficient statistics are 5 numbers per group.
+
+    Zero-variance groups (every row the same quantity) have no defined
+    slope: both sides NULL it via an explicit nullif denominator —
+    regr_slope parity. Found by the relational registry fuzz: ANSI
+    Spark raised DIVIDE_BY_ZERO where DuckDB's double division quietly
+    returned NULL."""
     (li,) = tables(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(f"""
@@ -61,9 +68,10 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
-               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-                 AS intercept
+               round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+                 AS slope,
+               round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                      * sx) / n, 6) AS intercept
         FROM s
     """)
 
