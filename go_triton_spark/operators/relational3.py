@@ -133,7 +133,7 @@ def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            regexp_extract(props, '"k": ([0-9]+)', 1)      AS k_str,
            regexp_matches(props, '[0-9][0-9]')            AS has_2digit,
-           regexp_replace(props, '[0-9]+', '#')           AS masked,
+           regexp_replace(props, '[0-9]+', '#', 'g')      AS masked,
            length(regexp_replace(props, '[^0-9]', '', 'g')) AS n_digits
     FROM events WHERE event_id < 500
     """,

@@ -474,8 +474,8 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS last_purchase_id,
            round(value * 100
-                 / cast(sum(cast(value AS decimal(30,8)))
-                        OVER (PARTITION BY user_id) AS double), 6)
+                 / nullif(cast(sum(cast(value AS decimal(30,8)))
+                               OVER (PARTITION BY user_id) AS double), 0), 6)
              AS pct_of_user
     FROM events WHERE user_id < 50
     """,
@@ -487,7 +487,11 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry-forward (IGNORE NULLS: 'most recent purchase id as of each
     event'), and percent-of-total over an unframed partition window.
     All three share one user_id shuffle; frames are linear per-key
-    scans, so cost is one pass regardless of frame width."""
+    scans, so cost is one pass regardless of frame width.
+
+    pct_of_user is NULL when the user's total value is exactly 0
+    (single zero-value event, or negatives canceling) — nullif on
+    both sides; registry-fuzz finding (ANSI DIVIDE_BY_ZERO)."""
     (e,) = tables(spark, sf_dir, "events")
     order = [F.col("ts"), F.col("event_id")]
     w4 = (Window.partitionBy("user_id").orderBy(*order).rowsBetween(-3, 0))
@@ -505,8 +509,10 @@ def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(wcum).alias("last_purchase_id"),
         F.round(
             F.col("value") * 100
-            / F.sum(F.col("value").cast("decimal(30,8)")).over(wall)
-               .cast("double"),
+            / F.nullif(
+                F.sum(F.col("value").cast("decimal(30,8)")).over(wall)
+                 .cast("double"),
+                F.lit(0.0)),
             6,
         ).alias("pct_of_user"),
     )
@@ -579,7 +585,9 @@ def agg_bool_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
     WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-    SELECT least(cast(floor((value - lo) / ((hi - lo) / 10)) AS bigint), 9)
+    SELECT coalesce(least(cast(floor((value - lo)
+                                     / nullif((hi - lo) / 10, 0)) AS bigint),
+                          9), 0)
              AS bucket,
            count(*) AS n,
            round(min(value), 6) AS bucket_min,
@@ -595,16 +603,25 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second pass (identical float ops both engines; the max value
     clamps into the last bucket). Two scans total — at 100 TB the
     first pass can reuse parquet column stats instead (min/max from
-    footer metadata, making it one scan)."""
+    footer metadata, making it one scan).
+
+    Degenerate range (every value identical, hi == lo) puts all rows
+    in bucket 0 on both sides via nullif+coalesce — registry-fuzz
+    finding: the raw width division raised ANSI DIVIDE_BY_ZERO on
+    an all-equal (or single-row) corpus."""
     (e,) = tables(spark, sf_dir, "events")
     bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / 10
+    width = F.nullif((F.col("hi") - F.col("lo")) / 10, F.lit(0.0))
     return (
         e.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
-                F.lit(9),
+            F.coalesce(
+                F.least(
+                    F.floor((F.col("value") - F.col("lo")) / width)
+                     .cast("bigint"),
+                    F.lit(9),
+                ),
+                F.lit(0).cast("bigint"),
             ).alias("bucket"),
             "value",
         )

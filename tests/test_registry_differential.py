@@ -221,6 +221,30 @@ EVT_FUZZED = [
     "asof_join_events",
     "evt_tumbling_window",
     "evt_session_window",
+    # second batch: the rest of the events-only surface (value/props
+    # domains added to the generator for these). Excluded: the s1x
+    # archive-layer queries (own temp-archive lifecycle + dedicated
+    # soak/fuzz tests) and approx sketches.
+    "agg_bitwise",
+    "agg_bool_conditional",
+    "agg_group_by_all",
+    "agg_histogram",
+    "agg_percentile_disc",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "asof_join_two_tables",
+    "evt_dedup_by_key",
+    "evt_sliding_window",
+    "grouped_map_demean",
+    "interval_join_sessions",
+    "map_ops",
+    "sample_deterministic",
+    "scalar_json",
+    "scalar_regexp",
+    "scalar_variant",
+    "s17_json_projection",
+    "udaf_grouped_pandas",
+    "window_moving_stats",
 ]
 
 _BASE_TS = _dt.datetime(2024, 3, 1, 0, 0, 0)
@@ -233,9 +257,19 @@ _OFFSET_S = st.sampled_from([
     0,                                        # duplicate instant
 ])
 _ETYPE = st.sampled_from(["click", "view", "purchase", "error"])
+# value: exact ties (histogram/percentile bucket edges), negatives,
+# zero, one large outlier; all-equal corpora arise naturally and hit
+# the degenerate hi==lo histogram range
+_VALUE = st.sampled_from([0.0, 1.0, 1.0, -3.5, 7.25, 7.25, 1e6])
+# props: $.k spanning scalar_json's >50 boundary, null k, missing k,
+# extra keys/arrays, digit runs for the regexp family
+_PROPS = st.sampled_from([
+    '{"k": 0}', '{"k": 50}', '{"k": 51}', '{"k": 100}', '{"k": 999}',
+    '{"k": null}', '{}', '{"k": 77, "extra": [1, 2, 30]}',
+])
 
 EVT_ROWS = st.lists(
-    st.tuples(st.integers(0, 3), _OFFSET_S, _ETYPE),
+    st.tuples(st.integers(0, 3), _OFFSET_S, _ETYPE, _VALUE, _PROPS),
     min_size=1, max_size=20)
 
 
@@ -257,15 +291,15 @@ def test_event_queries_match_oracles_on_generated_events(
     sf_dir = os.path.join(_fuzz_dir, "evt" + uuid.uuid4().hex[:12])
     os.makedirs(sf_dir, exist_ok=True)
     ts = [_BASE_TS + _dt.timedelta(seconds=off + uid * 7)
-          for uid, off, _ in rows]
+          for uid, off, *_ in rows]
     table = pa.table({
         "event_id": pa.array(range(len(rows)), pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
-        "user_id": pa.array([uid for uid, _, _ in rows], pa.int64()),
-        "event_type": pa.array([et for _, _, et in rows], pa.string()),
-        "value": pa.array([float(i) for i in range(len(rows))],
-                          pa.float64()),
-        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        "user_id": pa.array([uid for uid, *_ in rows], pa.int64()),
+        "event_type": pa.array([et for _, _, et, _, _ in rows],
+                               pa.string()),
+        "value": pa.array([v for _, _, _, v, _ in rows], pa.float64()),
+        "props": pa.array([p for *_, p in rows], pa.string()),
     })
     pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
     try:
