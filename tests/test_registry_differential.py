@@ -353,6 +353,21 @@ REL_FUZZED = [
     "subquery_correlated", "subquery_scalar", "unpivot_metrics",
     "window_lag_lead", "window_range_frame", "window_rank_suite",
     "window_row_number", "window_running_sum",
+    # third batch: the full-dimension TPC-H family plus the queries
+    # that read supplier/part/nation/region/events — the generator now
+    # writes every table, with fuzzed supplier/part rows and fixed
+    # bounded dims (region/nation/events), dangling FKs included.
+    "q2_min_unit_price_supplier", "q5_nation_revenue",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_nation_supplier_value",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_part_variety",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_heavy_part_suppliers", "q21_waiting_supplier",
+    "q22_idle_customers",
+    "agg_rollup", "join_cross", "join_full_outer", "join_null_safe",
+    "set_except", "set_intersect", "set_union_all",
+    "set_union_distinct",
+    "topk_per_group", "window_rank_dense",
 ]
 
 _REL_BASE = _dt.datetime(1995, 1, 1)
@@ -360,17 +375,25 @@ _REL_BASE = _dt.datetime(1995, 1, 1)
 # o_orderdate offsets: rfm recency tiers sit at 180/720 days before the
 # corpus max; putting the max at offset 2403 (2001-08-01, the testdata
 # max) makes offsets 2223/2222/1683/1682 land exactly on tier edges.
+# 455/456 straddle q10's 1996-04-01 upper bound; 1460/1461 straddle
+# q22's NOT-EXISTS threshold 1999-01-01.
 _ODATE_OFF = st.sampled_from([
-    0, 365, 730, 1096,                       # early years
+    0, 365, 455, 456, 730, 1096,             # early years + q10 edge
+    1460, 1461,                              # q22 1999-01-01 edge
     1682, 1683, 2222, 2223,                  # 721/720/181/180 days back
     2402, 2403,                              # corpus max neighborhood
 ])
-# l_shipdate: q6/q12/q3 boundary dates (1997 window edges) plus extremes
+# l_shipdate: q6/q12/q3 boundary dates (1997 window edges) plus extremes;
+# 455/456 straddle q15's 1996-04-01, 789/790/820/821 straddle q14's
+# 1997-03-01..04-01 window
 _SHIP_OFF = st.sampled_from([
-    1, 365, 730, 731, 1095, 1096,            # 1996-12-31/1997-01-01/1998-01-01
+    1, 365, 455, 456, 730, 731, 1095, 1096,
+    789, 790, 820, 821,
     900, 2498,
 ])
-_QTY = st.sampled_from([1.0, 23.0, 24.0, 25.0, 50.0])
+# 10/11/20/30 sit on q19's per-brand quantity band edges
+_QTY = st.sampled_from([1.0, 10.0, 11.0, 20.0, 23.0, 24.0, 25.0, 30.0,
+                        50.0])
 _DISC = st.sampled_from([0.0, 0.02, 0.03, 0.05, 0.07, 0.08, 0.1])
 _PRICE = st.sampled_from([0.01, 904.0, 1000.5, 55010.22])
 _TOTAL = st.sampled_from([1320.51, 99999.99, 399999.99, 400000.0,
@@ -389,7 +412,10 @@ _LSTAT = st.sampled_from(["O", "F"])
 # the Spark-vs-ANSI empty-input CUBE divergence, now pinned in the
 # cube/rollup oracles, plus two ANSI DIVIDE_BY_ZERO crashes on
 # degenerate groups in agg_stats/agg_regression)
-CUST_ROWS = st.lists(st.tuples(_ACCT, _SEG, st.sampled_from([0, 1, 24])),
+# nationkeys 0/5 sit in q8's min-name region (AFRICA), 1/2 are q7's
+# trade pair, 2 is q5's ASIA nation; 24 dangles (no such nation)
+CUST_ROWS = st.lists(st.tuples(_ACCT, _SEG,
+                               st.sampled_from([0, 1, 2, 5, 24])),
                      min_size=0, max_size=5)
 ORDER_ROWS = st.lists(
     st.tuples(st.integers(1, 6), _STATUS, _TOTAL, _ODATE_OFF, _PRIO),
@@ -399,13 +425,71 @@ LINE_ROWS = st.lists(
               st.integers(1, 3), _QTY, _PRICE, _DISC, _RFLAG, _LSTAT,
               _SHIP_OFF),
     min_size=0, max_size=30)
+# supplier: q16's NOT-IN excludes s_acctbal < 0 (note -0.01 and the
+# 0.0/0.01 edges); nationkeys hit q7's pair and q8's NATION_5
+SUPP_ROWS = st.lists(st.tuples(_ACCT, st.sampled_from([0, 1, 2, 5])),
+                     min_size=0, max_size=4)
+# part: sizes on q2 (=10), q16 (IN-list) and q19 (BETWEEN upper) edges;
+# brands on q17/q19 literals; names with/without q9's %gear% and
+# q20's %red%; retailprice ties for the rank/ntile family
+_PSIZE = st.sampled_from([1, 3, 5, 10, 15, 16, 20, 35])
+_PTYPE = st.sampled_from(["STANDARD", "PROMO", "ECONOMY", "LARGE"])
+_PBRAND = st.sampled_from(["Brand#1", "Brand#3", "Brand#12", "Brand#23",
+                           "Brand#34", "Brand#13"])
+_PNAME = st.sampled_from(["steel gear casing", "red gear housing",
+                          "crimson red widget", "plain casing"])
+_PPRICE = st.sampled_from([900.0, 900.0, 901.5, 1000.0])
+PART_ROWS = st.lists(st.tuples(_PSIZE, _PTYPE, _PBRAND, _PNAME, _PPRICE),
+                     min_size=0, max_size=5)
 
 
-def _materialize_rel(sf_dir, custs, orders, lines):
+def _materialize_rel(sf_dir, custs, orders, lines, supps=(), parts=()):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(sf_dir, exist_ok=True)
+    # bounded dims, fixed (testdata shapes): 5 regions; 6 nations
+    # round-robin over regions so AFRICA (q8's min-name region) holds
+    # NATION_0 and NATION_5 while ASIA (q5) holds only NATION_2
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE",
+                            "MIDDLE EAST"], pa.string()),
+    }), os.path.join(sf_dir, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(6), pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(6)], pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in range(6)], pa.int32()),
+    }), os.path.join(sf_dir, "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(1, len(supps) + 1), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in
+                            range(1, len(supps) + 1)], pa.string()),
+        "s_nationkey": pa.array([nk for _, nk in supps], pa.int32()),
+        "s_acctbal": pa.array([ab for ab, _ in supps], pa.float64()),
+    }), os.path.join(sf_dir, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(1, len(parts) + 1), pa.int64()),
+        "p_name": pa.array([nm for _, _, _, nm, _ in parts], pa.string()),
+        "p_brand": pa.array([b for _, _, b, _, _ in parts], pa.string()),
+        "p_type": pa.array([t for _, t, _, _, _ in parts], pa.string()),
+        "p_size": pa.array([s for s, *_ in parts], pa.int32()),
+        "p_retailprice": pa.array([p for *_, p in parts], pa.float64()),
+    }), os.path.join(sf_dir, "part.parquet"))
+    # fixed 20-row events: join_null_safe's a-side (event_id%7 -> NULL
+    # key) is deterministic; the fuzzed orders side carries the
+    # null-safe-match variation
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(20), pa.int64()),
+        "ts": pa.array([_BASE_TS + _dt.timedelta(seconds=i)
+                        for i in range(20)], pa.timestamp("us")),
+        "user_id": pa.array([i % 3 for i in range(20)], pa.int64()),
+        "event_type": pa.array(
+            [["click", "view", "purchase", "error"][i % 4]
+             for i in range(20)], pa.string()),
+        "value": pa.array([float(i) for i in range(20)], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 20, pa.string()),
+    }), os.path.join(sf_dir, "events.parquet"))
     pq.write_table(pa.table({
         "c_custkey": pa.array(range(1, len(custs) + 1), pa.int64()),
         "c_name": pa.array([f"Customer#{i:09d}" for i in
@@ -448,17 +532,19 @@ def _materialize_rel(sf_dir, custs, orders, lines):
 
 
 @_SETTINGS
-@given(custs=CUST_ROWS, orders=ORDER_ROWS, lines=LINE_ROWS)
+@given(custs=CUST_ROWS, orders=ORDER_ROWS, lines=LINE_ROWS,
+       supps=SUPP_ROWS, parts=PART_ROWS)
 def test_relational_queries_match_oracles_on_generated_tables(
-        spark, _fuzz_dir, custs, orders, lines):
+        spark, _fuzz_dir, custs, orders, lines, supps, parts):
     import shutil
     import uuid
 
     sf_dir = os.path.join(_fuzz_dir, "rel" + uuid.uuid4().hex[:12])
-    _materialize_rel(sf_dir, custs, orders, lines)
+    _materialize_rel(sf_dir, custs, orders, lines, supps, parts)
     try:
         con = duckdb.connect()
-        for t in ("customer", "orders", "lineitem"):
+        for t in ("customer", "orders", "lineitem", "region", "nation",
+                  "supplier", "part", "events"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
@@ -469,8 +555,9 @@ def test_relational_queries_match_oracles_on_generated_tables(
             assert sorted(got.columns) == sorted(want.columns), name
             assert _canon(got) == _canon(want), (
                 f"{name} diverged on generated tables "
-                f"(C={len(custs)} O={len(orders)} L={len(lines)}: "
-                f"{custs} {orders} {lines})")
+                f"(C={len(custs)} O={len(orders)} L={len(lines)} "
+                f"S={len(supps)} P={len(parts)}: "
+                f"{custs} {orders} {lines} {supps} {parts})")
         con.close()
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)
@@ -486,10 +573,11 @@ def test_relational_queries_on_fully_empty_tables(spark, _fuzz_dir):
     import shutil
 
     sf_dir = os.path.join(_fuzz_dir, "rel_empty")
-    _materialize_rel(sf_dir, [], [], [])
+    _materialize_rel(sf_dir, [], [], [], [], [])
     try:
         con = duckdb.connect()
-        for t in ("customer", "orders", "lineitem"):
+        for t in ("customer", "orders", "lineitem", "region", "nation",
+                  "supplier", "part", "events"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
