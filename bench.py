@@ -91,6 +91,7 @@ HEADLINE = [
     "mm_wav_decode",
     "emb_label_knn_purity",      # r5: track the LSH-stack reuser
     "dedup_levenshtein_qgram",   # r5: track the q-gram routing variant
+    "mm_png_decode",             # r6: compressed-image decode (zlib+CRC)
 ]
 
 

@@ -1,22 +1,25 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Three modalities decode REAL bytes with production parsers, no stub
+Four modalities decode REAL bytes with production parsers, no stub
 on the path: ``mm_wav_decode`` (RIFF/PCM audio, codec/wav.py — chunk
 walk, multi-depth PCM), ``mm_image_decode`` / ``mm_image_resize``
 (Windows BMP, codec/bmp.py — header/palette/padded-row parse, real
-nearest-neighbor downsample over the parsed pixel array), and
-``mm_frame_sample`` (uncompressed AVI video, codec/avi.py —
-hdrl/strl/movi RIFF walk, per-frame DIB decode, stride sampling). All
-pure stdlib+numpy, golden-gated, skipping corrupt payloads with the
-engine's ValueError contract.
+nearest-neighbor downsample over the parsed pixel array),
+``mm_png_decode`` (COMPRESSED images: real PNG via codec/png.py —
+chunk walk with per-chunk CRC-32 verification, stdlib-zlib inflate,
+all five scanline filter inversions), and ``mm_frame_sample``
+(uncompressed AVI video, codec/avi.py — hdrl/strl/movi RIFF walk,
+per-frame DIB decode, stride sampling). All pure stdlib+numpy,
+golden-gated, skipping corrupt payloads with the engine's ValueError
+contract.
 
-Compressed media (PNG/JPEG/MJPG/H264) needs native libraries this
-environment lacks; the parsers REJECT those fourccs loudly, and the
-remaining stub operators exercise the real Spark-side plumbing —
-binary columns, Arrow-batched mapInPandas with a declared schema,
-partition-parallel frame expansion — over deterministic
-byte-arithmetic stand-ins the DuckDB oracle can verify, with the
-PIL/ffmpeg swap points marked NOTE below.
+JPEG/MJPG/H264 need native codecs this environment lacks (DCT entropy
+coding has no stdlib implementation); the parsers REJECT those
+fourccs loudly, and the remaining stub operators exercise the real
+Spark-side plumbing — binary columns, Arrow-batched mapInPandas with
+a declared schema, partition-parallel frame expansion — over
+deterministic byte-arithmetic stand-ins the DuckDB oracle can verify,
+with the PIL/ffmpeg swap points marked NOTE below.
 """
 
 from __future__ import annotations
@@ -146,6 +149,89 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                columns=[f.name for f in _IMG_DECODE_SCHEMA])
 
     return src.mapInPandas(decode, schema=_IMG_DECODE_SCHEMA)
+
+
+def _png_gate_pixels(doc_id: int):
+    """The mm_png_decode gate corpus — same closed-form idea as
+    ``_gate_pixels`` with distinct dimensions/coefficients so the two
+    image gates cannot mask each other."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 11, 4 + doc_id % 5
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return np.dstack([(2 * x + y + doc_id) % 256,
+                      (x + 3 * y + 2 * doc_id) % 256,
+                      (x * y + 5 * doc_id) % 256]).astype("uint8")
+
+
+@query(
+    "mm_png_decode",
+    oracle="""
+    SELECT d.doc_id,
+           cast(4 + d.doc_id % 11 as bigint) AS width,
+           cast(4 + d.doc_id % 5 as bigint)  AS height,
+           cast((4 + d.doc_id % 11) * (4 + d.doc_id % 5) as bigint)
+             AS n_pixels,
+           cast(sum((2 * gx.x + gy.y + d.doc_id) % 256) as bigint)
+             AS sum_r,
+           cast(sum((gx.x + 3 * gy.y + 2 * d.doc_id) % 256) as bigint)
+             AS sum_g,
+           cast(sum((gx.x * gy.y + 5 * d.doc_id) % 256) as bigint)
+             AS sum_b
+    FROM documents d
+    CROSS JOIN generate_series(0, 13) gx(x)
+    CROSS JOIN generate_series(0, 8) gy(y)
+    WHERE d.doc_id % 89 <> 17
+      AND gx.x < 4 + d.doc_id % 11 AND gy.y < 4 + d.doc_id % 5
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: each row carries a complete PNG
+    (DEFLATE-compressed, CRC-protected) that codec/png.py genuinely
+    parses — chunk walk verifying every CRC-32, stdlib-zlib inflate,
+    scanline unfilter — and the operator aggregates the DECODED pixel
+    array (per-channel sums). This is the compressed counterpart of
+    mm_image_decode's BMP path; together they cover both halves of
+    the image story (raw container math vs entropy-coded stream).
+
+    Corruption here flips ONE BYTE inside the IDAT payload of every
+    89th image — caught by the chunk CRC, not by a length check, so
+    the gate proves the integrity verification is live, a stronger
+    corrupt-skip than the truncation gates. Production payloads come
+    from ``spark.read.format("binaryFile")``; only this synthesizing
+    loop is test scaffolding.
+    """
+    from go_triton_spark.codec.png import build_png, parse_png
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = d.select("doc_id")
+    schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
+                           if f.name != "bit_depth"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_png(_png_gate_pixels(doc_id))
+                if doc_id % 89 == 17:
+                    mutated = bytearray(payload)
+                    mutated[payload.index(b"IDAT") + 6] ^= 0xFF
+                    payload = bytes(mutated)
+                try:
+                    m = parse_png(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle's WHERE
+                px = m["pixels"].astype("int64")
+                rows.append((doc_id, m["width"], m["height"], m["n_pixels"],
+                             int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                             int(px[:, :, 2].sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)
 
 
 def _gate_frame(doc_id: int, f: int):

@@ -183,9 +183,9 @@ _MIX_BUDGET = 100_000     # token budget the mixture must sum to
     ), tot AS (
       SELECT cast(sum(toks) AS bigint) AS t FROM tok
     ), base AS (
-      SELECT lang, source, n_docs, toks,
-             ({_MIX_BUDGET} * toks) // t AS alloc_floor,
-             ({_MIX_BUDGET} * toks) % t AS rem
+      SELECT lang, source, n_docs, toks, t,
+             ({_MIX_BUDGET} * toks) // nullif(t, 0) AS alloc_floor,
+             ({_MIX_BUDGET} * toks) % nullif(t, 0) AS rem
       FROM tok, tot
     ), ranked AS (
       SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk,
@@ -194,8 +194,10 @@ _MIX_BUDGET = 100_000     # token budget the mixture must sum to
       FROM base
     )
     SELECT lang, source, n_docs, toks,
-           cast(alloc_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-                AS bigint) AS alloc_tokens
+           cast(CASE WHEN t = 0 THEN 0
+                     ELSE alloc_floor
+                          + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                END AS bigint) AS alloc_tokens
     FROM ranked
     """,
     tags=("llm", "curation", "training"),
@@ -215,7 +217,14 @@ def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; the window apportionment runs on that tiny table (a few
     hundred rows even at 100 TB — group count, not corpus size, bounds
     it). Budget*toks stays under 2^63 for corpora up to ~9e13 tokens at
-    this budget; raise to decimal if both grow."""
+    this budget; raise to decimal if both grow.
+
+    A corpus with ZERO total tokens (every doc empty/whitespace) has
+    no proportional shares to apportion — the contract is alloc 0 for
+    every group, never a spread of the budget over token-less groups.
+    nullif keeps the div/mod NULL-safe under ANSI mode and the final
+    CASE pins the zero (registry-fuzz finding: DIVIDE_BY_ZERO on an
+    all-empty-text corpus)."""
     (d,) = tables(spark, sf_dir, "documents")
     tok = (d.select(
         "lang", "source",
@@ -225,9 +234,10 @@ def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("ntok").alias("toks")))
     tot = tok.withColumn("t", F.sum("toks").over(Window.partitionBy()))
     base = tot.select(
-        "lang", "source", "n_docs", "toks",
-        F.expr(f"({_MIX_BUDGET} * toks) div t").alias("alloc_floor"),
-        F.expr(f"({_MIX_BUDGET} * toks) % t").alias("rem"))
+        "lang", "source", "n_docs", "toks", "t",
+        F.expr(f"({_MIX_BUDGET} * toks) div nullif(t, 0)")
+         .alias("alloc_floor"),
+        F.expr(f"({_MIX_BUDGET} * toks) % nullif(t, 0)").alias("rem"))
     ranked = (base
               .withColumn("rk", F.row_number().over(
                   Window.orderBy(F.desc("rem"), F.asc("lang"),
@@ -237,6 +247,8 @@ def curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - F.sum("alloc_floor").over(Window.partitionBy())))
     return ranked.select(
         "lang", "source", "n_docs", "toks",
-        (F.col("alloc_floor")
-         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
-        .cast("long").alias("alloc_tokens"))
+        F.when(F.col("t") == 0, F.lit(0))
+         .otherwise(
+            F.col("alloc_floor")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+         .cast("long").alias("alloc_tokens"))

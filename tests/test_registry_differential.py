@@ -29,11 +29,24 @@ _WORD = st.one_of(
     st.sampled_from(["the", "THE", "über", "naïve", "日本語", "3.14",
                      "x@y.z", "...", "!!!", "a-b", "word,", "(paren)"]),
 )
+# near-dup family: one-token edits of a shared sentence — shingle
+# overlap for the jaccard/cluster thresholds (0.5/0.7 on 3-gram sets)
+# and small edit distances for the levenshtein <=8 gate, with lengths
+# that straddle the n_chars//20 size-blocking boundary
+_NEARDUP = st.sampled_from([
+    "the quick brown fox jumps over the lazy dog today",
+    "the quick brown fox jumped over the lazy dog today",
+    "the quick brown cat jumps over the lazy dog today",
+    "the quick brown fox jumps over the lazy dog",
+    "a quick brown fox jumps over the lazy dog today ok",
+    "the quick brown fox jumps over the lazy dog today and tomorrow",
+])
 _TEXT = st.one_of(
     st.just(""),
     st.just("   "),
     st.lists(_WORD, min_size=1, max_size=25).map(" ".join),
     st.lists(st.just("dup dup dup"), min_size=1, max_size=5).map(" ".join),
+    _NEARDUP,
 )
 _LANG = st.sampled_from(["en", "de", "zh", "es", "fr"])
 
@@ -62,6 +75,7 @@ FUZZED_QUERIES = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "curate_pii_scrub",
+    "mm_png_decode",
 ]
 
 _SETTINGS = settings(max_examples=8, deadline=None,
@@ -587,6 +601,146 @@ def test_relational_queries_on_fully_empty_tables(spark, _fuzz_dir):
             want = con.execute(qd.oracle).df()
             assert sorted(got.columns) == sorted(want.columns), name
             assert _canon(got) == _canon(want), f"{name} on empty tables"
+        con.close()
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# ---- documents-family batch 2: curation / pair-dedup / UDF surface ---
+
+# The remaining documents-backed registry queries: curation rollups,
+# the exact pair-emitters (levenshtein / q-gram / jaccard / clusters),
+# the UDF/UDTF/HOF family, and the two queries that join documents
+# with embeddings. All oracles pin their tie-breaks (row_number with
+# full ORDER BY, largest-remainder rank), so they are deterministic
+# on ANY corpus.
+DOC2_FUZZED = [
+    "curate_canonical_docs",
+    "curate_datacard",
+    "curate_decontaminate",
+    "curate_language_balance",
+    "curate_mix_weights",
+    "curate_pipeline_end_to_end",
+    "curate_quota_sample",
+    "curate_semantic_dedup",
+    "curate_train_val_split",
+    "dedup_clusters",
+    "dedup_levenshtein",
+    "dedup_levenshtein_qgram",
+    "dedup_ngram_jaccard",
+    "explode_token_counts",
+    "hof_ops",
+    "array_ops",
+    "lateral_posexplode",
+    "udf_scalar_pandas",
+    "udf_map_in_arrow",
+    "udtf_tokenize",
+    "text_perplexity_proxy",
+    "tfidf_top_terms",
+    "sample_stratified_hash",
+    "join_skew_aware",
+]
+
+
+@_SETTINGS
+@given(rows=DOC_ROWS)
+def test_curation_and_pair_dedup_match_oracles_on_generated_corpora(
+        spark, _fuzz_dir, rows):
+    """curate_datacard / curate_semantic_dedup join documents with
+    embeddings, so this materializer also writes an embeddings table
+    derived deterministically from the row index (cycling through the
+    adversarial vector kinds — exact-duplicate vectors land in the
+    same sign-LSH buckets, exercising the dedup decisions)."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = _materialize(
+        os.path.join(_fuzz_dir, "doc2" + uuid.uuid4().hex[:12]), rows)
+    kinds = ["unit_x", "dup_a", "dup_a2", "mixed", "tiny", "neg_x",
+             "unit_y"]
+    vecs = [_vec_of(kinds[i % 7], i) for i in range(len(rows))]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+    }), os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+        for name in DOC2_FUZZED:
+            qd = REGISTRY[name]
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).df()
+            assert sorted(got.columns) == sorted(want.columns), name
+            assert _canon(got) == _canon(want), (
+                f"{name} diverged on generated corpus "
+                f"({len(rows)} docs: {rows})")
+        con.close()
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+# ---- embeddings-family batch 2: ANN / LSH / kmeans / purity ----------
+
+# The sign-LSH banding, IVF seeding and Lloyd iterations are all
+# DETERMINISTIC (fixed projections, vec_id-seeded centroids, pinned
+# iteration count) and the twin oracles pin their float summation
+# order (sum ... ORDER BY i) and round-before-argmin tie-breaks, so
+# the full approximate-family surface is fuzzable. Excluded on
+# purpose: agg_approx_distinct / agg_approx_percentile (true sketches
+# — engine-specific estimates, gated by their own tolerance tests).
+EMB2_FUZZED = [
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "dedup_embedding_lsh",
+    "emb_outlier_scores",
+    "emb_kmeans",
+    "emb_label_knn_purity",
+    "knn_graph_lsh",
+    "semdedup_prune",
+]
+
+
+@_SETTINGS
+@given(kinds=st.lists(_vec_strategy(), min_size=2, max_size=12))
+def test_ann_and_lsh_queries_match_oracles_on_generated_vectors(
+        spark, _fuzz_dir, kinds):
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = os.path.join(_fuzz_dir, "emb2" + uuid.uuid4().hex[:12])
+    os.makedirs(sf_dir, exist_ok=True)
+    vecs = [_vec_of(k, i) for i, k in enumerate(kinds)]
+    table = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+    })
+    pq.write_table(table, os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        for name in EMB2_FUZZED:
+            qd = REGISTRY[name]
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).df()
+            assert sorted(got.columns) == sorted(want.columns), name
+            assert _canon(got) == _canon(want), (
+                f"{name} diverged on generated vectors ({kinds})")
         con.close()
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)
