@@ -75,8 +75,21 @@ FUZZED_QUERIES = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "curate_pii_scrub",
+    # the real-decoder mm family synthesizes payloads from doc_id
+    # alone, so any documents corpus exercises it (incl. the corrupt
+    # doc_id residues); the oracles are closed-form in doc_id
     "mm_png_decode",
+    "mm_image_decode",
+    "mm_image_resize",
+    "mm_frame_sample",
+    "mm_wav_decode",
+    "mm_feature_extract",
 ]
+# Never fuzzed, by design: agg_approx_distinct / agg_approx_percentile
+# are true sketches (engine-specific estimates, tolerance-gated by
+# their own tests); the s1x archive-layer queries build their own
+# temp-archive lifecycle and are covered by the archive soak/fuzz
+# suites (test_archive_*, test_store_*).
 
 _SETTINGS = settings(max_examples=8, deadline=None,
                      suppress_health_check=[HealthCheck.too_slow,
