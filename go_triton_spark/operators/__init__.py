@@ -96,6 +96,8 @@ def _driver_green_rounds() -> dict:
 # (safe to leave behind; prune opportunistically).
 _PLAN_CHANGED = {
     "dedup_levenshtein": 6,    # r6 single-pair-exchange fold (cached union)
+                               # + byte-level distance contract
+    "dedup_levenshtein_qgram": 6,  # r6 byte-level distance contract
     "mm_frame_sample": 6,      # r6 real AVI decode (new output schema)
     "mm_feature_extract": 6,   # r6 real pixel features (new values)
 }
