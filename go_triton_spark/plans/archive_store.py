@@ -291,6 +291,141 @@ class ArchiveStore:
         return self._filter_cat(src, stream, start_date, end_date,
                                 client, ordered)
 
+    def _manifest_committed_names(self) -> set:
+        """Basenames recorded in the streaming sink's _spark_metadata
+        manifest (empty set when no manifest exists — a pure batch
+        archive). FileStreamSink log v1: one 'v1' header line, then a
+        JSON object per committed file carrying a 'path'; periodic
+        '<n>.compact' files re-list everything so unioning every
+        parseable line is correct for MEMBERSHIP (the sink never
+        deletes). Driver-side, bounded by committed-batch count."""
+        import json
+
+        mdir = os.path.join(self.root, "_spark_metadata")
+        names: set = set()
+        if not os.path.isdir(mdir):
+            return names
+        for fn in sorted(os.listdir(mdir)):
+            p = os.path.join(mdir, fn)
+            if fn.startswith(".") or not os.path.isfile(p):
+                continue
+            try:
+                with open(p) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue
+                        try:
+                            rec = json.loads(line)
+                        except ValueError:
+                            continue
+                        if rec.get("path"):
+                            names.add(os.path.basename(rec["path"]))
+            except OSError:
+                continue
+        return names
+
+    def quarantine_crash_residue(self, stream: str | None = None,
+                                 max_age_days: int = 14) -> int:
+        """Rename never-committed trailer-less part files out of the
+        read path — the crash-recovery sweep.
+
+        A SIGKILLed store leaves the in-flight task's part file at its
+        FINAL name with no parquet trailer (0 bytes, or truncated
+        mid-row-group); because ``cat`` refuses ignoreCorruptFiles,
+        one such file makes every later replay of the range fail
+        loudly forever. The residue's DATA is not lost: its batch
+        never committed, so the source checkpoint replays it on resume
+        (at-least-once, store.go:51-67) — quarantining the bytes loses
+        nothing. Two safety rules make the sweep sound:
+
+        - Only files ABSENT from the sink's ``_spark_metadata``
+          manifest are touched: a manifest-COMMITTED file failing its
+          trailer check is real corruption and must keep failing the
+          read loudly, never vanish.
+        - Only run when NO live writer exists for the stream —
+          ``StorePipeline.start`` calls this before starting its query
+          (the reference's single-writer-per-stream model), because a
+          file a live sink task is STILL WRITING is trailer-less and
+          unmanifested too, and renaming it makes the task's commit
+          fail (measured: TASK_WRITE_FAILED under the concurrency
+          soak when the sweep ran at cat time). Never call it from a
+          reader against a live archive.
+
+        Valid parquet ends with the 4-byte 'PAR1' magic; a file
+        missing it was never closed by its writer. Scope: one stream's
+        subtree (all clients), date dirs whose mtime is within
+        ``max_age_days`` — residue only exists in partitions the
+        crashed writer was touching, so the walk is bounded by recent
+        activity, not archive lifetime. Local roots only; object-store
+        deployments route to the manifest table_format seam, whose log
+        never lists uncommitted files. Quarantine name =
+        '.<name>.crash': the dot prefix hides it from Spark listings
+        AND the changed suffix keeps it out of compact's *.parquet
+        enumeration. Renames, never deletes — an operator can inspect
+        the bytes; ``expire`` reaps the dir."""
+        from go_triton_spark.reporting import get_error_reporter, safe_report
+
+        if "://" in self.root or not os.path.isdir(self.root):
+            return 0
+        streams = ([f"stream={stream}"] if stream is not None else
+                   [n for n in sorted(os.listdir(self.root))
+                    if n.startswith("stream=")])
+        cutoff = _dt.datetime.now().timestamp() - max_age_days * 86400
+        dirs: list = []
+        for sname in streams:
+            sdir = os.path.join(self.root, sname)
+            if not os.path.isdir(sdir):
+                continue
+            for cname in sorted(os.listdir(sdir)):
+                if not cname.startswith("client="):
+                    continue
+                cdir = os.path.join(sdir, cname)
+                for dname in sorted(os.listdir(cdir)):
+                    ddir = os.path.join(cdir, dname)
+                    try:
+                        recent = (dname.startswith("date=")
+                                  and os.path.getmtime(ddir) >= cutoff)
+                    except OSError:
+                        continue
+                    if recent:
+                        dirs.append(ddir)
+
+        committed = None
+        n = 0
+        for d in dirs:
+            for base, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.startswith(".") or not fn.endswith(".parquet"):
+                        continue
+                    fp = os.path.join(base, fn)
+                    try:
+                        ok = os.path.getsize(fp) > 12
+                        if ok:
+                            with open(fp, "rb") as fh:
+                                fh.seek(-4, os.SEEK_END)
+                                ok = fh.read(4) == b"PAR1"
+                    except OSError:
+                        continue  # raced compact/expire; read retry copes
+                    if ok:
+                        continue
+                    if committed is None:
+                        committed = self._manifest_committed_names()
+                    if fn in committed:
+                        continue  # committed + bad trailer: fail loudly
+                    try:
+                        os.rename(fp, os.path.join(base, f".{fn}.crash"))
+                    except OSError:
+                        continue
+                    n += 1
+                    safe_report(
+                        get_error_reporter(), "crash_residue_quarantined",
+                        f"quarantined never-committed part file {fp} "
+                        f"(no parquet trailer; its batch replays from "
+                        f"the source checkpoint)",
+                        path=fp, root=self.root)
+        return n
+
     def _filter_cat(self, src: DataFrame, stream: str,
                     start_date: _dt.date, end_date: _dt.date,
                     client: str | None, ordered: bool) -> DataFrame:

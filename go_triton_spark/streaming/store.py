@@ -84,6 +84,17 @@ class StorePipeline:
         input then stops — the unit-test and backfill mode."""
         checkpoint = (f"{self.checkpoint_root}/"
                       f"{self.cfg.stream_name}-{self.client}")
+        # crash-recovery sweep BEFORE the sink starts writing: a
+        # previous incarnation killed mid-write (SIGKILL, OOM) leaves
+        # a trailer-less part file at its final name that poisons
+        # every later replay (cat refuses ignoreCorruptFiles). This is
+        # the one safe moment to quarantine it — no live writer exists
+        # for the stream yet (single-writer model), and the residue's
+        # batch replays from this checkpoint anyway. See
+        # ArchiveStore.quarantine_crash_residue for the safety rules.
+        from go_triton_spark.plans.archive_store import ArchiveStore
+        ArchiveStore(self.spark, self.archive_root).quarantine_crash_residue(
+            stream=self.cfg.stream_name)
         src = open_stream(self.spark, self.cfg, schema=schema,
                           seen_files_log=f"{checkpoint}-latest-snapshot")
         # Binary-payload sources (the real-AWS kinesis adapter) surface

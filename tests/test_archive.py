@@ -307,3 +307,69 @@ def test_cat_accepts_string_dates(spark, store, sf_dir):
     assert store.cat("events", "20150630", "20150630").count() == 4
     with pytest.raises(ValueError):
         store.cat("events", "2015-07-02", "2015-07-01")
+
+
+def test_cat_quarantines_crash_residue_but_fails_loud_on_committed(
+        spark, store, sf_dir):
+    """Round-6 co-load finding: a SIGKILLed store leaves the in-flight
+    task's part file at its FINAL name with no parquet trailer, and
+    because cat refuses ignoreCorruptFiles, every later replay of the
+    range died loudly forever. Contract now: trailer-less part files
+    ABSENT from the sink manifest are crash residue — the sweep
+    (invoked by StorePipeline.start before its sink writes, or as an
+    explicit maintenance op) renames them '.<name>.crash' and reports,
+    because their batch replays from the source checkpoint; a
+    manifest-COMMITTED file with a bad trailer is real corruption —
+    never touched, the read keeps failing loudly. The sweep runs ONLY
+    where no live writer exists (it renamed in-flight files when wired
+    into cat — the concurrency soak caught TASK_WRITE_FAILED)."""
+    from go_triton_spark.reporting import (CollectingReporter,
+                                           set_error_reporter)
+
+    ev = _events(spark, sf_dir).limit(10)
+    when = dt.datetime(2015, 6, 30, 2, tzinfo=UTC)
+    store.ingest_dataframe(ev, "events", "archive", when=when)
+    hour_dir = os.path.join(
+        store.root, "stream=events", "client=archive",
+        "date=20150630", "hour=02")
+    # crash residue: one 0-byte and one truncated mid-row-group file
+    open(os.path.join(hour_dir, "part-00009-dead.c000.snappy.parquet"),
+         "wb").close()
+    with open(os.path.join(hour_dir,
+                           "part-00010-dead.c000.snappy.parquet"),
+              "wb") as fh:
+        fh.write(b"PAR1" + b"\x00" * 64)  # header magic, no trailer
+    # the ingest dir is older than the sweep's recency cutoff — a
+    # sweep pruned to recent activity must still see it once the
+    # residue lands (the residue's write updates the dir mtime)
+    with pytest.raises(Exception):
+        store.cat("events", dt.date(2015, 6, 30)).count()  # poisoned
+    rep = CollectingReporter()
+    set_error_reporter(rep)
+    try:
+        assert store.quarantine_crash_residue(stream="events") == 2
+        out = store.cat("events", dt.date(2015, 6, 30))
+        assert out.count() == 10  # replay healthy, nothing lost
+    finally:
+        set_error_reporter(None)
+    names = sorted(os.listdir(hour_dir))
+    assert ".part-00009-dead.c000.snappy.parquet.crash" in names
+    assert ".part-00010-dead.c000.snappy.parquet.crash" in names
+    kinds = [k for (k, _m, _c) in rep.events]
+    assert kinds.count("crash_residue_quarantined") == 2
+
+    # a manifest-committed file with a bad trailer must NOT vanish:
+    # fake a sink manifest listing a corrupt file, then corrupt it
+    bad = os.path.join(hour_dir, "part-00011-committed.c000.snappy.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"PAR1" + b"\x00" * 32)
+    mdir = os.path.join(store.root, "_spark_metadata")
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "0"), "w") as fh:
+        fh.write('v1\n{"path":"file://%s","size":36,"isDir":false,'
+                 '"modificationTime":0,"blockReplication":1,'
+                 '"blockSize":1,"action":"add"}\n' % bad)
+    assert store.quarantine_crash_residue(stream="events") == 0
+    assert os.path.basename(bad) in os.listdir(hour_dir)  # not renamed
+    with pytest.raises(Exception, match="PAR1|footer|Parquet|FAILED_READ"):
+        store.cat("events", dt.date(2015, 6, 30)).count()
