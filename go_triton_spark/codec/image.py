@@ -1,0 +1,57 @@
+"""Format-sniffing image decode: one entry point for heterogeneous
+binary image columns.
+
+A real pipeline's image column holds mixed formats; the per-row
+decode must dispatch on the BYTES, not on a metadata column someone
+promised was accurate. ``parse_image`` sniffs the magic and routes to
+the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py), returning
+the shared contract both emit: ``pixels`` as (height, width, 3) RGB
+uint8 with row 0 = top, plus width/height metadata — so downstream
+pixel math is format-agnostic. Known-but-unsupported compressed
+formats (JPEG/GIF/WebP) are named in the error to keep the PIL swap
+point discoverable; unknown bytes fail with the generic corrupt-skip
+ValueError, same contract as every parser in the codec family.
+"""
+
+from __future__ import annotations
+
+_JPEG = b"\xff\xd8\xff"
+_GIF = (b"GIF87a", b"GIF89a")
+_WEBP_RIFF = b"RIFF"
+
+
+def sniff_image_format(data: bytes) -> str:
+    """Return 'bmp' | 'png' | 'jpeg' | 'gif' | 'webp', or raise
+    ValueError for bytes that match no known image magic."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:3] == _JPEG:
+        return "jpeg"
+    if data[:6] in _GIF:
+        return "gif"
+    if data[:4] == _WEBP_RIFF and data[8:12] == b"WEBP":
+        return "webp"
+    raise ValueError("unknown image format (no recognized magic)")
+
+
+def parse_image(data: bytes) -> dict:
+    """Decode one image payload of any supported format.
+
+    Dispatches on sniffed magic; the returned dict always carries
+    width / height / n_pixels and ``pixels`` (h, w, 3) RGB uint8 —
+    parse_bmp and parse_png share that contract. JPEG/GIF/WebP are
+    recognized and rejected with the swap-point message (their
+    entropy coding has no stdlib codec; a PIL-backed branch slots in
+    here without touching any caller)."""
+    fmt = sniff_image_format(data)
+    if fmt == "png":
+        from go_triton_spark.codec.png import parse_png
+        return parse_png(data)
+    if fmt == "bmp":
+        from go_triton_spark.codec.bmp import parse_bmp
+        return parse_bmp(data)
+    raise ValueError(
+        f"unsupported compressed image format {fmt!r} "
+        "(no stdlib codec; swap in PIL here for production decode)")

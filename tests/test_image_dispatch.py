@@ -1,0 +1,32 @@
+"""codec/image.py: magic-sniffing dispatch over the real parsers."""
+
+import numpy as np
+import pytest
+
+from go_triton_spark.codec.bmp import build_bmp
+from go_triton_spark.codec.image import parse_image, sniff_image_format
+from go_triton_spark.codec.png import build_png
+
+
+def test_mixed_column_dispatch_shared_contract():
+    px = np.arange(90, dtype=np.uint8).reshape(5, 6, 3)
+    for payload in (build_bmp(px), build_png(px)):
+        m = parse_image(payload)
+        assert (m["width"], m["height"]) == (6, 5)
+        assert np.array_equal(m["pixels"], px)
+
+
+def test_known_compressed_formats_named_in_error():
+    with pytest.raises(ValueError, match="jpeg"):
+        parse_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="gif"):
+        parse_image(b"GIF89a" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="webp"):
+        parse_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
+
+
+def test_unknown_bytes_corrupt_skip_contract():
+    with pytest.raises(ValueError, match="unknown image format"):
+        sniff_image_format(b"\x00\x01\x02\x03" * 8)
+    with pytest.raises(ValueError):
+        parse_image(b"")
