@@ -373,3 +373,58 @@ def test_cat_quarantines_crash_residue_but_fails_loud_on_committed(
     assert os.path.basename(bad) in os.listdir(hour_dir)  # not renamed
     with pytest.raises(Exception, match="PAR1|footer|Parquet|FAILED_READ"):
         store.cat("events", dt.date(2015, 6, 30)).count()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(files=st.lists(
+    st.tuples(
+        st.sampled_from([0, 5, 12, 13, 40, 4096]),   # size
+        st.booleans(),                               # valid PAR1 trailer
+        st.booleans()),                              # listed in manifest
+    min_size=0, max_size=8))
+def test_quarantine_selection_property(spark, tmp_path, files):
+    """The sweep touches EXACTLY the files that are (no trailer) AND
+    (absent from the manifest); everything else is left byte-for-byte
+    in place. Size 12 is the boundary: valid parquet is strictly
+    larger (PAR1 + footer + PAR1), so <=12 bytes is trailer-less by
+    size alone."""
+    import json
+    import uuid
+
+    root = tmp_path / f"arch{uuid.uuid4().hex[:8]}"
+    hour = root / "stream=events" / "client=archive" / \
+        "date=20260101" / "hour=03"
+    hour.mkdir(parents=True)
+    manifest: list[str] = []
+    expect_quarantined, expect_kept = set(), set()
+    for i, (size, trailer, listed) in enumerate(files):
+        name = f"part-{i:05d}-x.c000.snappy.parquet"
+        body = bytearray(size)
+        if trailer and size >= 4:
+            body[-4:] = b"PAR1"
+        (hour / name).write_bytes(bytes(body))
+        if listed:
+            manifest.append(str(hour / name))
+        healthy = size > 12 and trailer and size >= 4
+        if healthy or listed:
+            expect_kept.add(name)
+        else:
+            expect_quarantined.add(name)
+    if manifest:
+        mdir = root / "_spark_metadata"
+        mdir.mkdir()
+        (mdir / "0").write_text(
+            "v1\n" + "\n".join(json.dumps({"path": f"file://{p}"})
+                               for p in manifest))
+    store = ArchiveStore(spark, str(root))
+    n = store.quarantine_crash_residue(stream="events")
+    assert n == len(expect_quarantined)
+    left = {f for f in os.listdir(hour) if not f.startswith(".")}
+    assert left == expect_kept
+    crashed = {f for f in os.listdir(hour) if f.startswith(".")}
+    assert crashed == {f".{name}.crash" for name in expect_quarantined}
