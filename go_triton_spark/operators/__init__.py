@@ -100,6 +100,7 @@ _PLAN_CHANGED = {
     "dedup_levenshtein_qgram": 6,  # r6 byte-level distance contract
     "mm_frame_sample": 6,      # r6 real AVI decode (new output schema)
     "mm_feature_extract": 6,   # r6 real pixel features (new values)
+    "mm_wav_decode": 6,        # r6 spread() before the decode map
 }
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import query, spread, tables
 
 
 @query(
@@ -126,7 +126,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.bmp import build_bmp, parse_bmp
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id")
+    src = spread(d.select("doc_id"), spark)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -207,7 +207,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.png import build_png, parse_png
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id")
+    src = spread(d.select("doc_id"), spark)
     schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
                            if f.name != "bit_depth"])
 
@@ -283,7 +283,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.avi import build_avi, parse_avi
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id")
+    src = spread(d.select("doc_id"), spark)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -346,7 +346,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.bmp import build_bmp, parse_bmp, resize_nearest
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id")
+    src = spread(d.select("doc_id"), spark)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -416,7 +416,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.bmp import build_bmp, parse_bmp
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id")
+    src = spread(d.select("doc_id"), spark)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -492,7 +492,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.wav import build_wav, parse_wav
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = d.select("doc_id")
+    src = spread(d.select("doc_id"), spark)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
