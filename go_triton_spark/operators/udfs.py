@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udtf
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import query, spread, tables
 
 
 @pandas_udf(T.StringType())
@@ -182,5 +182,9 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pc.cast(n_tokens, pa.int64())],
                 names=["doc_id", "n_chars_arrow", "n_tokens_arrow"])
 
-    return d.select("doc_id", "text").mapInArrow(
+    # spread the full-table Arrow pass (single local file scans as ONE
+    # partition; no-op at cluster scale) — the narrow gate-filtered UDF
+    # queries above stay unspread on purpose, their row counts are
+    # bounded by their filters
+    return spread(d.select("doc_id", "text"), spark).mapInArrow(
         counts, "doc_id long, n_chars_arrow long, n_tokens_arrow long")
