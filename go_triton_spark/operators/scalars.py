@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import query, spread, tables
 
 
 @query(
@@ -240,9 +240,13 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order-function family: filter / exists / transform +
     aggregate lambdas over token arrays — all JVM-evaluated, no UDF.
-    Integer/boolean outputs only (portable across engines)."""
+    Integer/boolean outputs only (portable across engines).
+
+    HOF lambdas are INTERPRETED (no whole-stage codegen), so the full
+    table is spread() first — same rule as _shingle_df; no-op at
+    cluster scale."""
     (d,) = tables(spark, sf_dir, "documents")
-    return d.select(
+    return spread(d, spark).select(
         "doc_id",
         F.expr("size(filter(split(text, ' '), w -> length(w) > 5))")
          .alias("n_long_tokens"),
