@@ -609,6 +609,9 @@ def _byte_lev(pa: str, pb: str):
     return F.levenshtein(to_bytes(pa), to_bytes(pb)).cast("long")
 
 
+_LEV_UNION_CACHE: tuple = (None, None)  # (build-params key, cached union df)
+
+
 @query(
     "dedup_levenshtein",
     oracle="""
@@ -713,6 +716,24 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str,
     u = (a_rows.unionByName(b_rows)
          .repartition(nparts, "lang", "bucket", "salt")
          .cache())
+    # bound the cache to ONE invocation's worth: this cache is
+    # per-query-build (unlike the shared-corpus _shingle_df), so
+    # without cleanup every (sf_dir, pair_budget) variant pins its own
+    # MEMORY_AND_DISK copy for the session lifetime (round-7 advice).
+    # Spark dedupes caches by logical plan, so a same-parameters
+    # rebuild reuses the slot; DIFFERENT parameters evict the previous
+    # one (unpersisting an equal-plan cache would drop the slot the
+    # new build just registered, hence the key check, not a blind
+    # unpersist). unpersist() on a never-materialized plan is a no-op.
+    global _LEV_UNION_CACHE
+    key = (sf_dir, pair_budget, nparts)
+    prev_key, prev = _LEV_UNION_CACHE
+    if prev is not None and prev_key != key:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session of the previous build may be stopped
+    _LEV_UNION_CACHE = (key, u)
     a = u.where(F.col("side") == 0).select(
         F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
         F.col("bucket").alias("bucket_a"), F.col("salt").alias("salt_a"),

@@ -585,9 +585,9 @@ def agg_bool_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
     WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
-    SELECT coalesce(least(cast(floor((value - lo)
+    SELECT least(coalesce(cast(floor((value - lo)
                                      / nullif((hi - lo) / 10, 0)) AS bigint),
-                          9), 0)
+                          0), 9)
              AS bucket,
            count(*) AS n,
            round(min(value), 6) AS bucket_min,
@@ -606,22 +606,25 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer metadata, making it one scan).
 
     Degenerate range (every value identical, hi == lo) puts all rows
-    in bucket 0 on both sides via nullif+coalesce — registry-fuzz
-    finding: the raw width division raised ANSI DIVIDE_BY_ZERO on
-    an all-equal (or single-row) corpus."""
+    in bucket 0 on both sides: the NULL width is coalesced to bucket 0
+    BEFORE the least() clamp — both engines' least() SKIPS nulls, so
+    the previous coalesce-outside-least silently sent degenerate rows
+    to bucket 9 (round-7 advice). Registry-fuzz finding: the raw
+    width division raised ANSI DIVIDE_BY_ZERO on an all-equal (or
+    single-row) corpus."""
     (e,) = tables(spark, sf_dir, "events")
     bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = F.nullif((F.col("hi") - F.col("lo")) / 10, F.lit(0.0))
     return (
         e.crossJoin(F.broadcast(bounds))
         .select(
-            F.coalesce(
-                F.least(
+            F.least(
+                F.coalesce(
                     F.floor((F.col("value") - F.col("lo")) / width)
                      .cast("bigint"),
-                    F.lit(9),
+                    F.lit(0).cast("bigint"),
                 ),
-                F.lit(0).cast("bigint"),
+                F.lit(9),
             ).alias("bucket"),
             "value",
         )

@@ -233,19 +233,23 @@ class ArchiveStore:
         else:
             def _subdirs(p):
                 return (sorted(os.listdir(p)) if os.path.isdir(p) else [])
-        pruned: list[str] = []
-        stream_exists = (bool(_subdirs(stream_dir)) if is_uri
-                         else os.path.isdir(stream_dir))
-        if stream_exists:
-            client_dirs = ([f"client={client}"] if client is not None else
-                           [n for n in _subdirs(stream_dir)
-                            if n.startswith("client=")])
-            for cname in client_dirs:
-                cpath = os.path.join(stream_dir, cname)
-                for dname in _subdirs(cpath):
-                    if (dname.startswith("date=")
-                            and dname[len("date="):] in wanted):
-                        pruned.append(os.path.join(cpath, dname))
+        def _prune() -> tuple[list[str], bool]:
+            pruned: list[str] = []
+            exists = (bool(_subdirs(stream_dir)) if is_uri
+                      else os.path.isdir(stream_dir))
+            if exists:
+                cdirs = ([f"client={client}"] if client is not None else
+                         [n for n in _subdirs(stream_dir)
+                          if n.startswith("client=")])
+                for cname in cdirs:
+                    cpath = os.path.join(stream_dir, cname)
+                    for dname in _subdirs(cpath):
+                        if (dname.startswith("date=")
+                                and dname[len("date="):] in wanted):
+                            pruned.append(os.path.join(cpath, dname))
+            return pruned, exists
+
+        pruned, stream_exists = _prune()
         if pruned or stream_exists or is_uri:
             # planning (listing + schema inference from a footer) can
             # race a compact swap: the listed file is gone by the time
@@ -259,6 +263,17 @@ class ArchiveStore:
                 # per query); a replay of a live archive must list
                 # fresh every time
                 self.spark.catalog.refreshByPath(stream_dir)
+                if _attempt:
+                    # the failed path may be GONE (expire rmtree'd a
+                    # pruned date dir mid-plan) — retrying the stale
+                    # list would fail 3x on the same path; re-derive
+                    pruned, stream_exists = _prune()
+                    if not (pruned or stream_exists or is_uri):
+                        # stream vanished entirely between attempts:
+                        # same semantics as the unknown-stream branch
+                        src = self.spark.read.parquet(self.root)
+                        last = None
+                        break
                 try:
                     # when no in-range partitions exist on local disk
                     # (or on an object store), read the stream subtree
@@ -279,10 +294,13 @@ class ArchiveStore:
             if last is not None:
                 # final PATH_NOT_FOUND on an object-store stream_dir
                 # (no local isdir() probe exists there): fall back to
-                # the root read, exactly like the local-path else
-                # branch below — an unknown stream returns an empty
-                # result through the filters on every filesystem,
-                # instead of raising only when the root is a URI
+                # the root read — an unknown stream returns an empty
+                # result through the filters. URI roots ONLY: a local
+                # path that still fails after fresh re-lists is a real
+                # integrity problem, and an O(archive) root scan would
+                # hide it (round-7 advice)
+                if not is_uri:
+                    raise last
                 src = self.spark.read.parquet(self.root)
         else:
             # unknown stream: keep the old root read (returns an empty

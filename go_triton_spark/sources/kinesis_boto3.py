@@ -321,7 +321,11 @@ class KinesisSimpleStreamReader:
                     # again in the next live batch) — found by the
                     # resharding fuzz (test_kinesis_sim.py)
                     if _seq_ge(rec["SequenceNumber"], end_seq):
-                        done = rec["SequenceNumber"] != end_seq
+                        # numeric-aware boundary test: string != would
+                        # treat a numerically-equal but differently-
+                        # formatted sequence (leading zeros) as
+                        # overshoot and DROP the final committed record
+                        done = not _seq_ge(end_seq, rec["SequenceNumber"])
                         if done:
                             break
                     rows.append((shard, rec["SequenceNumber"],
