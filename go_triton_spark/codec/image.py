@@ -4,13 +4,14 @@ binary image columns.
 A real pipeline's image column holds mixed formats; the per-row
 decode must dispatch on the BYTES, not on a metadata column someone
 promised was accurate. ``parse_image`` sniffs the magic and routes to
-the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py), returning
-the shared contract both emit: ``pixels`` as (height, width, 3) RGB
-uint8 with row 0 = top, plus width/height metadata — so downstream
-pixel math is format-agnostic. Known-but-unsupported compressed
-formats (JPEG/GIF/WebP) are named in the error to keep the PIL swap
-point discoverable; unknown bytes fail with the generic corrupt-skip
-ValueError, same contract as every parser in the codec family.
+the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline
+JPEG -> codec/jpeg.py), returning the shared contract all three emit:
+``pixels`` as (height, width, 3) RGB uint8 with row 0 = top, plus
+width/height metadata — so downstream pixel math is format-agnostic.
+Known-but-unsupported compressed formats (GIF/WebP) are named in the
+error to keep the PIL swap point discoverable; unknown bytes fail with
+the generic corrupt-skip ValueError, same contract as every parser in
+the codec family.
 """
 
 from __future__ import annotations
@@ -41,10 +42,12 @@ def parse_image(data: bytes) -> dict:
 
     Dispatches on sniffed magic; the returned dict always carries
     width / height / n_pixels and ``pixels`` (h, w, 3) RGB uint8 —
-    parse_bmp and parse_png share that contract. JPEG/GIF/WebP are
-    recognized and rejected with the swap-point message (their
-    entropy coding has no stdlib codec; a PIL-backed branch slots in
-    here without touching any caller)."""
+    parse_bmp, parse_png, and parse_jpeg share that contract (baseline
+    sequential JPEG decodes for real since round 7; progressive JPEG
+    raises inside parse_jpeg with its own message). GIF/WebP are
+    recognized and rejected with the swap-point message (LZW/VP8 have
+    no stdlib codec; a PIL-backed branch slots in here without
+    touching any caller)."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png
@@ -52,6 +55,9 @@ def parse_image(data: bytes) -> dict:
     if fmt == "bmp":
         from go_triton_spark.codec.bmp import parse_bmp
         return parse_bmp(data)
+    if fmt == "jpeg":
+        from go_triton_spark.codec.jpeg import parse_jpeg
+        return parse_jpeg(data)
     raise ValueError(
         f"unsupported compressed image format {fmt!r} "
         "(no stdlib codec; swap in PIL here for production decode)")

@@ -17,8 +17,16 @@ def test_mixed_column_dispatch_shared_contract():
 
 
 def test_known_compressed_formats_named_in_error():
-    with pytest.raises(ValueError, match="jpeg"):
+    # JPEG routes to the REAL decoder since round 7: garbage after the
+    # magic is a corrupt-skip ValueError from parse_jpeg, not a
+    # swap-point rejection; a valid payload decodes
+    with pytest.raises(ValueError):
         parse_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    import numpy as np
+
+    from go_triton_spark.codec.jpeg import build_jpeg
+    img = np.full((8, 8, 3), 9, np.uint8)
+    assert np.array_equal(parse_image(build_jpeg(img))["pixels"], img)
     with pytest.raises(ValueError, match="gif"):
         parse_image(b"GIF89a" + b"\x00" * 32)
     with pytest.raises(ValueError, match="webp"):

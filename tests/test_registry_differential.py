@@ -79,6 +79,7 @@ FUZZED_QUERIES = [
     # alone, so any documents corpus exercises it (incl. the corrupt
     # doc_id residues); the oracles are closed-form in doc_id
     "mm_png_decode",
+    "mm_jpeg_decode",
     "mm_image_decode",
     "mm_image_resize",
     "mm_frame_sample",
