@@ -405,9 +405,15 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     m = parse_avi(payload)
                 except ValueError:
                     continue  # corrupt-skip, counted by the oracle
-                for f in range(0, m["n_frames"], 2):  # stride-2 sample
-                    fr = m["frames"][f].astype("int64")
-                    rows.append((doc_id, f, int(fr[:, :, 0].sum())))
+                # frames is an (n, h, w, 3) batch since round 7:
+                # stride-2 sample + red-channel reduction in ONE
+                # vectorized expression over all sampled frames
+                import numpy as np
+
+                sampled = np.asarray(m["frames"])[0::2, :, :, 0]
+                sums = sampled.astype("int64").sum(axis=(1, 2))
+                rows.extend((doc_id, 2 * i, int(s))
+                            for i, s in enumerate(sums))
             yield pd.DataFrame(rows,
                                columns=["doc_id", "frame_idx", "sum_r"])
 
