@@ -170,6 +170,20 @@ def main() -> int:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # truncation-proof twin (round-7 verdict ask): the driver's capture
+    # of the stdout line was tail-truncated in round 6, losing the
+    # medians/total. stdout stays EXACTLY one JSON line (the driver
+    # contract), and the full artifact is ALSO written next to this
+    # script — committed with the round, so the judge always has an
+    # intact copy even if the recorded BENCH_r{N}.json is clipped.
+    try:
+        self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_SELF.json")
+        with open(self_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still complete
     spark.stop()
     return 0
 

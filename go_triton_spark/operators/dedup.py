@@ -646,7 +646,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str,
     # whole-stage codegen. On a cluster where the text column scan
     # dominates, persist this narrow (id, lang, bucket, 80-char
     # prefix) projection instead of rescanning.
-    sel = spread(d, spark).select(
+    sel = spread(d, spark, rows_per_task=20_000).select(
         "doc_id", "lang",
         (F.col("n_chars") / 20).cast("long").alias("bucket"),
         F.expr("substr(text, 1, 80)").alias("prefix"))
@@ -821,7 +821,7 @@ def dedup_levenshtein_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-vocab/dense corpora, this for natural text at scale.
     """
     (d,) = tables(spark, sf_dir, "documents")
-    sel = spread(d, spark).select(
+    sel = spread(d, spark, rows_per_task=20_000).select(
         "doc_id", "lang",
         (F.col("n_chars") / 20).cast("long").alias("bucket"),
         F.expr("substr(text, 1, 80)").alias("prefix"))

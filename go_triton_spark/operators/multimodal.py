@@ -124,7 +124,7 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.bmp import build_bmp, parse_bmp
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,7 +205,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.png import build_png, parse_png
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
     schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
                            if f.name != "bit_depth"])
 
@@ -308,7 +308,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.jpeg import build_jpeg_ycbcr, parse_jpeg
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
     schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
                            if f.name != "bit_depth"])
 
@@ -383,7 +383,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.avi import build_avi, parse_avi
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -452,7 +452,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.bmp import build_bmp, parse_bmp, resize_nearest
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -522,7 +522,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.bmp import build_bmp, parse_bmp
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -598,7 +598,7 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.wav import build_wav, parse_wav
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark)
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),

@@ -22,6 +22,7 @@ _NOW = "2024-02-01 00:00:00"  # fixed 'now' so S18 ages are deterministic
 
 @query(
     "s12_date_range_replay",
+    fuzz_exclusion="builds its own temp-archive lifecycle; covered by the archive soak/fuzz suites (test_archive*, test_streaming*)",
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
            cast(sum(cast(value as decimal(30,8))) as double) AS total_value
@@ -47,6 +48,7 @@ def s12_date_range_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s13_prefix_filter",
+    fuzz_exclusion="archive-layer query over a temp archive; covered by the archive soak/fuzz suites, not corpus-shape fuzzing",
     oracle="""
     SELECT event_id, event_type, user_id
     FROM events WHERE event_type LIKE 'c%'
@@ -64,6 +66,7 @@ def s13_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s15_ordered_replay",
+    fuzz_exclusion="ordered replay over a temp archive; ordering contract fuzzed by the archive lifecycle tests instead",
     oracle="""
     SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_type,
            row_number() OVER (ORDER BY strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
@@ -125,6 +128,7 @@ _NOW_EPOCH = 1706745600  # 2024-02-01 00:00:00 UTC
 
 @query(
     "s18_checkpoint_age",
+    fuzz_exclusion="reads streaming checkpoint state, not a data corpus; covered by the checkpoint/restart tests",
     oracle=f"""
     SELECT event_type AS shard,
            {_NOW_EPOCH} - cast(floor(extract(epoch FROM max(ts))) as bigint)

@@ -48,6 +48,13 @@ class QueryDef:
     oracle: str | None          # DuckDB SQL; None -> rows-only check
     doc: str = ""
     tags: tuple = ()
+    #: None -> the query is covered by a generated-corpus batch in
+    #: tests/test_registry_differential.py. A string is the REASON the
+    #: query is excluded from differential fuzzing by design — the
+    #: coverage test there asserts every registry entry is one or the
+    #: other, so a new query can't silently skip fuzzing (round-7
+    #: verdict ask: exclusions documented per-query, not in a comment).
+    fuzz_exclusion: str | None = None
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -80,7 +87,8 @@ def _normalize_output(df: DataFrame) -> DataFrame:
     return df.select(*casts) if changed else df
 
 
-def query(name: str, oracle: str | None = None, tags: tuple = ()):
+def query(name: str, oracle: str | None = None, tags: tuple = (),
+          fuzz_exclusion: str | None = None):
     """Decorator registering a (spark_fn, oracle_sql) pair."""
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +96,8 @@ def query(name: str, oracle: str | None = None, tags: tuple = ()):
         run.__doc__ = fn.__doc__
         run.__name__ = fn.__name__
         REGISTRY[name] = QueryDef(name=name, spark=run, oracle=oracle,
-                                  doc=fn.__doc__ or "", tags=tuple(tags))
+                                  doc=fn.__doc__ or "", tags=tuple(tags),
+                                  fuzz_exclusion=fuzz_exclusion)
         return fn
     return wrap
 
@@ -109,20 +118,74 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
-def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Repartition a compute-heavy input up to the session parallelism.
+def _estimate_input_rows(df: DataFrame) -> int | None:
+    """Driver-side row estimate from parquet footers — no Spark job.
+
+    ``inputFiles()`` is a driver metadata call; footers are read for at
+    most 8 files and extrapolated, so the estimate stays O(1) even when
+    a 100 TB table lists thousands of files. Returns None (estimate
+    unavailable) for non-file plans, object-store URIs, or non-parquet
+    sources — callers fall back to the unconditional spread."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    sample = files[:8]
+    total = 0
+    for uri in sample:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file") or not uri.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_rows
+        except Exception:
+            return None
+    if len(files) > len(sample):
+        total = int(total * len(files) / len(sample))
+    return total
+
+
+def spread(df: DataFrame, spark: SparkSession,
+           rows_per_task: int = 5_000) -> DataFrame:
+    """Repartition a compute-heavy input up to the session parallelism,
+    COST-AWARE (round-7 verdict ask): the exchange only fires when the
+    estimated work actually fills the extra tasks.
 
     Single-file local inputs scan as ONE partition, so every downstream
     interpreted expression (higher-order functions, levenshtein, UDFs)
     runs in one task — and AQE won't widen it because the BYTES are
-    small even when the COMPUTE is not. At cluster scale a 100 TB table
-    already scans as thousands of partitions, so this is a no-op there
-    (the repartition only fires when the scan has fewer partitions than
-    the configured parallelism)."""
+    small even when the COMPUTE is not. But the fix must not overshoot:
+    round 6's unconditional repartition(nparts) cost udf_map_in_arrow
+    1.8x at sf0.1, paying a full exchange to parallelize ~0.2 s of
+    compute. So the target partition count is sized to the input:
+    ``ceil(estimated_rows / rows_per_task)`` capped at the session
+    parallelism, skipped entirely when the scan already has at least
+    that many partitions. ``rows_per_task`` encodes the caller's
+    per-row cost (decoder-heavy mm ops pass ~500; light Arrow passes
+    ~25k) so a task lands in the 0.25-1 s sweet spot. At cluster scale
+    a 100 TB table already scans as thousands of partitions and this
+    is a no-op; when the row estimate is unavailable (non-parquet,
+    object store) it falls back to the always-spread behavior, the
+    safe choice for compute-dense paths."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < nparts:
+    scan_parts = df.rdd.getNumPartitions()
+    if scan_parts >= nparts:
+        return df
+    est = _estimate_input_rows(df)
+    if est is None:
         return df.repartition(nparts)
-    return df
+    target = min(nparts, -(-est // max(1, rows_per_task)))
+    if target <= scan_parts:
+        return df
+    return df.repartition(target)
 
 
 def scaling_dim(df: DataFrame) -> DataFrame:

@@ -560,6 +560,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
+    fuzz_exclusion="true sketch (HLL): engine-specific estimate, tolerance-gated by its own tests, no exact cross-engine oracle",
     oracle="""
     SELECT o_orderstatus,
            count(DISTINCT o_custkey) AS exact_customers,

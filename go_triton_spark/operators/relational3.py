@@ -45,6 +45,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_percentile",
+    fuzz_exclusion="true sketch (KLL/GK): engine-specific estimate, tolerance-gated by its own tests, no exact cross-engine oracle",
     oracle="""
     SELECT o_orderstatus,
            round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,

@@ -186,5 +186,9 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition; no-op at cluster scale) — the narrow gate-filtered UDF
     # queries above stay unspread on purpose, their row counts are
     # bounded by their filters
-    return spread(d.select("doc_id", "text"), spark).mapInArrow(
+    # rows_per_task 25k: the Arrow pass is ~µs/row, so round 6's
+    # unconditional 32-way exchange cost 1.8x at sf0.1; cost-aware it
+    # skips locally and still fans out at x20+ corpus sizes
+    return spread(d.select("doc_id", "text"), spark,
+                  rows_per_task=25_000).mapInArrow(
         counts, "doc_id long, n_chars_arrow long, n_tokens_arrow long")
