@@ -92,6 +92,8 @@ HEADLINE = [
     "emb_label_knn_purity",      # r5: track the LSH-stack reuser
     "dedup_levenshtein_qgram",   # r5: track the q-gram routing variant
     "mm_png_decode",             # r6: compressed-image decode (zlib+CRC)
+    "mm_jpeg_decode",            # r7: entropy-coded decode (Huffman+DCT)
+    "join_skew_aware",           # r7: measured per verdict ask (skew guard)
 ]
 
 
