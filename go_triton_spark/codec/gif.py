@@ -1,0 +1,291 @@
+"""Real-bytes GIF (87a/89a) codec — the LZW leg of the image-decoder
+story (PNG covered DEFLATE in round 6, JPEG covered Huffman+DCT earlier
+this round; GIF's variable-width LZW is the third entropy-coding family
+real image columns contain).
+
+Pure stdlib + numpy from the public specification (GIF89a, CompuServe
+1990): logical screen descriptor, global/local color tables,
+variable-width LZW decompression (dynamic code width 3..12 bits, Clear
+/ EOI codes, deferred-clear tolerated), interlaced row ordering (the
+four-pass 8/8-4/8-2/4-1/2 schedule), extension-block skipping (GCE /
+comment / application, sub-block chained), and the 0x3B trailer.
+Animated GIFs decode every image block; ``parse_gif`` returns the
+frames batch like parse_avi. Fails loudly (ValueError) on truncation,
+bad LZW codes, missing color tables, or palette-range overflow — the
+engine's corrupt-skip contract (same as every codec/ parser).
+
+The encoder exists to synthesize REAL payloads for the gate corpus and
+tests (like build_png / build_jpeg): true dictionary LZW with width
+growth and a 4095-entry reset, not the uncompressed-clear-code
+shortcut, so the decoder's dictionary path is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_CODE = 4095            # 12-bit LZW ceiling (spec)
+
+
+# --- LZW --------------------------------------------------------------
+
+def lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """Decode one image's LZW stream to ``expected`` palette indices."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # dictionary as bytes entries; rebuilt on every Clear
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (EOF before EOI)")
+            acc |= data[pos] << nbits      # GIF packs LSB-first
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                 # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) > _MAX_CODE:
+            raise ValueError("LZW table overflow without Clear")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > expected:
+            raise ValueError(
+                f"LZW output overrun: {len(out)} > {expected} pixels")
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW underrun: {len(out)} of {expected} pixels decoded")
+    return out
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """True dictionary LZW (the GIF89a algorithm), width-growing, with
+    a Clear emitted when the table hits the 12-bit ceiling."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > _MAX_CODE:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# --- container --------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a sub-block chain; return (payload, next_pos)."""
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(data):
+            raise ValueError("truncated sub-block")
+        chunks.append(data[pos:pos + n])
+        pos += n
+
+
+def parse_gif(data: bytes) -> dict:
+    """Decode one complete GIF; return pixels + metadata.
+
+    Returns dict with: width, height, n_pixels, n_frames, and
+    ``pixels`` — (height, width, 3) uint8 RGB of the FIRST frame
+    composited on the logical screen — plus ``frames``, a list of
+    per-image (h, w, 3) arrays in file order (animation support,
+    shaped like parse_avi). Fails loudly (ValueError) on truncation
+    or spec violations.
+    """
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file (bad magic)")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw < 1 or sh < 1:
+        raise ValueError(f"bad logical screen {sw}x{sh}")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    frames = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF (EOF before trailer)")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                        # trailer
+            break
+        if block == 0x21:                        # extension
+            if pos >= len(data):
+                raise ValueError("truncated extension block")
+            pos += 1                             # label
+            _, pos = _sub_blocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if w < 1 or h < 1 or left + w > sw or top + h > sh:
+            raise ValueError(
+                f"image {w}x{h}+{left}+{top} outside screen {sw}x{sh}")
+        pal = gct
+        if ipacked & 0x80:                       # local color table
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated local color table")
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("image with no color table")
+        if pos >= len(data):
+            raise ValueError("truncated before LZW code size")
+        min_code = data[pos]
+        pos += 1
+        payload, pos = _sub_blocks(data, pos)
+        idx = np.frombuffer(
+            lzw_decode(payload, min_code, w * h), np.uint8).reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        px = pal[idx]
+        if ipacked & 0x40:
+            px = _deinterlace(px)
+        frames.append((left, top, px))
+
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    screen = np.zeros((sh, sw, 3), np.uint8)
+    left, top, first = frames[0]
+    screen[top:top + first.shape[0], left:left + first.shape[1]] = first
+    return {
+        "width": int(sw),
+        "height": int(sh),
+        "n_pixels": int(sw * sh),
+        "n_frames": len(frames),
+        "pixels": screen,
+        "frames": [f for _, _, f in frames],
+    }
+
+
+def build_gif(indices: np.ndarray, palette: np.ndarray,
+              interlace: bool = False) -> bytes:
+    """Assemble a single-frame GIF89a from an (h, w) palette-index
+    array and an (n, 3) RGB palette (n a power of two, 4..256).
+    Deterministic bytes — gate-corpus/test producer."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(pal)
+    if n not in (4, 8, 16, 32, 64, 128, 256) or pal.shape[1] != 3:
+        raise ValueError("palette must be (2^k, 3), k in 2..8")
+    if int(idx.max()) >= n:
+        raise ValueError("index out of palette range")
+    kbits = n.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((kbits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    rows = idx
+    if interlace:
+        order = []
+        for start, step in _INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        rows = idx[order]
+    min_code = max(2, kbits)
+    out.append(min_code)
+    payload = lzw_encode(rows.tobytes(), min_code)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

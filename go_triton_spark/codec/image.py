@@ -5,13 +5,13 @@ A real pipeline's image column holds mixed formats; the per-row
 decode must dispatch on the BYTES, not on a metadata column someone
 promised was accurate. ``parse_image`` sniffs the magic and routes to
 the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline
-JPEG -> codec/jpeg.py), returning the shared contract all three emit:
-``pixels`` as (height, width, 3) RGB uint8 with row 0 = top, plus
-width/height metadata — so downstream pixel math is format-agnostic.
-Known-but-unsupported compressed formats (GIF/WebP) are named in the
-error to keep the PIL swap point discoverable; unknown bytes fail with
-the generic corrupt-skip ValueError, same contract as every parser in
-the codec family.
+JPEG -> codec/jpeg.py, GIF -> codec/gif.py), returning the shared
+contract all four emit: ``pixels`` as (height, width, 3) RGB uint8
+with row 0 = top, plus width/height metadata — so downstream pixel
+math is format-agnostic. The one known-but-unsupported compressed
+format (WebP) is named in the error to keep the PIL swap point
+discoverable; unknown bytes fail with the generic corrupt-skip
+ValueError, same contract as every parser in the codec family.
 """
 
 from __future__ import annotations
@@ -42,12 +42,12 @@ def parse_image(data: bytes) -> dict:
 
     Dispatches on sniffed magic; the returned dict always carries
     width / height / n_pixels and ``pixels`` (h, w, 3) RGB uint8 —
-    parse_bmp, parse_png, and parse_jpeg share that contract (baseline
-    sequential JPEG decodes for real since round 7; progressive JPEG
-    raises inside parse_jpeg with its own message). GIF/WebP are
-    recognized and rejected with the swap-point message (LZW/VP8 have
-    no stdlib codec; a PIL-backed branch slots in here without
-    touching any caller)."""
+    parse_bmp, parse_png, parse_jpeg, and parse_gif share that
+    contract (baseline JPEG and LZW GIF decode for real since round
+    7; progressive JPEG raises inside parse_jpeg with its own
+    message). WebP is recognized and rejected with the swap-point
+    message (VP8 has no stdlib codec; a PIL-backed branch slots in
+    here without touching any caller)."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png
@@ -58,6 +58,9 @@ def parse_image(data: bytes) -> dict:
     if fmt == "jpeg":
         from go_triton_spark.codec.jpeg import parse_jpeg
         return parse_jpeg(data)
+    if fmt == "gif":
+        from go_triton_spark.codec.gif import parse_gif
+        return parse_gif(data)
     raise ValueError(
         f"unsupported compressed image format {fmt!r} "
         "(no stdlib codec; swap in PIL here for production decode)")

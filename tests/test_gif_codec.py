@@ -1,0 +1,193 @@
+"""codec/gif.py: real GIF/LZW decode, golden-gated.
+
+Independence strategy (same as the PNG/JPEG suites): no PIL exists
+here, so the goldens are HAND-ASSEMBLED from the public GIF89a spec —
+including a hand-BIT-PACKED LZW stream written out code by code in the
+test, a byte sequence build_gif never produced. parse_gif must decode
+codes it was never encoded with; the encoder is then pinned against
+the same decoder by roundtrip + mutation properties.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_triton_spark.codec.gif import (build_gif, lzw_decode, lzw_encode,
+                                       parse_gif)
+
+
+def _screen(w, h, pal_bytes, kbits):
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | ((kbits - 1) & 7), 0, 0)
+            + pal_bytes)
+
+
+def _pack_codes(codes, widths):
+    """LSB-first bit packing, exactly the spec's figure."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, width in zip(codes, widths):
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_hand_packed_lzw_golden():
+    """2x2 image, 4-color palette, min code size 2: codes are packed
+    by hand (Clear=4, EOI=5, literals at width 3). Indices 0,1,2,3."""
+    payload = _pack_codes([4, 0, 1, 2, 3, 5], [3, 3, 3, 3, 4, 4])
+    out = lzw_decode(payload, 2, 4)
+    assert list(out) == [0, 1, 2, 3]
+
+
+def test_hand_assembled_gif_golden():
+    """Full file: header + GCT(4) + image descriptor + hand LZW."""
+    pal = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  9, 9, 9])
+    payload = _pack_codes([4, 0, 1, 2, 3, 5], [3, 3, 3, 3, 4, 4])
+    data = (_screen(2, 2, pal, 2)
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            + bytes([2])                      # min code size
+            + bytes([len(payload)]) + payload + b"\x00"
+            + b"\x3B")
+    m = parse_gif(data)
+    assert m["width"] == 2 and m["height"] == 2 and m["n_frames"] == 1
+    assert m["pixels"].tolist() == [[[255, 0, 0], [0, 255, 0]],
+                                    [[0, 0, 255], [9, 9, 9]]]
+
+
+def test_dictionary_and_kwkwk_decode():
+    """'aaaa' exercises the KwKwK case: after Clear and literal 0
+    ('a'), code 6 names the table slot being defined — the decoder
+    must synthesize prev+prev[0] = 'aa' — then literal 0 again:
+    a + aa + a = four a's."""
+    payload = _pack_codes([4, 0, 6, 0, 5], [3, 3, 3, 3, 4])
+    out = lzw_decode(payload, 2, 4)
+    assert list(out) == [0, 0, 0, 0]
+
+
+def test_extensions_skipped_and_animation_frames():
+    pal = np.array([[i, 2 * i, 3 * i] for i in range(4)], np.uint8)
+    f0 = np.zeros((2, 2), np.uint8)
+    f1 = np.full((2, 2), 3, np.uint8)
+    base0 = build_gif(f0, pal)
+    base1 = build_gif(f1, pal)
+    img0 = base0[base0.index(b"\x2C"):-1]       # image block, no trailer
+    img1 = base1[base1.index(b"\x2C"):-1]
+    gce = b"\x21\xF9\x04\x00\x0A\x00\x00\x00"   # graphic control ext
+    comment = b"\x21\xFE\x05hello\x00"
+    data = base0[:base0.index(b"\x2C")] + gce + img0 + comment + img1 + b"\x3B"
+    m = parse_gif(data)
+    assert m["n_frames"] == 2
+    assert np.array_equal(m["frames"][0], pal[f0])
+    assert np.array_equal(m["frames"][1], pal[f1])
+    assert np.array_equal(m["pixels"], pal[f0])  # first frame composited
+
+
+def test_local_color_table_overrides_global():
+    """Image block carries its own LOCAL color table (0x80 in the
+    image packed byte); the zeroed GLOBAL table must not be used."""
+    gpal = np.zeros((4, 3), np.uint8)
+    lpal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]],
+                    np.uint8)
+    payload = _pack_codes([4, 0, 1, 2, 3, 5], [3, 3, 3, 3, 4, 4])
+    data = (_screen(2, 2, gpal.tobytes(), 2)
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x81)
+            + lpal.tobytes()
+            + bytes([2]) + bytes([len(payload)]) + payload + b"\x00\x3B")
+    m = parse_gif(data)
+    assert m["pixels"].tolist() == [[[1, 2, 3], [4, 5, 6]],
+                                    [[7, 8, 9], [10, 11, 12]]]
+
+
+def test_interlace_golden():
+    """5 rows interlaced: file row order is 0,4 (pass1) 2 (pass3)
+    1,3 (pass4); the decoder must restore 0..4."""
+    pal = np.array([[i, i, i] for i in range(8)], np.uint8)
+    idx = np.array([[r] * 2 for r in range(5)], np.uint8)   # row r = value r
+    data = build_gif(idx, pal, interlace=True)
+    m = parse_gif(data)
+    assert np.array_equal(m["pixels"], pal[idx])
+    # and the stored order genuinely differs from scan order
+    plain = build_gif(idx, pal, interlace=False)
+    assert data != plain
+
+
+def test_corrupt_rejected():
+    pal = np.array([[i, i, i] for i in range(4)], np.uint8)
+    data = build_gif(np.array([[0, 1], [2, 3]], np.uint8), pal)
+    for cut in range(1, len(data)):
+        with pytest.raises(ValueError):
+            parse_gif(data[:cut])
+    with pytest.raises(ValueError, match="magic"):
+        parse_gif(b"NOTGIF" + data[6:])
+    with pytest.raises(ValueError, match="no image block"):
+        parse_gif(_screen(2, 2, pal.tobytes(), 2) + b"\x3B")
+
+
+def test_palette_index_overflow_rejected():
+    # 4-entry palette but an index of 7 smuggled via raw LZW
+    pal = bytes(12)
+    payload = _pack_codes([4, 3, 3, 3, 3, 5], [3, 3, 3, 3, 4, 4])
+    data = (_screen(2, 2, pal, 2)
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            + bytes([2]) + bytes([len(payload)]) + payload + b"\x00\x3B")
+    parse_gif(data)  # 3 < 4: fine
+    # image larger than screen must be rejected
+    bad = (_screen(1, 1, pal, 2)
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+           + bytes([2]) + bytes([len(payload)]) + payload + b"\x00\x3B")
+    with pytest.raises(ValueError, match="outside screen"):
+        parse_gif(bad)
+
+
+@given(st.integers(0, 10**6), st.integers(2, 8),
+       st.integers(1, 40), st.integers(1, 30), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_roundtrip_property(seed, kbits, w, h, interlace):
+    rng = np.random.default_rng(seed)
+    n = 1 << kbits
+    pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    idx = rng.integers(0, n, (h, w)).astype(np.uint8)
+    m = parse_gif(build_gif(idx, pal, interlace=interlace))
+    assert np.array_equal(m["pixels"], pal[idx])
+
+
+@given(st.integers(0, 400), st.integers(0, 255))
+@settings(max_examples=80, deadline=None)
+def test_byte_flip_fuzz_never_crashes(pos, val):
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (9, 13)).astype(np.uint8)
+    data = bytearray(build_gif(idx, pal))
+    data[pos % len(data)] = val
+    try:
+        m = parse_gif(bytes(data))
+        assert m["pixels"].shape[2] == 3
+    except ValueError:
+        pass
+
+
+def test_lzw_encode_decode_inverse_property():
+    rng = np.random.default_rng(3)
+    for min_code in (2, 4, 8):
+        raw = bytes(rng.integers(0, 1 << min_code, 6000, dtype=np.uint8))
+        assert bytes(lzw_decode(lzw_encode(raw, min_code),
+                                min_code, len(raw))) == raw
+
+
+def test_magic_dispatch_routes_gif():
+    from go_triton_spark.codec.image import parse_image, sniff_image_format
+    pal = np.array([[9, 8, 7], [1, 2, 3], [0, 0, 0], [5, 5, 5]], np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    data = build_gif(idx, pal)
+    assert sniff_image_format(data) == "gif"
+    assert np.array_equal(parse_image(data)["pixels"], pal[idx])

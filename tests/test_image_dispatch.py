@@ -27,8 +27,15 @@ def test_known_compressed_formats_named_in_error():
     from go_triton_spark.codec.jpeg import build_jpeg
     img = np.full((8, 8, 3), 9, np.uint8)
     assert np.array_equal(parse_image(build_jpeg(img))["pixels"], img)
-    with pytest.raises(ValueError, match="gif"):
+    # GIF routes to the real LZW decoder too: garbage after the magic
+    # is a corrupt-skip rejection, a valid payload decodes
+    with pytest.raises(ValueError):
         parse_image(b"GIF89a" + b"\x00" * 32)
+    from go_triton_spark.codec.gif import build_gif
+    pal = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [0, 0, 0]], np.uint8)
+    idx = np.zeros((3, 3), np.uint8)
+    assert np.array_equal(parse_image(build_gif(idx, pal))["pixels"],
+                          pal[idx])
     with pytest.raises(ValueError, match="webp"):
         parse_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
 

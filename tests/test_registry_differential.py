@@ -80,6 +80,7 @@ FUZZED_QUERIES = [
     # doc_id residues); the oracles are closed-form in doc_id
     "mm_png_decode",
     "mm_jpeg_decode",
+    "mm_gif_decode",
     "mm_image_decode",
     "mm_image_resize",
     "mm_frame_sample",
