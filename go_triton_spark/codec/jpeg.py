@@ -277,18 +277,31 @@ def build_jpeg(pixels, subsampling: str = "4:2:0",
                             restart_interval=restart_interval)
 
 
+def build_jpeg_gray(y, quality: int | None = None,
+                    restart_interval: int = 0) -> bytes:
+    """Encode a single-component (grayscale) baseline JPEG from an
+    (h, w) luma plane — the nc=1 stream shape scanners and document
+    pipelines produce; exercises the decoder's 1-component branch."""
+    return build_jpeg_ycbcr(y, None, None, subsampling="4:4:4",
+                            quality=quality,
+                            restart_interval=restart_interval)
+
+
 def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
                      quality: int | None = None,
                      restart_interval: int = 0) -> bytes:
     """Encode from full-resolution YCbCr planes (the transcoder-side
-    entry; cameras and video decoders hand you YCbCr, not RGB)."""
+    entry; cameras and video decoders hand you YCbCr, not RGB).
+    ``cb=cr=None`` emits a single-component grayscale stream."""
     y = np.asarray(y, dtype=np.uint8)
     h, w = y.shape
     if h < 1 or w < 1:
         raise ValueError("empty image")
     if subsampling not in _SAMPLINGS:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    samp = _SAMPLINGS[subsampling]
+    inputs = (y,) if cb is None else (y, cb, cr)
+    nc = len(inputs)
+    samp = _SAMPLINGS["4:4:4"][:1] if nc == 1 else _SAMPLINGS[subsampling]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -309,7 +322,7 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
                       mode="edge")
 
     comp_planes = []
-    for ci, plane in enumerate((y, cb, cr)):
+    for ci, plane in enumerate(inputs):
         p = _pad(np.asarray(plane, dtype=np.uint8))
         fx, fy = hmax // samp[ci][0], vmax // samp[ci][1]
         if fx > 1 or fy > 1:
@@ -332,7 +345,7 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
     enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
     enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
     bw = _BitWriter()
-    pred = [0, 0, 0]
+    pred = [0] * nc
     rst = 0
     scan = bytearray()
     mcus_done = 0
@@ -345,8 +358,8 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
                 scan += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 bw = _BitWriter()
-                pred = [0, 0, 0]
-            for ci in range(3):
+                pred = [0] * nc
+            for ci in range(nc):
                 hi, vi = samp[ci]
                 t = 0 if ci == 0 else 1
                 for by in range(vi):
@@ -394,9 +407,9 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
         zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
         out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid]) \
             + zz.tobytes()
-    out += b"\xFF\xC0" + struct.pack(">H", 17) + bytes([8]) \
-        + struct.pack(">HH", h, w) + bytes([3])                # SOF0
-    for ci in range(3):
+    out += b"\xFF\xC0" + struct.pack(">H", 8 + 3 * nc) + bytes([8]) \
+        + struct.pack(">HH", h, w) + bytes([nc])               # SOF0
+    for ci in range(nc):
         hi, vi = samp[ci]
         out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     for tclass, tid, (bits, vals) in ((0, 0, DC_LUMA), (1, 0, AC_LUMA),
@@ -406,8 +419,8 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
             + bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xFF\xDA" + struct.pack(">H", 12) + bytes([3])    # SOS
-    for ci in range(3):
+    out += b"\xFF\xDA" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])  # SOS
+    for ci in range(nc):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out += bytes([0, 63, 0])
     out += scan

@@ -163,17 +163,27 @@ def test_byte_stuffing_roundtrip():
 
 
 def test_grayscale_single_component():
-    """Hand-build a 1-component stream from a 3-component encode by
-    re-marking: simplest is to verify the decoder accepts nc=1 via a
-    crafted minimal stream."""
-    img = np.full((8, 8, 3), 77, np.uint8)
-    data = build_jpeg(img, "4:4:4")
-    # surgically rewrite SOF0 + SOS to 1 component (Y only); the scan
-    # bytes for Y alone are a prefix — instead just re-encode Y==img
-    # and check replication contract on the 3-component path
-    m = parse_jpeg(data)
-    assert np.array_equal(m["pixels"], img)
-    assert m["n_components"] == 3
+    """Real nc=1 streams (build_jpeg_gray): DC-only grays round-trip
+    exactly with the luma replicated to 3 channels, restart markers
+    included, and the lossy path stays bounded."""
+    from go_triton_spark.codec.jpeg import build_jpeg_gray
+
+    rng = np.random.default_rng(13)
+    for w, h in [(8, 8), (22, 12), (5, 17)]:
+        img = np.zeros((h, w), np.uint8)
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                img[by:by + 8, bx:bx + 8] = rng.integers(0, 256)
+        for ri in (0, 1):
+            m = parse_jpeg(build_jpeg_gray(img, restart_interval=ri))
+            assert m["n_components"] == 1
+            assert m["subsampling"] == "4:4:4"
+            assert np.array_equal(
+                m["pixels"], np.repeat(img[:, :, None], 3, axis=2))
+    noisy = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    m = parse_jpeg(build_jpeg_gray(noisy, quality=80))
+    err = np.abs(m["pixels"][:, :, 0].astype(int) - noisy.astype(int))
+    assert err.mean() < 15
 
 
 def test_truncation_always_rejected():
