@@ -95,12 +95,25 @@ def _driver_green_rounds() -> dict:
 # driver-green round reaches the noted round, the entry is ignored
 # (safe to leave behind; prune opportunistically).
 _PLAN_CHANGED = {
-    "dedup_levenshtein": 6,    # r6 single-pair-exchange fold (cached union)
-                               # + byte-level distance contract
-    "dedup_levenshtein_qgram": 6,  # r6 byte-level distance contract
-    "mm_frame_sample": 6,      # r6 real AVI decode (new output schema)
-    "mm_feature_extract": 6,   # r6 real pixel features (new values)
-    "mm_wav_decode": 6,        # r6 spread() before the decode map
+    # r7: cost-aware spread() — these queries' scan stages lose the
+    # unconditional repartition at gate scale (sf0.01 rows < the
+    # rows_per_task threshold), a real physical-plan change after
+    # their r06 green. udf_map_in_arrow / hof_ops / dedup_span_exact /
+    # the shingle family are r03/r04-stale and front-load anyway;
+    # listing them here is redundant but self-clearing.
+    "dedup_levenshtein": 7,
+    "dedup_levenshtein_qgram": 7,
+    "dedup_span_exact": 7,
+    "dedup_ngram_jaccard": 7,
+    "dedup_minhash_lsh": 7,
+    "mm_wav_decode": 7,
+    "mm_image_decode": 7,
+    "mm_image_resize": 7,
+    "mm_png_decode": 7,
+    "mm_feature_extract": 7,
+    "mm_frame_sample": 7,      # + r7 batched movi decode
+    "hof_ops": 7,
+    "udf_map_in_arrow": 7,
 }
 
 
