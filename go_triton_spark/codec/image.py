@@ -4,7 +4,7 @@ binary image columns.
 A real pipeline's image column holds mixed formats; the per-row
 decode must dispatch on the BYTES, not on a metadata column someone
 promised was accurate. ``parse_image`` sniffs the magic and routes to
-the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline
+the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline or progressive
 JPEG -> codec/jpeg.py, GIF -> codec/gif.py), returning the shared
 contract all four emit: ``pixels`` as (height, width, 3) RGB uint8
 with row 0 = top, plus width/height metadata — so downstream pixel
@@ -43,9 +43,8 @@ def parse_image(data: bytes) -> dict:
     Dispatches on sniffed magic; the returned dict always carries
     width / height / n_pixels and ``pixels`` (h, w, 3) RGB uint8 —
     parse_bmp, parse_png, parse_jpeg, and parse_gif share that
-    contract (baseline JPEG and LZW GIF decode for real since round
-    7; progressive JPEG raises inside parse_jpeg with its own
-    message). WebP is recognized and rejected with the swap-point
+    contract (baseline + progressive JPEG and LZW GIF decode for real
+    since round 7). WebP is recognized and rejected with the swap-point
     message (VP8 has no stdlib codec; a PIL-backed branch slots in
     here without touching any caller)."""
     fmt = sniff_image_format(data)

@@ -3,13 +3,20 @@ IMAGE leg of the real-decoder story, closing the round-6 verdict's #1
 gap (PNG covered DEFLATE; JPEG covers Huffman + DCT, the format that
 dominates real-world image columns).
 
-Pure stdlib + numpy, no native codec: baseline sequential DCT, 8-bit
-precision, 1 or 3 components, sampling factors 1-2 per axis (4:4:4,
-4:2:2, 4:2:0), standard Annex K Huffman tables on the encode side,
-arbitrary DHT/DQT tables on the decode side, restart markers (DRI /
-RSTn), and 0xFF00 byte unstuffing. Progressive (SOF2), arithmetic
-(SOF9+), hierarchical, and 12-bit streams raise ValueError with a
-clear message, so callers apply the engine's corrupt/unsupported-skip
+Pure stdlib + numpy, no native codec: baseline sequential (SOF0) AND
+progressive (SOF2 — spectral selection + successive approximation:
+DC first/refine, AC first with EOBRUN/ZRL, AC refine with correction
+bits; round 7), 8-bit precision, 1 or 3 components, sampling factors
+1-2 per axis (4:4:4, 4:2:2, 4:2:0), standard Annex K Huffman tables on
+the encode side, arbitrary DHT/DQT tables on the decode side, restart
+markers (DRI / RSTn, in every scan kind), and 0xFF00 byte unstuffing.
+Decoding is two-stage: every scan accumulates into per-component
+coefficient buffers, then one vectorized dequant + batch-IDCT +
+upsample + color-convert finish — baseline is just the one-scan case
+of the same machinery, and the progressive-vs-baseline differential
+test (same image, same quant -> bit-identical pixels) pins both.
+Arithmetic (SOF9+), hierarchical, lossless, and 12-bit streams raise
+ValueError with a clear message, so callers apply the engine's corrupt/unsupported-skip
 semantics — the exact contract of parse_wav / parse_bmp / parse_png /
 parse_avi and the msgpack decode path (tritond/server.go's
 unmarshal-skip analog, triton/reference archive.go corrupt handling).
@@ -256,12 +263,19 @@ def _category(v: int) -> int:
 
 def build_jpeg(pixels, subsampling: str = "4:2:0",
                quality: int | None = None,
-               restart_interval: int = 0) -> bytes:
-    """Assemble a baseline JFIF JPEG from an (h, w, 3) RGB array.
+               restart_interval: int = 0,
+               progressive: bool = False,
+               successive: bool = False) -> bytes:
+    """Assemble a JFIF JPEG from an (h, w, 3) RGB array.
 
     quality=None uses all-ones quant tables (the near-lossless profile
     the gate corpus relies on); 1..100 uses libjpeg-style scaling of
-    the Annex K tables. Deterministic byte output, like build_png.
+    the Annex K tables. ``progressive=True`` emits SOF2 with a
+    spectral-selection scan script (DC, then AC bands 1-5 and 6-63 per
+    component); ``successive=True`` adds successive approximation
+    (Al=1 first scans + refinement scans) — together they cover every
+    progressive scan kind the decoder implements. Deterministic byte
+    output, like build_png.
     """
     arr = np.asarray(pixels, dtype=np.float64)
     if arr.ndim != 3 or arr.shape[2] != 3:
@@ -274,7 +288,9 @@ def build_jpeg(pixels, subsampling: str = "4:2:0",
               for p in (y, cb, cr)]
     return build_jpeg_ycbcr(planes[0], planes[1], planes[2],
                             subsampling=subsampling, quality=quality,
-                            restart_interval=restart_interval)
+                            restart_interval=restart_interval,
+                            progressive=progressive,
+                            successive=successive)
 
 
 def build_jpeg_gray(y, quality: int | None = None,
@@ -289,7 +305,9 @@ def build_jpeg_gray(y, quality: int | None = None,
 
 def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
                      quality: int | None = None,
-                     restart_interval: int = 0) -> bytes:
+                     restart_interval: int = 0,
+                     progressive: bool = False,
+                     successive: bool = False) -> bytes:
     """Encode from full-resolution YCbCr planes (the transcoder-side
     entry; cameras and video decoders hand you YCbCr, not RGB).
     ``cb=cr=None`` emits a single-component grayscale stream."""
@@ -340,6 +358,14 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
         c = np.einsum("ux,abxw,vw->abuv", _M, blocks, _M)  # M @ B @ M.T
         q = qt[0 if ci == 0 else 1]
         coefs.append(np.round(c / q).astype(np.int64))
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "the progressive encoder does not emit restart markers "
+                "(the decoder handles them; hand-built in tests)")
+        return _assemble_progressive(coefs, samp, nc, h, w, qt,
+                                     mcus_x, mcus_y, successive)
 
     # entropy-code MCU-interleaved with the standard Annex K tables
     enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
@@ -428,10 +454,193 @@ def build_jpeg_ycbcr(y, cb, cr, subsampling: str = "4:2:0",
     return bytes(out)
 
 
+
+def _emit_val(bw, code_tbl, sym, v, cat):
+    ln, code = code_tbl[sym]
+    bw.write(code, ln)
+    if cat:
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+
+
+def _enc_ac_first(bw, zz, ss, se, al, ac):
+    """One block of an AC first scan (T.81 G.1.2.2): point-transformed
+    values (toward-zero |v| >> al), run-length coded, EOB per block."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            _emit_val(bw, ac, 0xF0, 0, 0)
+            run -= 16
+        cat = t.bit_length()
+        _emit_val(bw, ac, (run << 4) | cat, t if v > 0 else -t, cat)
+        run = 0
+    if run:
+        _emit_val(bw, ac, 0x00, 0, 0)   # EOB (run length 1)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, ac):
+    """One block of an AC refinement scan (T.81 G.1.2.3), mirroring
+    the decoder's advance loop exactly: each symbol is followed by its
+    sign bit, then the correction bits of the nonzero-HISTORY
+    coefficients its advance crosses, in positional order; a ZRL's
+    bits stop at its 16th zero-history slot; the block-ending EOB is
+    followed by the corrections of every remaining history slot."""
+    p1 = 1 << al
+    hist = [abs(int(zz[k])) >> (al + 1) != 0 for k in range(64)]
+    new_pos = [k for k in range(ss, se + 1)
+               if not hist[k] and (abs(int(zz[k])) >> al) == 1]
+    k = ss
+
+    def corr_bit(j):
+        bw.write((abs(int(zz[j])) >> al) & 1, 1)
+
+    for npos in new_pos:
+        run = sum(1 for j in range(k, npos) if not hist[j])
+        while run > 15:
+            _emit_val(bw, ac, 0xF0, 0, 0)
+            crossed = 0
+            while crossed < 16:
+                if hist[k]:
+                    corr_bit(k)
+                else:
+                    crossed += 1
+                k += 1
+            run -= 16
+        ln, code = ac[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[npos]) > 0 else 0, 1)   # sign of +-p1
+        while k < npos:
+            if hist[k]:
+                corr_bit(k)
+            k += 1
+        k = npos + 1
+    if k <= se:
+        _emit_val(bw, ac, 0x00, 0, 0)   # EOB run of 1
+        for j in range(k, se + 1):
+            if hist[j]:
+                corr_bit(j)
+
+
+def _assemble_progressive(coefs, samp, nc, h, w, qt, mcus_x, mcus_y,
+                          successive: bool) -> bytes:
+    """Multi-scan SOF2 assembly. Scan script: interleaved DC first
+    (Al=1 when successive), per-component AC bands 1-5 and 6-63 (Al=1
+    when successive), then — successive only — the DC refinement and
+    per-band AC refinement scans. Every scan kind the decoder
+    implements appears in the successive script."""
+    enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+    al = 1 if successive else 0
+    zzs = [c[:, :, _ZZ_ROWS, _ZZ_COLS] for c in coefs]   # (bh,bw,64)
+
+    def sos(members, ss, se, ah, al_s, payload):
+        out = bytearray(b"\xFF\xDA")
+        out += struct.pack(">H", 6 + 2 * len(members))
+        out += bytes([len(members)])
+        for ci in members:
+            t = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (t << 4) | t])
+        out += bytes([ss, se, (ah << 4) | al_s])
+        return bytes(out) + payload
+
+    def nb_dims(ci):
+        hmax = max(s_[0] for s_ in samp[:nc])
+        vmax = max(s_[1] for s_ in samp[:nc])
+        cw = -(-(w * samp[ci][0]) // hmax)
+        ch = -(-(h * samp[ci][1]) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    scans = bytearray()
+
+    # DC first scan, interleaved across all components
+    bw = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                hi, vi = samp[ci]
+                t = 0 if ci == 0 else 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(zzs[ci][my * vi + by, mx * hi + bx, 0])
+                        tv = v >> al              # arithmetic shift
+                        diff = tv - pred[ci]
+                        pred[ci] = tv
+                        cat = _category(diff)
+                        _emit_val(bw, enc_dc[t], cat, diff, cat)
+    bw.flush()
+    scans += sos(list(range(nc)), 0, 0, 0, al, bytes(bw.out))
+
+    # AC first scans: per component, two spectral bands
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        nb_h, nb_w = nb_dims(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            for by in range(nb_h):
+                for bx in range(nb_w):
+                    _enc_ac_first(bw, zzs[ci][by, bx], ss, se, al,
+                                  enc_ac[t])
+            bw.flush()
+            scans += sos([ci], ss, se, 0, al, bytes(bw.out))
+
+    if successive:
+        # DC refinement: one raw bit per block, interleaved
+        bw = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(zzs[ci][my * vi + by,
+                                            mx * hi + bx, 0])
+                            bw.write(v & 1, 1)
+        bw.flush()
+        scans += sos(list(range(nc)), 0, 0, 1, 0, bytes(bw.out))
+        # AC refinement per component per band
+        for ci in range(nc):
+            t = 0 if ci == 0 else 1
+            nb_h, nb_w = nb_dims(ci)
+            for ss, se in ((1, 5), (6, 63)):
+                bw = _BitWriter()
+                for by in range(nb_h):
+                    for bx in range(nb_w):
+                        _enc_ac_refine(bw, zzs[ci][by, bx], ss, se, 0,
+                                       enc_ac[t])
+                bw.flush()
+                scans += sos([ci], ss, se, 1, 0, bytes(bw.out))
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    for tid, q in enumerate(qt):
+        zzq = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tid]) \
+            + zzq.tobytes()
+    out += b"\xFF\xC2" + struct.pack(">H", 8 + 3 * nc) + bytes([8]) \
+        + struct.pack(">HH", h, w) + bytes([nc])               # SOF2
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    for tclass, tid, (bits, vals) in ((0, 0, DC_LUMA), (1, 0, AC_LUMA),
+                                      (0, 1, DC_CHROMA),
+                                      (1, 1, AC_CHROMA)):
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += scans
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 # --- decoder ----------------------------------------------------------
 
 _UNSUPPORTED_SOF = {
-    0xC1: "extended sequential", 0xC2: "progressive", 0xC3: "lossless",
+    0xC1: "extended sequential", 0xC3: "lossless",
     0xC5: "differential sequential", 0xC6: "differential progressive",
     0xC7: "differential lossless", 0xC9: "arithmetic sequential",
     0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
@@ -441,14 +650,230 @@ _UNSUPPORTED_SOF = {
 }
 
 
+def _decode_scan(br, data, comps, scan, frame, restart_interval, eob_state):
+    """Decode ONE scan's entropy data into the components' coefficient
+    buffers (zigzag order). Handles all four progressive scan kinds —
+    DC first / DC refine / AC first / AC refine (T.81 G.2) — plus the
+    baseline full-spectrum scan, which is just (Ss=0, Se=63, Ah=Al=0)
+    decoded with the same machinery. Restart markers reset DC
+    predictors AND the EOB run."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    members = scan["comps"]                    # list of comp dicts
+    interleaved = len(members) > 1
+    progressive = frame["progressive"]
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC")
+    if ss > 0 and interleaved:
+        raise ValueError("interleaved AC scan is not legal")
+
+    pred = {c["id"]: 0 for c in members}
+    eob_state["run"] = 0
+    rst_expect = eob_state.get("rst", 0)
+    units_done = 0
+
+    def maybe_restart():
+        nonlocal rst_expect, units_done
+        if restart_interval and units_done \
+                and units_done % restart_interval == 0:
+            nonlocal_marker = br.align_to_marker()
+            if nonlocal_marker != 0xD0 + rst_expect:
+                raise ValueError(
+                    f"bad restart marker 0xFF{nonlocal_marker:02X}")
+            rst_expect = (rst_expect + 1) % 8
+            for cid in pred:
+                pred[cid] = 0
+            eob_state["run"] = 0
+
+    def decode_dc(c, zz):
+        if ah == 0:                             # first DC scan
+            t = br.huff(c["dc"])
+            if t > 11:
+                # 8-bit DC categories stop at 11 (T.81 F.1.2.1) — a
+                # corrupted DHT can smuggle in bigger symbols and
+                # overflow the coefficient array (byte-flip fuzz find)
+                raise ValueError(f"bad DC category {t}")
+            diff = _extend(br.bits(t), t) if t else 0
+            pred[c["id"]] += diff
+            zz[0] = pred[c["id"]] << al
+        else:                                   # DC refinement: 1 bit
+            if br.bits(1):
+                zz[0] |= 1 << al
+
+    def decode_ac_first(c, zz):
+        if eob_state["run"] > 0:
+            eob_state["run"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = br.huff(c["ac"])
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run < 15:                    # EOBn
+                    eob_state["run"] = (1 << run) - 1
+                    if run:
+                        eob_state["run"] += br.bits(run)
+                    return
+                k += 16                         # ZRL
+                continue
+            if size > 10:
+                raise ValueError(f"bad AC size {size}")
+            k += run
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(br.bits(size), size) << al
+            k += 1
+
+    def _correct(zz, k):
+        """Read one correction bit for a nonzero-history coefficient."""
+        p1 = 1 << al
+        if br.bits(1) and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else -p1
+
+    def decode_ac_refine(c, zz):
+        p1 = 1 << al
+        k = ss
+        if eob_state["run"] == 0:
+            while k <= se:
+                sym = br.huff(c["ac"])
+                run, size = sym >> 4, sym & 0x0F
+                val = 0
+                if size == 0:
+                    if run < 15:                # EOBn: corrections below
+                        eob_state["run"] = (1 << run)
+                        if run:
+                            eob_state["run"] += br.bits(run)
+                        break
+                    # ZRL: run stays 15 -> crosses 16 zero-history slots
+                elif size == 1:
+                    val = p1 if br.bits(1) else -p1
+                else:
+                    raise ValueError(
+                        f"bad refinement AC size {size}")
+                while k <= se:
+                    if zz[k] != 0:
+                        _correct(zz, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eob_state["run"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    _correct(zz, k)
+                k += 1
+            eob_state["run"] -= 1
+
+    def decode_block(c, by, bx):
+        zz = c["coef"][by, bx]
+        if ss == 0:
+            decode_dc(c, zz)
+            if se == 0:
+                return                          # pure DC scan
+            k = 1
+        else:
+            k = ss
+        if not progressive:                     # baseline AC tail
+            while k <= 63:
+                sym = br.huff(c["ac"])
+                if sym == 0x00:
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size > 10:
+                    raise ValueError(f"bad AC size {size}")
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol 0x{sym:02X}")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+        elif ah == 0:
+            decode_ac_first(c, zz)
+        else:
+            decode_ac_refine(c, zz)
+
+    if interleaved:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart()
+                for c in members:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(c, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+                units_done += 1
+    else:
+        c = members[0]
+        # non-interleaved scans walk the component's OWN block grid
+        # (ceil(comp_dim/8)), not the MCU-padded grid (T.81 A.2.2)
+        for by in range(c["nb_h"]):
+            for bx in range(c["nb_w"]):
+                maybe_restart()
+                if ss == 0 and se == 0:
+                    decode_dc(c, c["coef"][by, bx])
+                elif progressive and ah == 0:
+                    decode_ac_first(c, c["coef"][by, bx])
+                elif progressive:
+                    decode_ac_refine(c, c["coef"][by, bx])
+                else:
+                    decode_block(c, by, bx)
+                units_done += 1
+    eob_state["rst"] = rst_expect
+
+
+def _finish(frame, qt) -> np.ndarray:
+    """Coefficients -> pixels: dequantize, batch-IDCT every block per
+    component in one einsum, assemble planes, upsample, color-convert.
+    Shared by the baseline and progressive paths."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in comps:
+        coef = c["coef"].astype(np.float64)     # (bh, bw, 64) zigzag
+        q = qt[c["tq"]][_ZZ_ROWS, _ZZ_COLS].astype(np.float64)
+        blocks = np.zeros(coef.shape[:2] + (8, 8))
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = coef * q
+        px = np.einsum("xu,abuv,vy->abxy", _M.T, blocks, _M) + 128.0
+        bh, bw = px.shape[:2]
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        p = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        planes.append(p[:h, :w].astype(np.float64))
+
+    if len(comps) == 1:
+        rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.dstack([r, g, b])
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def parse_jpeg(data: bytes) -> dict:
-    """Decode one complete baseline JPEG; return pixels + metadata.
+    """Decode one complete JPEG — baseline sequential (SOF0) or
+    progressive (SOF2, spectral selection + successive approximation,
+    round 7) — and return pixels + metadata.
 
     Returns dict with: width, height, n_pixels, n_components,
-    subsampling ("4:4:4" / "4:2:2" / "4:2:0" / "other"), and
-    ``pixels`` — (height, width, 3) uint8 RGB (grayscale replicated
-    to 3 channels). Fails loudly (ValueError) on truncation, missing
-    tables, invalid Huffman codes, or unsupported modes.
+    progressive, subsampling ("4:4:4" / "4:2:2" / "4:2:0" / "other"),
+    and ``pixels`` — (height, width, 3) uint8 RGB (grayscale
+    replicated to 3 channels). Fails loudly (ValueError) on
+    truncation, missing tables, invalid Huffman codes, or unsupported
+    modes (arithmetic, lossless, hierarchical, 12-bit).
     """
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG file (bad SOI)")
@@ -457,22 +882,28 @@ def parse_jpeg(data: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
-    scan_info = None
+    eob_state: dict = {}
+    saw_scan = False
 
     while True:
         if pos + 2 > len(data):
-            raise ValueError("truncated JPEG (EOF before SOS)")
+            raise ValueError("truncated JPEG (EOF before EOI)")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, "
                              f"got 0x{data[pos]:02X}")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:                     # fill byte
+            pos -= 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-            continue                       # SOI / stray RST: no segment
-        if marker == 0xD9:
-            raise ValueError("EOI before any scan")
+            continue                           # SOI / stray RST: no segment
+        if marker == 0xD9:                     # EOI
+            if not saw_scan:
+                raise ValueError("EOI before any scan")
+            break
         if marker == 0x01:
-            continue                       # TEM: no segment
+            continue                           # TEM: no segment
         if pos + 2 > len(data):
             raise ValueError("truncated marker segment header")
         seg_len = struct.unpack_from(">H", data, pos)[0]
@@ -508,9 +939,11 @@ def parse_jpeg(data: bytes) -> dict:
                 i += 17 + n
             if i != len(body):
                 raise ValueError("trailing bytes in DHT")
-        elif marker == 0xC0:               # SOF0 baseline
+        elif marker in (0xC0, 0xC2):       # SOF0 baseline / SOF2 prog
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             if len(body) < 6:
-                raise ValueError("truncated SOF0")
+                raise ValueError("truncated SOF")
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"{precision}-bit precision unsupported")
@@ -521,7 +954,7 @@ def parse_jpeg(data: bytes) -> dict:
             if nc not in (1, 3):
                 raise ValueError(f"{nc}-component JPEG unsupported")
             if len(body) < 6 + 3 * nc:
-                raise ValueError("truncated SOF0 component list")
+                raise ValueError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, sf, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -530,141 +963,81 @@ def parse_jpeg(data: bytes) -> dict:
                     raise ValueError(
                         f"sampling factor {hi}x{vi} unsupported")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["coef"] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+                comp_w = -(-(w * c["h"]) // hmax)
+                comp_h = -(-(h * c["v"]) // vmax)
+                c["nb_w"] = -(-comp_w // 8)
+                c["nb_h"] = -(-comp_h // 8)
+            frame = {"w": w, "h": h, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+                     "progressive": marker == 0xC2}
         elif marker in _UNSUPPORTED_SOF:
             raise ValueError(
                 f"{_UNSUPPORTED_SOF[marker]} JPEG unsupported "
-                "(baseline sequential only)")
+                "(baseline sequential and progressive only)")
         elif marker == 0xDD:               # DRI
             if len(body) < 2:
                 raise ValueError("truncated DRI")
             restart_interval = struct.unpack_from(">H", body)[0]
-        elif marker == 0xDA:               # SOS
+        elif marker == 0xDA:               # SOS: one scan
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                raise ValueError("non-interleaved scans unsupported")
-            tables = {}
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
+            members = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si], body[2 + 2 * si]
-                tables[cid] = (tt >> 4, tt & 0x0F)
-            scan_info = tables
-            break                          # entropy data follows
+                match = [c for c in frame["comps"] if c["id"] == cid]
+                if not match:
+                    raise ValueError(f"SOS names unknown component {cid}")
+                c = match[0]
+                td, ta = tt >> 4, tt & 0x0F
+                ss_b, se_b, a = body[1 + 2 * ns:4 + 2 * ns]
+                # DC table needed only by FIRST DC scans (refinement
+                # reads raw bits); AC table by any scan touching AC
+                if ss_b == 0 and a >> 4 == 0 and (0, td) not in huff:
+                    raise ValueError("missing DC Huffman table for scan")
+                if se_b > 0 and (1, ta) not in huff:
+                    raise ValueError("missing AC Huffman table for scan")
+                c["dc"] = huff.get((0, td))
+                c["ac"] = huff.get((1, ta))
+                if c["tq"] not in qt:
+                    raise ValueError(
+                        f"missing quantization table {c['tq']}")
+                members.append(c)
+            ss_b, se_b, a = body[1 + 2 * ns:4 + 2 * ns]
+            scan = {"comps": members, "ss": ss_b, "se": se_b,
+                    "ah": a >> 4, "al": a & 0x0F}
+            if not frame["progressive"] and (ss_b, se_b) != (0, 63):
+                raise ValueError("baseline scan must cover 0..63")
+            if not frame["progressive"] \
+                    and ns != len(frame["comps"]):
+                raise ValueError(
+                    "baseline non-interleaved scans unsupported")
+            if se_b > 63 or ss_b > se_b:
+                raise ValueError(f"bad spectral range {ss_b}..{se_b}")
+            br = _BitReader(data, pos)
+            eob_state.setdefault("rst", 0)
+            eob_state["rst"] = 0
+            _decode_scan(br, data, comps, scan, frame,
+                         restart_interval, eob_state)
+            # bit reader stops inside the entropy data; resume the
+            # marker walk at the next byte boundary
+            pos = br.pos
+            saw_scan = True
         # APPn / COM / anything else with a length: skipped
 
     comps = frame["comps"]
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError(f"missing quantization table {c['tq']}")
-        td, ta = scan_info.get(c["id"], (None, None))
-        if td is None:
-            raise ValueError(f"component {c['id']} missing from SOS")
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("missing Huffman table for scan")
-        c["dc"] = huff[(0, td)]
-        c["ac"] = huff[(1, ta)]
-        c["q"] = qt[c["tq"]]
-        c["plane"] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-
-    br = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    rst_expect = 0
-    mcus_done = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcus_done \
-                    and mcus_done % restart_interval == 0:
-                marker = br.align_to_marker()
-                if marker != 0xD0 + rst_expect:
-                    raise ValueError(
-                        f"bad restart marker 0xFF{marker:02X}")
-                rst_expect = (rst_expect + 1) % 8
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = br.huff(c["dc"])
-                        if t > 11:
-                            # 8-bit baseline DC categories stop at 11
-                            # (T.81 F.1.2.1) — a corrupted DHT can
-                            # smuggle in bigger symbols and overflow
-                            # the coefficient array (found by the
-                            # byte-flip fuzz)
-                            raise ValueError(f"bad DC category {t}")
-                        diff = _extend(br.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = br.huff(c["ac"])
-                            if sym == 0x00:      # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size > 10:
-                                # 8-bit baseline AC sizes stop at 10
-                                raise ValueError(f"bad AC size {size}")
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError(
-                                        f"bad AC symbol 0x{sym:02X}")
-                                k += 16          # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow")
-                            zz[k] = _extend(br.bits(size), size)
-                            k += 1
-                        blk = np.zeros((8, 8))
-                        blk[_ZZ_ROWS, _ZZ_COLS] = zz
-                        blk *= c["q"]
-                        px = _M.T @ blk @ _M + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
-            mcus_done += 1
-
-    # the scan must terminate with EOI (T.81 allows 0xFF fill bytes
-    # first) — without this check a truncation that removes only the
-    # trailer would pass silently, weakening the corrupt-skip gate
-    p = br.pos
-    while p < len(data) and data[p] == 0xFF \
-            and p + 1 < len(data) and data[p + 1] == 0xFF:
-        p += 1
-    if p + 2 > len(data) or data[p] != 0xFF or data[p + 1] != 0xD9:
-        raise ValueError("missing EOI after scan (truncated JPEG)")
-
-    # samples become uint8 (libjpeg behavior), then upsample + convert
-    planes = []
-    for c in comps:
-        p = np.clip(np.round(c["plane"]), 0, 255).astype(np.uint8)
-        fy, fx = vmax // c["v"], hmax // c["h"]
-        if fy > 1:
-            p = np.repeat(p, fy, axis=0)
-        if fx > 1:
-            p = np.repeat(p, fx, axis=1)
-        planes.append(p[:h, :w].astype(np.float64))
-
-    if len(comps) == 1:
-        rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
-    else:
-        y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.dstack([r, g, b])
-    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-    if len(comps) == 1:
-        sub = "4:4:4"
-    elif (hmax, vmax) == (1, 1):
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    rgb = _finish(frame, qt)
+    if len(comps) == 1 or (hmax, vmax) == (1, 1):
         sub = "4:4:4"
     elif (hmax, vmax) == (2, 1):
         sub = "4:2:2"
@@ -673,10 +1046,11 @@ def parse_jpeg(data: bytes) -> dict:
     else:
         sub = "other"
     return {
-        "width": int(w),
-        "height": int(h),
-        "n_pixels": int(w * h),
+        "width": int(frame["w"]),
+        "height": int(frame["h"]),
+        "n_pixels": int(frame["w"] * frame["h"]),
         "n_components": len(comps),
+        "progressive": bool(frame["progressive"]),
         "subsampling": sub,
         "pixels": rgb,
     }

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Five modalities decode REAL bytes with production parsers, no stub
-on the path: ``mm_wav_decode`` (RIFF/PCM audio, codec/wav.py — chunk
+Six formats across three modalities decode REAL bytes with
+production parsers, no stub on the path: ``mm_wav_decode`` (RIFF/PCM audio, codec/wav.py — chunk
 walk, multi-depth PCM), ``mm_image_decode`` / ``mm_image_resize``
 (Windows BMP, codec/bmp.py — header/palette/padded-row parse, real
 nearest-neighbor downsample over the parsed pixel array),
 ``mm_png_decode`` (real PNG via codec/png.py — chunk walk with
 per-chunk CRC-32 verification, stdlib-zlib inflate, all five scanline
-filter inversions), ``mm_jpeg_decode`` (real baseline JPEG via
+filter inversions), ``mm_jpeg_decode`` (real JPEG via
 codec/jpeg.py — canonical Huffman decode with 0xFF00 unstuffing,
-dequant, dezigzag, 8x8 IDCT, 4:2:0 upsampling, YCbCr->RGB),
+dequant, dezigzag, 8x8 IDCT, 4:2:0 upsampling, YCbCr->RGB; baseline
+AND progressive/SOF2 incl. successive approximation),
 ``mm_gif_decode`` (real GIF via codec/gif.py — variable-width LZW,
 color tables, four-pass de-interlace), and ``mm_frame_sample``
 (uncompressed AVI video, codec/avi.py — hdrl/strl/movi RIFF walk,
@@ -18,9 +19,9 @@ golden-gated, skipping corrupt payloads with the engine's ValueError
 contract. All three entropy-coding families real image columns use —
 DEFLATE, Huffman+DCT, LZW — now decode with production parsers.
 
-Progressive JPEG, MJPG, H264, and WebP still need codecs this
-environment lacks; those parsers REJECT the fourcc/mode loudly with
-the PIL/ffmpeg swap point named in the message.
+MJPG, H264, and WebP still need codecs this environment lacks;
+those parsers REJECT the fourcc loudly with the PIL/ffmpeg swap
+point named in the message.
 """
 
 from __future__ import annotations

@@ -272,3 +272,113 @@ def test_magic_dispatch_routes_jpeg():
     data = build_jpeg(img, "4:4:4")
     assert sniff_image_format(data) == "jpeg"
     assert np.array_equal(parse_image(data)["pixels"], img)
+
+
+# --- progressive (SOF2) ------------------------------------------------
+
+def test_progressive_decodes_identically_to_baseline():
+    """The strongest progressive check: same image, same quant ->
+    baseline and progressive streams carry the SAME coefficients, so
+    the decoded pixels must be BIT-IDENTICAL. Covers DC first, AC
+    first (EOBRUN/ZRL, two spectral bands), and with successive=True
+    the DC refinement (raw bits) and AC refinement (correction bits)
+    scan kinds."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0", "4:2:2"):
+        for quality in (None, 75):
+            base = parse_jpeg(build_jpeg(img, sub, quality=quality))
+            assert base["progressive"] is False
+            for successive in (False, True):
+                m = parse_jpeg(build_jpeg(img, sub, quality=quality,
+                                          progressive=True,
+                                          successive=successive))
+                assert m["progressive"] is True
+                assert np.array_equal(m["pixels"], base["pixels"]), (
+                    sub, quality, successive)
+
+
+def test_progressive_grayscale_and_truncation():
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (20, 28)).astype(np.uint8)
+    base = parse_jpeg(build_jpeg_ycbcr(y, None, None, quality=60))
+    for successive in (False, True):
+        m = parse_jpeg(build_jpeg_ycbcr(y, None, None, quality=60,
+                                        progressive=True,
+                                        successive=successive))
+        assert m["n_components"] == 1
+        assert np.array_equal(m["pixels"], base["pixels"])
+    img = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
+    data = build_jpeg(img, "4:2:0", quality=70,
+                      progressive=True, successive=True)
+    for cut in range(2, len(data), 7):   # stride: full sweep is slow
+        with pytest.raises(ValueError):
+            parse_jpeg(data[:cut])
+
+
+@given(st.integers(0, 2000), st.integers(0, 255))
+@settings(max_examples=60, deadline=None)
+def test_progressive_byte_flip_fuzz(pos, val):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
+    data = bytearray(build_jpeg(img, "4:2:0", quality=70,
+                                progressive=True, successive=True))
+    data[pos % len(data)] = val
+    try:
+        m = parse_jpeg(bytes(data))
+        assert m["pixels"].shape[2] == 3
+    except ValueError:
+        pass
+
+
+def test_progressive_restart_markers_hand_built():
+    """The progressive encoder never emits restarts, so pin the
+    decoder's per-scan restart handling (predictor + EOB-run reset at
+    RSTn) with a hand-assembled DC-only SOF2 stream: DRI=1, two MCUs,
+    RST0 between them, second MCU's DC diff coded against a RESET
+    predictor."""
+    from go_triton_spark.codec.jpeg import (DC_LUMA, _BitWriter,
+                                            _canonical_codes)
+
+    dc = _canonical_codes(*DC_LUMA)
+
+    def dc_bits(bw, diff):
+        cat = abs(diff).bit_length()
+        ln, code = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+    # gray 8x16, quant=1: DC coef of constant block v is 8*(v-128)
+    v1, v2 = 200, 90
+    b1 = _BitWriter(); dc_bits(b1, 8 * (v1 - 128)); b1.flush()
+    b2 = _BitWriter(); dc_bits(b2, 8 * (v2 - 128)); b2.flush()  # pred reset
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    out += b"\xFF\xC2" + struct.pack(">H", 11) + bytes([8]) \
+        + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    bits, vals = DC_LUMA
+    out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
+        + bytes([0]) + bytes(bits) + bytes(vals)
+    out += b"\xFF\xDD" + struct.pack(">HH", 4, 1)          # DRI = 1
+    out += b"\xFF\xDA" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0])
+    out += bytes(b1.out) + b"\xFF\xD0" + bytes(b2.out)
+    out += b"\xFF\xD9"
+    m = parse_jpeg(bytes(out))
+    assert m["progressive"] is True
+    exp = np.zeros((8, 16), np.uint8)
+    exp[:, :8] = v1
+    exp[:, 8:] = v2
+    assert np.array_equal(m["pixels"][:, :, 0], exp)
+
+
+def test_remaining_unsupported_sofs_still_named():
+    img = np.full((8, 8, 3), 10, np.uint8)
+    data = bytearray(build_jpeg(img, "4:4:4"))
+    sof = data.index(b"\xFF\xC0")
+    for code, name in ((0xC3, "lossless"), (0xC9, "arithmetic")):
+        mut = bytearray(data)
+        mut[sof + 1] = code
+        with pytest.raises(ValueError, match=name):
+            parse_jpeg(bytes(mut))
