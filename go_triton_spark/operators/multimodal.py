@@ -322,7 +322,15 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 y, cb, cr = _jpeg_gate_planes(doc_id)
-                payload = build_jpeg_ycbcr(y, cb, cr, "4:2:0")
+                # odd doc_ids travel as PROGRESSIVE (SOF2, successive
+                # approximation) streams — same coefficients, same
+                # decoded pixels, so the oracle is unchanged while the
+                # driver gate exercises both decode paths (verified
+                # identical + corrupt-rejected over the full period)
+                prog = bool(doc_id % 2)
+                payload = build_jpeg_ycbcr(y, cb, cr, "4:2:0",
+                                           progressive=prog,
+                                           successive=prog)
                 if doc_id % 101 == 31:
                     payload = payload[:-6]  # corrupt: truncated scan
                 try:
