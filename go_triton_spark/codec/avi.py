@@ -7,12 +7,15 @@ strf)) LIST('movi' 00db...))`` — and each frame's pixel payload is the
 same 4-byte-padded bottom-up BGR layout as a BMP body, decoded by the
 shared ``codec.bmp.decode_dib_rows``.
 
-Scope: single video stream, 24-bit BI_RGB 'DIB ' frames in '00db'
-chunks (the uncompressed-AVI shape). Compressed fourccs (MJPG, H264…)
-need real codecs and raise ValueError, so callers apply the engine's
-corrupt/unsupported-skip semantics; the chunk walk itself skips
-unknown chunks (idx1, JUNK, INFO lists) and honors RIFF's odd-size pad
-byte, exactly like the WAV walker.
+Scope: single video stream; 24-bit BI_RGB 'DIB ' frames in '00db'
+chunks (the uncompressed-AVI shape), and — since round 7, riding
+codec/jpeg.py — 'MJPG' frames in '00dc' chunks (Motion-JPEG, the
+common legacy compressed AVI: each frame is a complete baseline JPEG).
+Other compressed fourccs (H264, XVID…) need real codecs and raise
+ValueError, so callers apply the engine's corrupt/unsupported-skip
+semantics; the chunk walk itself skips unknown chunks (idx1, JUNK,
+INFO lists) and honors RIFF's odd-size pad byte, exactly like the WAV
+walker.
 """
 
 from __future__ import annotations
@@ -82,7 +85,7 @@ def parse_avi(data: bytes) -> dict:
     end = min(len(data), 8 + riff_size)
 
     width = height = n_frames = us_per_frame = None
-    handler_ok = False
+    handler = None
     frames: list[np.ndarray] = []
 
     for cid, body, csize in _chunks(data, 12, end):
@@ -105,28 +108,49 @@ def parse_avi(data: bytes) -> dict:
                         fcc_type = data[sbody:sbody + 4]
                         fcc_handler = data[sbody + 4:sbody + 8]
                         if fcc_type == b"vids":
-                            if fcc_handler not in (b"DIB ", b"\x00" * 4):
+                            if fcc_handler in (b"DIB ", b"\x00" * 4):
+                                handler = "dib"
+                            elif fcc_handler in (b"MJPG", b"mjpg"):
+                                handler = "mjpg"
+                            else:
                                 raise ValueError(
                                     f"unsupported video codec "
-                                    f"{fcc_handler!r} (only raw 'DIB ')")
-                            handler_ok = True
+                                    f"{fcc_handler!r} (raw 'DIB ' and "
+                                    f"'MJPG' only)")
         elif ltype == b"movi":
             if width is None:
                 raise ValueError("movi before hdrl")
             spans = []
             for mcid, mbody, msize in _chunks(data, body + 4, body + csize):
                 if mcid[2:4] == b"dc":
-                    raise ValueError(
-                        "compressed frame chunk (..dc) — only raw 00db")
+                    if handler != "mjpg":
+                        raise ValueError(
+                            "compressed frame chunk (..dc) without an "
+                            "MJPG stream header")
+                    spans.append((mbody, msize))
+                    continue
                 if mcid[2:4] != b"db":
                     continue  # audio/other interleaved chunks: skipped
+                if handler == "mjpg":
+                    spans.append((mbody, msize))  # some muxers use 00db
+                    continue
                 spans.append((mbody, msize))
-            if spans:
+            if spans and handler == "mjpg":
+                from go_triton_spark.codec.jpeg import parse_jpeg
+                frames = []
+                for mbody, msize in spans:
+                    m = parse_jpeg(data[mbody:mbody + msize])
+                    if (m["width"], m["height"]) != (width, height):
+                        raise ValueError(
+                            f"MJPG frame {m['width']}x{m['height']} != "
+                            f"stream {width}x{height}")
+                    frames.append(m["pixels"])
+            elif spans:
                 frames = _decode_frames_batch(data, spans, width, height)
 
     if width is None or n_frames is None:
         raise ValueError("missing avih header")
-    if not handler_ok:
+    if handler is None:
         raise ValueError("missing 'vids' stream header")
     if len(frames) != n_frames:
         raise ValueError(
@@ -142,34 +166,55 @@ def parse_avi(data: bytes) -> dict:
     }
 
 
-def build_avi(frames, fps: int = 10) -> bytes:
-    """Assemble a canonical uncompressed AVI from same-sized RGB frame
-    arrays — deterministic bytes, the gate-corpus/test producer (the
-    video analog of build_wav / build_bmp)."""
+def build_avi(frames, fps: int = 10, codec: str = "DIB",
+              quality: int | None = None) -> bytes:
+    """Assemble a canonical AVI from same-sized RGB frame arrays —
+    deterministic bytes, the gate-corpus/test producer (the video
+    analog of build_wav / build_bmp). ``codec="DIB"`` writes raw
+    bottom-up BGR '00db' frames; ``codec="MJPG"`` writes one complete
+    baseline JPEG per frame in '00dc' chunks (codec/jpeg.py;
+    ``quality`` as in build_jpeg — None = near-lossless ones quant)."""
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames or any(f.shape != frames[0].shape for f in frames):
         raise ValueError("build_avi needs >=1 same-shaped (h,w,3) frames")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported codec {codec!r}")
     h, w = frames[0].shape[:2]
     stride = (w * 3 + 3) & ~3
     us_per_frame = 1_000_000 // fps
 
+    if codec == "MJPG":
+        from go_triton_spark.codec.jpeg import build_jpeg
+        payloads = [build_jpeg(f, "4:2:0", quality=quality)
+                    for f in frames]
+        chunk_id = b"00dc"
+        fourcc = b"MJPG"
+        compression = struct.unpack("<I", b"MJPG")[0]
+        buf = max(len(p) for p in payloads)
+    else:
+        payloads = [encode_dib_rows(f) for f in frames]
+        chunk_id = b"00db"
+        fourcc = b"DIB "
+        compression = 0
+        buf = stride * h
+
     avih = b"avih" + struct.pack("<I", _AVIH) + struct.pack(
-        "<10I16x", us_per_frame, stride * h * fps, 0, 0x10, len(frames),
-        0, 1, stride * h, w, h)
+        "<10I16x", us_per_frame, buf * fps, 0, 0x10, len(frames),
+        0, 1, buf, w, h)
     strh = b"strh" + struct.pack("<I", _STRH) + (
-        b"vidsDIB " + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, 1, fps,
-                                  0, len(frames), stride * h, -1, 0,
-                                  0, 0, w, h))
+        b"vids" + fourcc + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, 1,
+                                       fps, 0, len(frames), buf, -1, 0,
+                                       0, 0, w, h))
     strf = b"strf" + struct.pack("<I", 40) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, buf, 0, 0, 0, 0)
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + \
         b"strl" + strh + strf
     hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + \
         b"hdrl" + avih + strl
 
     movi_body = b"".join(
-        b"00db" + struct.pack("<I", stride * h) + encode_dib_rows(f)
-        for f in frames)
+        chunk_id + struct.pack("<I", len(p)) + p + (b"\x00" * (len(p) & 1))
+        for p in payloads)
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + \
         b"movi" + movi_body
 

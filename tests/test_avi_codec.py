@@ -89,9 +89,13 @@ def test_unknown_chunks_and_audio_interleave_skipped():
 
 def test_compressed_codec_rejected():
     f0 = b"\x01\x02\x03\x00"
-    with pytest.raises(ValueError, match="codec"):
+    # MJPG is a SUPPORTED handler since round 7 — garbage frame bytes
+    # now fail inside the per-frame JPEG parse, not at the fourcc
+    with pytest.raises(ValueError, match="SOI"):
         parse_avi(_hand_avi([f0], 1, 1, handler=b"MJPG"))
-    with pytest.raises(ValueError, match="00db"):
+    with pytest.raises(ValueError, match="codec"):
+        parse_avi(_hand_avi([f0], 1, 1, handler=b"H264"))
+    with pytest.raises(ValueError, match="MJPG"):
         parse_avi(_hand_avi([f0], 1, 1, chunk_id=b"00dc"))
 
 
@@ -158,3 +162,58 @@ def test_avi_mutation_fuzz(flip_at, flip_to):
         assert m["n_frames"] >= 0
     except ValueError:
         pass
+
+
+# --- MJPG (round 7, riding codec/jpeg.py) -------------------------------
+
+def test_mjpg_exact_roundtrip_and_metadata():
+    """MCU-constant frames + ones quant -> Motion-JPEG round-trips
+    BIT-EXACTLY (each '00dc' chunk is a complete baseline JPEG)."""
+    rng = np.random.default_rng(4)
+    frames = []
+    for _ in range(5):
+        fr = np.zeros((16, 32, 3), np.uint8)
+        fr[:, :16] = rng.integers(0, 256)
+        fr[:, 16:] = rng.integers(0, 256)
+        frames.append(fr)
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+    data = build_avi(frames, fps=25, codec="MJPG")
+    assert b"vidsMJPG" in data and b"00dc" in data
+    m = parse_avi(data)
+    assert m["n_frames"] == 5 and m["us_per_frame"] == 40000
+    for got, want in zip(m["frames"], frames):
+        assert np.array_equal(got, want)
+
+
+def test_mjpg_lossy_and_frame_dim_guard():
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+              for _ in range(3)]
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+    m = parse_avi(build_avi(frames, codec="MJPG", quality=85))
+    for got, want in zip(m["frames"], frames):
+        assert got.shape == want.shape
+        assert np.abs(got.astype(int) - want.astype(int)).mean() < 60
+    # a stream header that disagrees with the frames' JPEG dims is
+    # loud: patch the avih width/height, leave the JPEGs intact
+    data = bytearray(build_avi(frames, codec="MJPG", quality=85))
+    import struct as _s
+    avih = data.index(b"avih") + 8
+    _s.pack_into("<II", data, avih + 32, 64, 64)
+    with pytest.raises(ValueError, match="!= stream"):
+        parse_avi(bytes(data))
+
+
+def test_mjpg_corrupt_frame_rejected_other_codecs_still_named():
+    rng = np.random.default_rng(9)
+    frames = [np.full((16, 16, 3), 80, np.uint8) for _ in range(2)]
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+    data = build_avi(frames, codec="MJPG")
+    # truncate inside the last frame's JPEG scan
+    with pytest.raises(ValueError):
+        parse_avi(data[:-10] + data[-8:])
+    mut = bytearray(data)
+    hdr = mut.index(b"vidsMJPG")
+    mut[hdr + 4:hdr + 8] = b"XVID"
+    with pytest.raises(ValueError, match="XVID"):
+        parse_avi(bytes(mut))
