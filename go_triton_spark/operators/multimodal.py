@@ -520,6 +520,77 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_mjpg_frame_sample",
+    oracle="""
+    SELECT d.doc_id, gf.f AS frame_idx,
+           cast(256 * ((5 * gf.f + 3 * d.doc_id) % 256
+                       + (9 + 5 * gf.f + 3 * d.doc_id) % 256) as bigint)
+             AS sum_r
+    FROM documents d
+    CROSS JOIN generate_series(0, 6) gf(f)
+    WHERE d.doc_id % 107 <> 43
+      AND gf.f < 2 + d.doc_id % 6 AND gf.f % 2 = 0
+    GROUP BY d.doc_id, gf.f
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def mm_mjpg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video frame sampling: each row carries a complete
+    Motion-JPEG AVI — every '00dc' chunk a real baseline JPEG that
+    codec/avi.py routes through codec/jpeg.py's full Huffman + IDCT
+    pipeline — then every second frame's red channel is aggregated.
+    This is mm_frame_sample's compressed sibling: together they cover
+    both video container shapes a real media column holds (raw DIB
+    and MJPG; H264 keeps its named ffmpeg swap point).
+
+    Gate corpus: 2..7 frames of two 16x16-constant gray tiles per
+    frame, so the JPEG leg is DC-only and bit-exact (same algebra as
+    the mm_jpeg_decode gate; verified exact + corrupt-rejected over
+    the full 1284-doc parameter period). Corruption truncates every
+    107th container inside the last frame's entropy data."""
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 2 + doc_id % 6
+                frames = []
+                for f in range(n):
+                    fr = np.zeros((16, 32, 3), np.uint8)
+                    fr[:, :16] = (5 * f + 3 * doc_id) % 256
+                    fr[:, 16:] = (9 + 5 * f + 3 * doc_id) % 256
+                    frames.append(fr)
+                payload = build_avi(frames, fps=10, codec="MJPG")
+                if doc_id % 107 == 43:
+                    payload = payload[:-7]  # corrupt: truncated frame
+                try:
+                    m = parse_avi(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle
+                arr = np.asarray(m["frames"])[0::2, :, :, 0]
+                sums = arr.astype("int64").sum(axis=(1, 2))
+                rows.extend((doc_id, 2 * i, int(s))
+                            for i, s in enumerate(sums))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_idx", "sum_r"])
+
+    return src.mapInPandas(sample, schema=schema)
+
+
+@query(
     "mm_image_resize",
     oracle="""
     WITH p AS (

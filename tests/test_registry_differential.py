@@ -84,6 +84,7 @@ FUZZED_QUERIES = [
     "mm_image_decode",
     "mm_image_resize",
     "mm_frame_sample",
+    "mm_mjpg_frame_sample",
     "mm_wav_decode",
     "mm_feature_extract",
 ]
