@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_levenshtein_qgram",   # r5: track the q-gram routing variant
     "mm_png_decode",             # r6: compressed-image decode (zlib+CRC)
     "mm_jpeg_decode",            # r7: entropy-coded decode (Huffman+DCT)
+    "mm_gif_decode",             # r7: LZW decode
     "join_skew_aware",           # r7: measured per verdict ask (skew guard)
 ]
 
