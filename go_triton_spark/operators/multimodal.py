@@ -551,7 +551,9 @@ def mm_mjpg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_triton_spark.codec.avi import build_avi, parse_avi
 
     (d,) = tables(spark, sf_dir, "documents")
-    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    # ~13 ms/doc (4.5 JPEG frames encoded AND decoded per container),
+    # the costliest mm gate — 100 rows/task keeps tasks near 1 s
+    src = spread(d.select("doc_id"), spark, rows_per_task=100)
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
