@@ -87,6 +87,7 @@ FUZZED_QUERIES = [
     "mm_mjpg_frame_sample",
     "mm_wav_decode",
     "mm_feature_extract",
+    "warc_extract",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
