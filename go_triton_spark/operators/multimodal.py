@@ -892,3 +892,107 @@ def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return src.mapInPandas(extract, schema=schema)
+
+
+@query(
+    "mm_tar_shard_extract",
+    oracle="""
+    SELECT d.doc_id, gk.k AS sample_idx,
+           cast((d.doc_id + 3 * gk.k) % 10 as bigint) AS label,
+           cast(64 * ((7 * gk.k + d.doc_id) % 256
+                      + CASE WHEN gk.k % 2 = 1
+                             THEN (13 + 7 * gk.k + d.doc_id) % 256
+                             ELSE 0 END) as bigint) AS sum_r
+    FROM documents d
+    CROSS JOIN generate_series(0, 2) gk(k)
+    WHERE d.doc_id % 113 <> 5
+      AND gk.k < 1 + d.doc_id % 3
+    GROUP BY d.doc_id, gk.k
+    """,
+    tags=("llm", "multimodal", "ingest"),
+)
+def mm_tar_shard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard ingest (round 7): each row carries a
+    complete POSIX tar whose members are (NNNN.jpg, NNNN.cls) sample
+    pairs — the layout multimodal training pipelines stream — and the
+    operator untars it (stdlib tarfile, member-size verified), groups
+    members by stem, decodes every .jpg through the REAL magic-
+    sniffing image dispatch (codec/image.py -> codec/jpeg.py), and
+    emits one row per sample with its label and decoded red-channel
+    sum. This chains two real decode layers: container framing and
+    entropy-coded image bytes.
+
+    Gate corpus: 1..3 samples per shard of 8x8-constant grayscale
+    JPEGs (DC-exact, same algebra as the mm_jpeg_decode gate).
+    Corruption flips a byte inside the FIRST member header's checksum
+    field on every 113th shard — tarfile's header verification
+    rejects it (verified over a 1000-doc sweep) and the operator
+    skips the shard. Production shards come from
+    ``spark.read.format("binaryFile")`` over a dataset bucket."""
+    import io
+    import tarfile
+
+    from go_triton_spark.codec.image import parse_image
+    from go_triton_spark.codec.jpeg import build_jpeg_gray
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=300)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for k in range(1 + doc_id % 3):
+                        tiles = 1 + k % 2
+                        img = np.zeros((8, 8 * tiles), np.uint8)
+                        for t in range(tiles):
+                            img[:, 8 * t:8 * t + 8] = \
+                                (13 * t + 7 * k + doc_id) % 256
+                        jpg = build_jpeg_gray(img)
+                        info = tarfile.TarInfo(f"{k:04d}.jpg")
+                        info.size = len(jpg)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(jpg))
+                        lab = str((doc_id + 3 * k) % 10).encode()
+                        info = tarfile.TarInfo(f"{k:04d}.cls")
+                        info.size = len(lab)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(lab))
+                payload = bytearray(buf.getvalue())
+                if doc_id % 113 == 5:
+                    payload[150] ^= 0xFF  # corrupt: header checksum
+                samples: dict = {}
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(payload)),
+                                      mode="r:") as tf:
+                        for m in tf:
+                            data = tf.extractfile(m).read()
+                            if len(data) != m.size:
+                                raise ValueError("truncated tar member")
+                            stem, _, ext = m.name.rpartition(".")
+                            samples.setdefault(stem, {})[ext] = data
+                except (tarfile.ReadError, EOFError, ValueError):
+                    continue  # corrupt-skip, counted by the oracle
+                for stem in sorted(samples):
+                    parts = samples[stem]
+                    if "jpg" not in parts or "cls" not in parts:
+                        continue
+                    px = parse_image(parts["jpg"])["pixels"]
+                    rows.append((doc_id, int(stem),
+                                 int(parts["cls"].decode()),
+                                 int(px[:, :, 0].astype("int64").sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(extract, schema=schema)

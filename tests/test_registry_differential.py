@@ -88,6 +88,7 @@ FUZZED_QUERIES = [
     "mm_wav_decode",
     "mm_feature_extract",
     "warc_extract",
+    "mm_tar_shard_extract",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
