@@ -996,3 +996,77 @@ def mm_tar_shard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return src.mapInPandas(extract, schema=schema)
+
+
+@query(
+    "mm_flac_decode",
+    oracle="""
+    SELECT d.doc_id,
+           cast(64 + d.doc_id % 128 as bigint) AS n_samples,
+           cast(8000 as bigint) AS sample_rate,
+           cast(sum(abs((gi.i * gi.i + 3 * d.doc_id) % 2048 - 1024))
+                as bigint) AS sum_abs,
+           cast(max(abs((gi.i * gi.i + 3 * d.doc_id) % 2048 - 1024))
+                as bigint) AS peak
+    FROM documents d
+    CROSS JOIN generate_series(0, 191) gi(i)
+    WHERE d.doc_id % 127 <> 19
+      AND gi.i < 64 + d.doc_id % 128
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode (round 7): each row carries a
+    complete FLAC stream that codec/flac.py genuinely decodes —
+    STREAMINFO walk, frame header with UTF-8-coded numbering and
+    CRC-8, Rice-coded residual decompression, linear-prediction
+    reconstruction, frame CRC-16 verification — and the operator
+    aggregates the DECODED samples. Audio's compressed leg now
+    matches image's: WAV covered raw PCM; FLAC covers Rice + LPC.
+    Odd doc_ids travel as explicit LPC subframes (coefficients on the
+    wire), even as FIXED order-2 — both predictor paths gated live
+    (same decoded samples, lossless codec; verified over a 3000-doc
+    period).
+
+    Corruption flips ONE byte inside the frame payload of every 127th
+    stream — caught by the frame CRC-16, the strongest corrupt gate
+    shape (integrity check, not a length heuristic; like
+    mm_png_decode's CRC-32 flip)."""
+    import numpy as np
+
+    from go_triton_spark.codec.flac import build_flac, parse_flac
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 128
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * i + 3 * doc_id) % 2048) - 1024
+                payload = bytearray(build_flac(
+                    s, subframe="lpc2" if doc_id % 2 else "fixed2"))
+                if doc_id % 127 == 19:
+                    payload[-10] ^= 0x01  # corrupt: CRC-16 catches it
+                try:
+                    m = parse_flac(bytes(payload))
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle
+                ch = m["samples"][:, 0].astype("int64")
+                rows.append((doc_id, m["n_samples"], m["sample_rate"],
+                             int(np.abs(ch).sum()), int(np.abs(ch).max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)

@@ -89,6 +89,7 @@ FUZZED_QUERIES = [
     "mm_feature_extract",
     "warc_extract",
     "mm_tar_shard_extract",
+    "mm_flac_decode",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
