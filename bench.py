@@ -94,6 +94,8 @@ HEADLINE = [
     "mm_png_decode",             # r6: compressed-image decode (zlib+CRC)
     "mm_jpeg_decode",            # r7: entropy-coded decode (Huffman+DCT)
     "mm_gif_decode",             # r7: LZW decode
+    "mm_flac_decode",            # r7: Rice+LPC audio decode
+    "warc_extract",              # r7: Common Crawl shard ingest
     "join_skew_aware",           # r7: measured per verdict ask (skew guard)
 ]
 

@@ -15,9 +15,13 @@ AND progressive/SOF2 incl. successive approximation),
 color tables, four-pass de-interlace), ``mm_frame_sample`` /
 ``mm_mjpg_frame_sample`` (AVI video, codec/avi.py — hdrl/strl/movi
 RIFF walk; raw-DIB batch decode AND Motion-JPEG '00dc' frames routed
-through the JPEG codec), and ``warc_extract`` (Common Crawl-layout
+through the JPEG codec), ``mm_flac_decode`` (real FLAC via
+codec/flac.py — Rice residuals, FIXED + on-wire-LPC prediction,
+mid/side stereo, CRC-8/16), ``warc_extract`` (Common Crawl-layout
 .warc.gz shards via codec/warc.py — member-wise gzip, WARC/1.0
-header walk, Content-Length framing). All pure stdlib+numpy,
+header walk, Content-Length framing), and ``mm_tar_shard_extract``
+(WebDataset tar shards chained through the image dispatch). All pure
+stdlib+numpy,
 golden-gated, skipping corrupt payloads with the engine's ValueError
 contract. All three entropy-coding families real image columns use —
 DEFLATE, Huffman+DCT, LZW — now decode with production parsers.
