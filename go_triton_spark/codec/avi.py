@@ -86,7 +86,9 @@ def parse_avi(data: bytes) -> dict:
 
     width = height = n_frames = us_per_frame = None
     handler = None
-    frames: list[np.ndarray] = []
+    # (handler, spans) accumulated ACROSS movi LISTs — a legal AVI may
+    # carry several (OpenDML muxers split at 1 GiB); decode once at end
+    all_spans: list[tuple[int, int]] = []
 
     for cid, body, csize in _chunks(data, 12, end):
         if cid != b"LIST":
@@ -120,38 +122,35 @@ def parse_avi(data: bytes) -> dict:
         elif ltype == b"movi":
             if width is None:
                 raise ValueError("movi before hdrl")
-            spans = []
             for mcid, mbody, msize in _chunks(data, body + 4, body + csize):
                 if mcid[2:4] == b"dc":
                     if handler != "mjpg":
                         raise ValueError(
                             "compressed frame chunk (..dc) without an "
                             "MJPG stream header")
-                    spans.append((mbody, msize))
+                    all_spans.append((mbody, msize))
                     continue
                 if mcid[2:4] != b"db":
                     continue  # audio/other interleaved chunks: skipped
-                if handler == "mjpg":
-                    spans.append((mbody, msize))  # some muxers use 00db
-                    continue
-                spans.append((mbody, msize))
-            if spans and handler == "mjpg":
-                from go_triton_spark.codec.jpeg import parse_jpeg
-                frames = []
-                for mbody, msize in spans:
-                    m = parse_jpeg(data[mbody:mbody + msize])
-                    if (m["width"], m["height"]) != (width, height):
-                        raise ValueError(
-                            f"MJPG frame {m['width']}x{m['height']} != "
-                            f"stream {width}x{height}")
-                    frames.append(m["pixels"])
-            elif spans:
-                frames = _decode_frames_batch(data, spans, width, height)
+                # mjpg muxers sometimes use 00db too; both handlers take it
+                all_spans.append((mbody, msize))
 
     if width is None or n_frames is None:
         raise ValueError("missing avih header")
     if handler is None:
         raise ValueError("missing 'vids' stream header")
+    frames: list[np.ndarray] = []
+    if all_spans and handler == "mjpg":
+        from go_triton_spark.codec.jpeg import parse_jpeg
+        for mbody, msize in all_spans:
+            m = parse_jpeg(data[mbody:mbody + msize])
+            if (m["width"], m["height"]) != (width, height):
+                raise ValueError(
+                    f"MJPG frame {m['width']}x{m['height']} != "
+                    f"stream {width}x{height}")
+            frames.append(m["pixels"])
+    elif all_spans:
+        frames = _decode_frames_batch(data, all_spans, width, height)
     if len(frames) != n_frames:
         raise ValueError(
             f"frame-count drift: avih says {n_frames}, movi has "

@@ -319,7 +319,11 @@ def parse_flac(data: bytes) -> dict:
 
     chans_all: list[list[int]] = [[] for _ in range(nch)]
     decoded = 0
-    while decoded < total:
+    # STREAMINFO total-samples == 0 means UNKNOWN (spec), not empty:
+    # decode frames until the input is exhausted instead of silently
+    # returning zero samples (round-7 advisory).
+    unknown_total = total == 0
+    while (pos < len(data)) if unknown_total else (decoded < total):
         frame_start = pos
         br = _BitReader(data, pos)
         sync = br.bits(14)
@@ -427,7 +431,7 @@ def parse_flac(data: bytes) -> dict:
             mid, side = subs
             m = (mid << 1) | (side & 1)
             subs = [(m + side) >> 1, (m - side) >> 1]
-        take = min(blocksize, total - decoded)
+        take = blocksize if unknown_total else min(blocksize, total - decoded)
         for ci in range(nch):
             chans_all[ci].extend(int(v) for v in subs[ci][:take])
         decoded += take
@@ -440,7 +444,7 @@ def parse_flac(data: bytes) -> dict:
         "sample_rate": int(sample_rate),
         "n_channels": int(nch),
         "bits_per_sample": int(bps),
-        "n_samples": int(total),
+        "n_samples": int(decoded if unknown_total else total),
         "samples": samples.astype(np.int32),
     }
 

@@ -6,11 +6,16 @@ real image columns contain).
 Pure stdlib + numpy from the public specification (GIF89a, CompuServe
 1990): logical screen descriptor, global/local color tables,
 variable-width LZW decompression (dynamic code width 3..12 bits, Clear
-/ EOI codes, deferred-clear tolerated), interlaced row ordering (the
-four-pass 8/8-4/8-2/4-1/2 schedule), extension-block skipping (GCE /
-comment / application, sub-block chained), and the 0x3B trailer.
-Animated GIFs decode every image block; ``parse_gif`` returns the
-frames batch like parse_avi. Fails loudly (ValueError) on truncation,
+/ EOI codes, deferred-clear tolerated — a full 4096-entry table keeps
+decoding until Clear/EOI), interlaced row ordering (the four-pass
+8/8-4/8-2/4-1/2 schedule), Graphic Control Extension parsing
+(transparency index, disposal method, frame delay — transparent pixels
+never take a palette color; comment/application extensions skipped),
+and the 0x3B trailer. Animated GIFs decode every image block and are
+composited per the disposal model (1 keep / 2 restore-background /
+3 restore-previous) with an alpha plane exposed alongside the RGB.
+``parse_gif`` returns the frames batch like parse_avi. Fails loudly
+(ValueError) on truncation,
 bad LZW codes, missing color tables, or palette-range overflow — the
 engine's corrupt-skip contract (same as every codec/ parser).
 
@@ -71,16 +76,19 @@ def lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):                 # KwKwK case
+            # Deferred clear (giflib emits it routinely): once the
+            # table holds all 4096 addressable entries, STOP growing
+            # and keep decoding existing codes until Clear/EOI — a
+            # full table is legal, only a code past it is corrupt.
+            if len(table) <= _MAX_CODE:
+                table.append(prev + entry[:1])
+        elif code == len(table) and code <= _MAX_CODE:   # KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:
             raise ValueError(f"LZW code {code} beyond table {len(table)}")
         out += entry
         prev = entry
-        if len(table) > _MAX_CODE:
-            raise ValueError("LZW table overflow without Clear")
         if len(table) == (1 << width) and width < 12:
             width += 1
         if len(out) > expected:
@@ -133,6 +141,14 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        # Decoder-visible growth: the DECODER appends a table entry for
+        # this final data code (its table reaches len == next_code), and
+        # if that lands exactly on a power of two it widens BEFORE
+        # reading the next code. The encoder must mirror that or EOI is
+        # written at width while the decoder reads width+1 (round-7
+        # verdict, seed=125 kbits=5 8x30 counterexample).
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -195,6 +211,7 @@ def parse_gif(data: bytes) -> dict:
         pos += 3 * n
 
     frames = []
+    gce = None                                   # applies to NEXT image
     while True:
         if pos >= len(data):
             raise ValueError("truncated GIF (EOF before trailer)")
@@ -205,9 +222,20 @@ def parse_gif(data: bytes) -> dict:
         if block == 0x21:                        # extension
             if pos >= len(data):
                 raise ValueError("truncated extension block")
-            pos += 1                             # label
-            _, pos = _sub_blocks(data, pos)
-            continue
+            label = data[pos]
+            pos += 1
+            payload, pos = _sub_blocks(data, pos)
+            if label == 0xF9:                    # Graphic Control Ext
+                if len(payload) < 4:
+                    raise ValueError("truncated GCE payload")
+                gpacked = payload[0]
+                gce = {
+                    "disposal": (gpacked >> 2) & 0x07,
+                    "delay_cs": payload[1] | (payload[2] << 8),
+                    "transparency_index":
+                        payload[3] if gpacked & 0x01 else None,
+                }
+            continue                             # comment / app: skipped
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
         if pos + 9 > len(data):
@@ -233,33 +261,78 @@ def parse_gif(data: bytes) -> dict:
         payload, pos = _sub_blocks(data, pos)
         idx = np.frombuffer(
             lzw_decode(payload, min_code, w * h), np.uint8).reshape(h, w)
-        if int(idx.max()) >= len(pal):
+        if ipacked & 0x40:                       # deinterlace the INDEX
+            idx = _deinterlace(idx)              # plane so the
+        tidx = gce["transparency_index"] if gce else None
+        opaque = idx != tidx if tidx is not None else None
+        check = idx if opaque is None else idx[opaque]
+        # transparency-masked pixels may carry any index (spec: the
+        # palette color of a transparent pixel is meaningless)
+        if check.size and int(check.max()) >= len(pal):
             raise ValueError("palette index out of range")
-        px = pal[idx]
-        if ipacked & 0x40:
-            px = _deinterlace(px)
-        frames.append((left, top, px))
+        px = pal[np.minimum(idx, len(pal) - 1)]
+        meta = {
+            "left": int(left), "top": int(top),
+            "transparency_index": tidx,
+            "disposal": gce["disposal"] if gce else 0,
+            "delay_cs": gce["delay_cs"] if gce else 0,
+        }
+        frames.append((px, opaque, meta))
+        gce = None                               # GCE covers ONE image
 
     if not frames:
         raise ValueError("GIF contains no image block")
+    # Composite per the GIF89a disposal model: 0/1 leave, 2 restore
+    # background (transparent, rendered as zeros), 3 restore previous.
     screen = np.zeros((sh, sw, 3), np.uint8)
-    left, top, first = frames[0]
-    screen[top:top + first.shape[0], left:left + first.shape[1]] = first
+    alpha = np.zeros((sh, sw), np.uint8)
+    composited = []
+    for px, opaque, meta in frames:
+        left, top = meta["left"], meta["top"]
+        h, w = px.shape[:2]
+        saved = (screen.copy(), alpha.copy())
+        region = screen[top:top + h, left:left + w]
+        aregion = alpha[top:top + h, left:left + w]
+        if opaque is None:
+            region[:] = px
+            aregion[:] = 255
+        else:
+            region[opaque] = px[opaque]
+            aregion[opaque] = 255
+        composited.append(screen.copy())
+        if meta["disposal"] == 2:                # restore background
+            region[:] = 0
+            aregion[:] = 0
+        elif meta["disposal"] == 3:              # restore previous
+            screen, alpha = saved
+    first_alpha = np.zeros((sh, sw), np.uint8)
+    px, opaque, meta = frames[0]
+    h, w = px.shape[:2]
+    first_alpha[meta["top"]:meta["top"] + h,
+                meta["left"]:meta["left"] + w] = (
+        255 if opaque is None else opaque.astype(np.uint8) * 255)
     return {
         "width": int(sw),
         "height": int(sh),
         "n_pixels": int(sw * sh),
         "n_frames": len(frames),
-        "pixels": screen,
-        "frames": [f for _, _, f in frames],
+        "pixels": composited[0],
+        "alpha": first_alpha,
+        "frames": [px for px, _, _ in frames],
+        "frame_meta": [m for _, _, m in frames],
+        "composited": composited,
     }
 
 
 def build_gif(indices: np.ndarray, palette: np.ndarray,
-              interlace: bool = False) -> bytes:
+              interlace: bool = False,
+              transparency_index: int | None = None,
+              disposal: int = 0, delay_cs: int = 0) -> bytes:
     """Assemble a single-frame GIF89a from an (h, w) palette-index
     array and an (n, 3) RGB palette (n a power of two, 4..256).
-    Deterministic bytes — gate-corpus/test producer."""
+    A Graphic Control Extension is emitted when transparency /
+    disposal / delay is requested. Deterministic bytes —
+    gate-corpus/test producer."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
@@ -272,6 +345,13 @@ def build_gif(indices: np.ndarray, palette: np.ndarray,
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((kbits - 1) & 7), 0, 0)
     out += pal.tobytes()
+    if transparency_index is not None or disposal or delay_cs:
+        gpacked = ((disposal & 7) << 2) | (
+            1 if transparency_index is not None else 0)
+        out += b"\x21\xF9\x04" + struct.pack(
+            "<BHB", gpacked, delay_cs,
+            transparency_index if transparency_index is not None else 0)
+        out += b"\x00"
     out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
                                  0x40 if interlace else 0)
     rows = idx

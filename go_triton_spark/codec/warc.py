@@ -85,7 +85,10 @@ def parse_warc(data: bytes) -> list[dict]:
     records = []
     pos = 0
     while pos < len(data):
-        if data[pos:pos + 8] != b"WARC/1.0":
+        # WARC/1.1 (the current ISO 28500 revision, emitted by modern
+        # wget/warcio) frames records identically to 1.0 — accept both,
+        # keep the hard failure for anything else (round-7 advisory).
+        if data[pos:pos + 8] not in (b"WARC/1.0", b"WARC/1.1"):
             raise ValueError(
                 f"bad WARC version at offset {pos} "
                 f"({data[pos:pos + 8]!r})")

@@ -95,25 +95,22 @@ def _driver_green_rounds() -> dict:
 # driver-green round reaches the noted round, the entry is ignored
 # (safe to leave behind; prune opportunistically).
 _PLAN_CHANGED = {
-    # r7: cost-aware spread() — these queries' scan stages lose the
-    # unconditional repartition at gate scale (sf0.01 rows < the
-    # rows_per_task threshold), a real physical-plan change after
-    # their r06 green. udf_map_in_arrow / hof_ops / dedup_span_exact /
-    # the shingle family are r03/r04-stale and front-load anyway;
-    # listing them here is redundant but self-clearing.
-    "dedup_levenshtein": 7,
-    "dedup_levenshtein_qgram": 7,
-    "dedup_span_exact": 7,
-    "dedup_ngram_jaccard": 7,
-    "dedup_minhash_lsh": 7,
-    "mm_wav_decode": 7,
-    "mm_image_decode": 7,
-    "mm_image_resize": 7,
-    "mm_png_decode": 7,
-    "mm_feature_extract": 7,
-    "mm_frame_sample": 7,      # + r7 batched movi decode
-    "hof_ops": 7,
-    "udf_map_in_arrow": 7,
+    # r8: spread() recalibration (rows_per_task=500 for the shingle
+    # family + simhash gained a spread) and codec fixes (GIF LZW
+    # encoder EOI width + GCE transparency; AVI multi-movi
+    # accumulation; FLAC unknown-total; WARC/1.1) — real physical-plan
+    # or decode-logic changes after these queries' r07 greens.
+    "dedup_ngram_jaccard": 8,
+    "dedup_minhash_lsh": 8,
+    "dedup_simhash": 8,
+    "dedup_span_exact": 8,
+    "dedup_clusters": 8,         # consumes dedup_minhash_lsh
+    "curate_decontaminate": 8,   # consumes _shingle_df
+    "mm_gif_decode": 8,
+    "mm_frame_sample": 8,
+    "mm_mjpg_frame_sample": 8,
+    "mm_flac_decode": 8,
+    "warc_extract": 8,
 }
 
 

@@ -85,7 +85,14 @@ def _shingle_df(spark, sf_dir) -> DataFrame:
     count; at cluster scale this is a cheap MEMORY_AND_DISK dataset.
     """
     (d,) = tables(spark, sf_dir, "documents")
-    return (spread(d, spark)
+    # rows_per_task=150: the shingle chain is the most compute-dense
+    # interpreted-HOF pipeline in the repo (split -> transform ->
+    # array_distinct, no codegen; ~1 ms/row measured) — the default
+    # 5000 left a 5000-doc corpus in ONE task (5.75 s stage, round-7
+    # verdict), and this cache feeds 4-6 downstream consumers whose
+    # map sides inherit its partitioning, so it is sized to saturate
+    # the session parallelism at the smallest corpus that hurts.
+    return (spread(d, spark, rows_per_task=150)
             .select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
             # docs too short to shingle (<3 words) leave the n-gram
@@ -293,7 +300,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator under test here.
     """
     (d,) = tables(spark, sf_dir, "documents")
-    toks = d.select(
+    # rows_per_task=150: 16 md5-digit tests per token per doc is
+    # decoder-class compute; single-file scans otherwise run the whole
+    # map side in one task (round-7 verdict: 1.31x regression)
+    toks = spread(d, spark, rows_per_task=150).select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     # md5 once per token; 16 narrow +/-1 columns instead of a 16x row
@@ -923,7 +933,9 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     (d,) = tables(spark, sf_dir, "documents")
     spans = (
-        spread(d, spark)
+        # rows_per_task=150: per-row cost is a ~1/stride explode of
+        # md5'd word windows — decoder-class compute, like _shingle_df.
+        spread(d, spark, rows_per_task=150)
         .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.expr(f"size(ws) >= {_SPAN_LEN}"))
         .select(

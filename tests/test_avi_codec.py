@@ -51,6 +51,25 @@ def test_hand_assembled_golden_two_frames():
     assert m["frames"][1].tolist() == [[[0, 255, 0]], [[255, 255, 255]]]
 
 
+def test_multiple_movi_lists_accumulate():
+    """OpenDML muxers split frames across several movi LISTs (1 GiB
+    segments); frames must ACCUMULATE across lists, not rebind per
+    LIST — regression for the round-7 advisory."""
+    f0 = b"\xff\x00\x00\x00" + b"\x00\x00\xff\x00"
+    f1 = b"\xff\xff\xff\x00" + b"\x00\xff\x00\x00"
+    one = _hand_avi([f0], 1, 2, n_frames=2)
+    # splice a second movi LIST (holding f1) before RIFF end
+    movi2_body = b"00db" + struct.pack("<I", len(f1)) + f1
+    movi2 = (b"LIST" + struct.pack("<I", 4 + len(movi2_body))
+             + b"movi" + movi2_body)
+    body = one[8:] + movi2
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = parse_avi(data)
+    assert m["n_frames"] == 2
+    assert m["frames"][0].tolist() == [[[255, 0, 0]], [[0, 0, 255]]]
+    assert m["frames"][1].tolist() == [[[0, 255, 0]], [[255, 255, 255]]]
+
+
 def test_roundtrip_matches_hand_layout():
     rng = np.random.default_rng(5)
     frames = [rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)

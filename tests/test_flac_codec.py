@@ -92,6 +92,24 @@ def test_truncation_always_rejected():
         parse_flac(b"fLaX" + data[4:])
 
 
+def test_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total-samples == 0 means UNKNOWN (spec), not empty:
+    the decoder must keep decoding frames until the input is exhausted
+    instead of silently returning zero samples (round-7 advisory).
+    Patch the 36-bit total field of a real stream to zero: bits
+    104..139 of STREAMINFO = low nibble of body byte 13 + bytes 14-17;
+    body starts at file offset 8 (fLaC + 4-byte block header)."""
+    s = np.arange(-32, 32, dtype=np.int64)
+    data = bytearray(build_flac(s))
+    data[8 + 13] &= 0xF0
+    data[8 + 14:8 + 18] = b"\x00\x00\x00\x00"
+    m = parse_flac(bytes(data))
+    assert m["n_samples"] == 64
+    assert np.array_equal(m["samples"][:, 0], s)
+    # sanity: the patch really hit the field (normal parse says 64 too)
+    assert parse_flac(build_flac(s))["n_samples"] == 64
+
+
 def test_crc16_catches_payload_flip():
     s = np.arange(-100, 100, dtype=np.int64)
     data = bytearray(build_flac(s))

@@ -12,7 +12,7 @@ import struct
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from go_triton_spark.codec.gif import (build_gif, lzw_decode, lzw_encode,
@@ -92,6 +92,104 @@ def test_extensions_skipped_and_animation_frames():
     assert np.array_equal(m["pixels"], pal[f0])  # first frame composited
 
 
+def test_transparency_golden():
+    """GCE transparency: index 1 is declared transparent; those pixels
+    must NOT take palette color 1 — composite shows background (0) and
+    alpha 0 there, while the raw frame still carries per-pixel data."""
+    pal = np.array([[10, 20, 30], [99, 99, 99], [1, 2, 3], [4, 5, 6]],
+                   np.uint8)
+    idx = np.array([[0, 1], [1, 3]], np.uint8)
+    data = build_gif(idx, pal, transparency_index=1)
+    m = parse_gif(data)
+    assert m["frame_meta"][0]["transparency_index"] == 1
+    # opaque pixels composite; transparent ones stay background zeros
+    assert m["pixels"].tolist() == [[[10, 20, 30], [0, 0, 0]],
+                                    [[0, 0, 0], [4, 5, 6]]]
+    assert m["alpha"].tolist() == [[255, 0], [0, 255]]
+    # without the GCE the same indices DO take palette color 1
+    plain = parse_gif(build_gif(idx, pal))
+    assert plain["pixels"][0, 1].tolist() == [99, 99, 99]
+    assert plain["alpha"].tolist() == [[255, 255], [255, 255]]
+
+
+def test_transparency_gce_mutation():
+    """Flip the GCE transparency flag bit off in the raw bytes: the
+    same file must then decode index 1 as its opaque palette color —
+    proves the flag (not just the index byte) is honored."""
+    pal = np.array([[10, 20, 30], [99, 99, 99], [1, 2, 3], [4, 5, 6]],
+                   np.uint8)
+    idx = np.array([[0, 1], [1, 3]], np.uint8)
+    data = bytearray(build_gif(idx, pal, transparency_index=1))
+    gce_at = bytes(data).index(b"\x21\xF9\x04")
+    assert data[gce_at + 3] & 0x01
+    data[gce_at + 3] &= ~0x01          # clear the transparency flag
+    m = parse_gif(bytes(data))
+    assert m["frame_meta"][0]["transparency_index"] is None
+    assert m["pixels"][0, 1].tolist() == [99, 99, 99]
+
+
+def test_disposal_restore_background_and_previous():
+    """Two-frame animation: frame 0 disposal=2 (restore background)
+    must leave the screen cleared for frame 1's composite; disposal=3
+    (restore previous) must bring frame 0's pixels back."""
+    pal = np.array([[i, i, i] for i in range(4)], np.uint8)
+    f0 = np.full((2, 2), 3, np.uint8)
+    f1 = np.array([[2, 1], [1, 2]], np.uint8)   # 1 transparent below
+
+    def _one(disposal):
+        base0 = build_gif(f0, pal, disposal=disposal, delay_cs=10)
+        head0 = base0.index(b"\x21\xF9")
+        base1 = build_gif(f1, pal, transparency_index=1)
+        head1 = base1.index(b"\x21\xF9")
+        return parse_gif(base0[:head0] + base0[head0:-1]
+                         + base1[head1:-1] + b"\x3B")
+
+    m = _one(2)                         # restore background after f0
+    assert m["frame_meta"][0]["disposal"] == 2
+    assert m["frame_meta"][0]["delay_cs"] == 10
+    # frame-1 composite: transparent pixels show CLEARED screen (0)
+    assert m["composited"][1].tolist() == [[[2, 2, 2], [0, 0, 0]],
+                                           [[0, 0, 0], [2, 2, 2]]]
+    m = _one(3)                         # restore previous after f0:
+    # "previous" is the PRE-frame-0 screen (zeros), same visual as 2
+    assert m["composited"][1].tolist() == [[[2, 2, 2], [0, 0, 0]],
+                                           [[0, 0, 0], [2, 2, 2]]]
+
+
+def test_disposal_restore_previous_three_frames():
+    """disposal=3 genuinely restores earlier CONTENT (not background):
+    f0 (keep) paints 3s, f1 (disposal=3) paints 2s then reverts, f2's
+    transparent pixels must show f0's 3s — not f1's 2s, not zeros."""
+    pal = np.array([[i, i, i] for i in range(4)], np.uint8)
+    parts = []
+    for arr, kw in [(np.full((2, 2), 3, np.uint8), dict()),
+                    (np.full((2, 2), 2, np.uint8), dict(disposal=3,
+                                                        delay_cs=5)),
+                    (np.array([[1, 0], [0, 1]], np.uint8),
+                     dict(transparency_index=1))]:
+        b = build_gif(arr, pal, **kw)
+        cut = b.index(b"\x21\xF9") if b"\x21\xF9" in b else b.index(b"\x2C")
+        parts.append((b[:cut], b[cut:-1]))
+    data = parts[0][0] + parts[0][1] + parts[1][1] + parts[2][1] + b"\x3B"
+    m = parse_gif(data)
+    assert m["n_frames"] == 3
+    assert m["composited"][1].tolist() == [[[2, 2, 2]] * 2] * 2
+    assert m["composited"][2].tolist() == [[[3, 3, 3], [0, 0, 0]],
+                                           [[0, 0, 0], [3, 3, 3]]]
+
+
+def test_truncated_gce_rejected():
+    pal = np.array([[i, i, i] for i in range(4)], np.uint8)
+    data = bytearray(build_gif(np.zeros((2, 2), np.uint8), pal,
+                               transparency_index=1))
+    gce_at = bytes(data).index(b"\x21\xF9\x04")
+    # shrink the GCE payload to 2 bytes (declared and actual)
+    bad = (bytes(data[:gce_at]) + b"\x21\xF9\x02" + b"\x00\x00" + b"\x00"
+           + bytes(data[gce_at + 8:]))
+    with pytest.raises(ValueError, match="truncated GCE"):
+        parse_gif(bad)
+
+
 def test_local_color_table_overrides_global():
     """Image block carries its own LOCAL color table (0x80 in the
     image packed byte); the zeroed GLOBAL table must not be used."""
@@ -151,6 +249,10 @@ def test_palette_index_overflow_rejected():
 
 @given(st.integers(0, 10**6), st.integers(2, 8),
        st.integers(1, 40), st.integers(1, 30), st.booleans())
+# round-7 counterexample, pinned: the final flushed data code lands the
+# DECODER's table exactly on a power of two, so the decoder widens
+# before reading EOI — the encoder must emit EOI at width+1 here.
+@example(seed=125, kbits=5, w=8, h=30, interlace=False)
 @settings(max_examples=60, deadline=None)
 def test_roundtrip_property(seed, kbits, w, h, interlace):
     rng = np.random.default_rng(seed)
@@ -174,6 +276,58 @@ def test_byte_flip_fuzz_never_crashes(pos, val):
         assert m["pixels"].shape[2] == 3
     except ValueError:
         pass
+
+
+def test_deferred_clear_full_table_tolerated():
+    """giflib routinely defers the Clear: the table fills to all 4096
+    entries and the encoder keeps emitting 12-bit codes with no Clear.
+    A full table is legal — only a code PAST it is corrupt. Construct a
+    stream that provably fills the decoder table (min_code=2: literals
+    0..3, so each non-first data code adds one entry; 4095 data codes
+    reach len 4096) and then keeps decoding literals."""
+    min_code = 2
+    codes, widths = [4], [3]          # Clear
+    width, tlen = 3, 6                # decoder table after Clear
+    n_data = 4200                     # 4095 fills the table; rest deferred
+    for i in range(n_data):
+        codes.append(i % 4)           # literals only: always in-table
+        widths.append(width)
+        if i > 0 and tlen < 4096:     # decoder appends after 2nd code on
+            tlen += 1
+        if tlen == (1 << width) and width < 12:
+            width += 1
+    codes.append(5)                   # EOI, no Clear ever re-emitted
+    widths.append(width)
+    assert tlen == 4096               # the deferred-clear regime reached
+    out = lzw_decode(_pack_codes(codes, widths), min_code, n_data)
+    assert list(out) == [i % 4 for i in range(n_data)]
+
+
+def test_full_table_dictionary_code_decodes():
+    """After the table fills, a DICTIONARY code (not just literals) into
+    the full table must decode; every 12-bit code is then in-table, so
+    the old 'overflow without Clear' raise had no legal trigger left."""
+    min_code = 2
+    codes, widths = [4], [3]
+    width, tlen = 3, 6
+    n_data = 4091                     # 4090 appends: 6 -> exactly 4096
+    for i in range(n_data):
+        codes.append(i % 4)
+        widths.append(width)
+        if i > 0 and tlen < 4096:
+            tlen += 1
+        if tlen == (1 << width) and width < 12:
+            width += 1
+    assert tlen == 4096 and width == 12
+    codes.append(4095)                # highest dictionary entry
+    codes.append(5)                   # EOI
+    widths.extend([12, 12])
+    # entry 4095 was appended on data code i=4090: prev entry (literal
+    # L_4089) + first byte of L_4090
+    expected_tail = [4089 % 4, 4090 % 4]
+    out = lzw_decode(_pack_codes(codes, widths), min_code,
+                     n_data + len(expected_tail))
+    assert list(out[-2:]) == expected_tail
 
 
 def test_lzw_encode_decode_inverse_property():

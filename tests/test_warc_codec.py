@@ -51,6 +51,19 @@ def test_extra_headers_carried_and_binary_payload():
     assert out[0]["payload"] == bytes(range(256))
 
 
+def test_warc_1_1_accepted():
+    """WARC/1.1 (current ISO 28500, modern wget/warcio output) frames
+    records identically — must parse, while other versions still fail
+    (round-7 advisory)."""
+    rec = _hand_record(b"payload-bytes")
+    rec11 = rec.replace(b"WARC/1.0", b"WARC/1.1", 1)
+    out = parse_warc(rec11)
+    assert len(out) == 1 and out[0]["payload"] == b"payload-bytes"
+    for bad in (b"WARC/1.2", b"WARC/0.9", b"WARC/2.0"):
+        with pytest.raises(ValueError, match="bad WARC version"):
+            parse_warc(rec.replace(b"WARC/1.0", bad, 1))
+
+
 def test_malformations_rejected():
     with pytest.raises(ValueError, match="empty"):
         parse_warc(b"")
