@@ -95,6 +95,7 @@ HEADLINE = [
     "mm_jpeg_decode",            # r7: entropy-coded decode (Huffman+DCT)
     "mm_gif_decode",             # r7: LZW decode
     "mm_flac_decode",            # r7: Rice+LPC audio decode
+    "mm_webp_decode",            # r8: VP8L prefix-code+LZ77+transforms
     "warc_extract",              # r7: Common Crawl shard ingest
     "join_skew_aware",           # r7: measured per verdict ask (skew guard)
 ]

@@ -4,14 +4,16 @@ binary image columns.
 A real pipeline's image column holds mixed formats; the per-row
 decode must dispatch on the BYTES, not on a metadata column someone
 promised was accurate. ``parse_image`` sniffs the magic and routes to
-the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline or progressive
-JPEG -> codec/jpeg.py, GIF -> codec/gif.py), returning the shared
-contract all four emit: ``pixels`` as (height, width, 3) RGB uint8
-with row 0 = top, plus width/height metadata — so downstream pixel
-math is format-agnostic. The one known-but-unsupported compressed
-format (WebP) is named in the error to keep the PIL swap point
-discoverable; unknown bytes fail with the generic corrupt-skip
-ValueError, same contract as every parser in the codec family.
+the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline or
+progressive JPEG -> codec/jpeg.py, GIF -> codec/gif.py, lossless WebP
+-> codec/vp8l.py), returning the shared contract all five emit:
+``pixels`` as (height, width, 3) RGB uint8 with row 0 = top, plus
+width/height metadata — so downstream pixel math is format-agnostic.
+The one remaining known-but-unsupported compressed format (LOSSY WebP,
+i.e. VP8/VP8X) is named in the error by parse_webp itself to keep the
+swap point discoverable; unknown bytes fail with the generic
+corrupt-skip ValueError, same contract as every parser in the codec
+family.
 """
 
 from __future__ import annotations
@@ -42,11 +44,12 @@ def parse_image(data: bytes) -> dict:
 
     Dispatches on sniffed magic; the returned dict always carries
     width / height / n_pixels and ``pixels`` (h, w, 3) RGB uint8 —
-    parse_bmp, parse_png, parse_jpeg, and parse_gif share that
-    contract (baseline + progressive JPEG and LZW GIF decode for real
-    since round 7). WebP is recognized and rejected with the swap-point
-    message (VP8 has no stdlib codec; a PIL-backed branch slots in
-    here without touching any caller)."""
+    parse_bmp, parse_png, parse_jpeg, parse_gif, and parse_webp share
+    that contract (baseline + progressive JPEG and LZW GIF decode for
+    real since round 7; VP8L lossless WebP since round 8). Lossy VP8
+    stays the one named swap point — parse_webp raises with the
+    format name; a library-backed branch slots in there without
+    touching any caller."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png
@@ -60,6 +63,5 @@ def parse_image(data: bytes) -> dict:
     if fmt == "gif":
         from go_triton_spark.codec.gif import parse_gif
         return parse_gif(data)
-    raise ValueError(
-        f"unsupported compressed image format {fmt!r} "
-        "(no stdlib codec; swap in PIL here for production decode)")
+    from go_triton_spark.codec.vp8l import parse_webp
+    return parse_webp(data)

@@ -10,7 +10,9 @@ operators/multimodal.py (its DCT entropy coding has no stdlib codec).
 
 Scope: 8-bit samples; color types 0 (grayscale), 2 (RGB), 3 (palette),
 6 (RGBA, alpha dropped to match parse_bmp's (h, w, 3) contract);
-non-interlaced only (Adam7 rejected loudly). Every chunk's CRC is
+both non-interlaced and Adam7-interlaced images (each of the seven
+passes is an independently-filtered sub-image placed on the 8x8
+grid). Every chunk's CRC is
 verified — a single flipped payload byte is detected and rejected, a
 stronger integrity gate than BMP can offer. Fails loudly (ValueError)
 on any malformed input so callers apply the engine's corrupt-skip
@@ -70,6 +72,29 @@ def _unfilter_row(ftype: int, cur: bytearray, prev: bytes, bpp: int) -> bytes:
     return bytes(cur)
 
 
+# Adam7: (x0, y0, dx, dy) per pass — the spec's 8x8 placement grid
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unfilter_block(raw: bytes, off: int, w: int, h: int, ch: int):
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at ``off``;
+    returns (pixel bytes, next offset). A pass/image is an independent
+    filter domain (prev row starts as zeros)."""
+    rowbytes = w * ch
+    need = (rowbytes + 1) * h
+    if off + need > len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = []
+    prev = bytes(rowbytes)
+    for r in range(h):
+        o = off + r * (rowbytes + 1)
+        prev = _unfilter_row(raw[o], bytearray(raw[o + 1:o + 1 + rowbytes]),
+                             prev, ch)
+        rows.append(prev)
+    return b"".join(rows), off + need
+
+
 def _walk_chunks(data: bytes):
     """Yield (type, payload) for every chunk, verifying each length
     and CRC-32 (computed over type + payload, per spec)."""
@@ -125,8 +150,8 @@ def parse_png(data: bytes) -> dict:
                 raise ValueError(f"unsupported color type {color_type}")
             if comp != 0 or filt != 0:
                 raise ValueError("bad compression/filter method")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
         elif ctype == b"PLTE":
             if len(payload) % 3 or not 3 <= len(payload) <= 768:
                 raise ValueError("bad PLTE length")
@@ -143,18 +168,24 @@ def parse_png(data: bytes) -> dict:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
 
     ch = _CHANNELS[color_type]
-    rowbytes = width * ch
-    if len(raw) != (rowbytes + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
-    rows = []
-    prev = bytes(rowbytes)
-    for r in range(height):
-        off = r * (rowbytes + 1)
-        prev = _unfilter_row(raw[off], bytearray(raw[off + 1:
-                                                     off + 1 + rowbytes]),
-                             prev, ch)
-        rows.append(prev)
-    px = np.frombuffer(b"".join(rows), np.uint8).reshape(height, width, ch)
+    if interlace == 0:
+        flat, off = _unfilter_block(raw, 0, width, height, ch)
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        px = np.frombuffer(flat, np.uint8).reshape(height, width, ch)
+    else:                                  # Adam7: 7 sub-images
+        px = np.zeros((height, width, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue                   # pass absent for this size
+            flat, off = _unfilter_block(raw, off, pw, ph, ch)
+            sub = np.frombuffer(flat, np.uint8).reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if color_type == 0:
         px = np.repeat(px, 3, axis=2)
     elif color_type == 3:
@@ -181,20 +212,32 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF))
 
 
-def build_png(pixels) -> bytes:
+def build_png(pixels, interlace: bool = False) -> bytes:
     """Assemble a canonical 8-bit RGB (color type 2) PNG from an RGB
     pixel array of shape (height, width, 3), filter type 0 on every
-    scanline, one IDAT chunk. Deterministic byte output (zlib level 6)
-    — synthesizes real in-flight compressed image payloads for the
+    scanline, one IDAT chunk; ``interlace=True`` writes the seven
+    Adam7 passes. Deterministic byte output (zlib level 6) —
+    synthesizes real in-flight compressed image payloads for the
     mm_png_decode gate corpus and fixtures, exactly like build_bmp /
     build_wav."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("build_png expects (h, w, 3) RGB")
     h, w = arr.shape[:2]
-    scan = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[r].tobytes()
+                         for r in range(sub.shape[0]))
+        scan = b"".join(parts)
+    else:
+        scan = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
     out = bytearray(_SIG)
-    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0,
+                                       1 if interlace else 0))
     out += _chunk(b"IDAT", zlib.compress(scan, 6))
     out += _chunk(b"IEND", b"")
     return bytes(out)

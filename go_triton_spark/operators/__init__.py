@@ -111,6 +111,7 @@ _PLAN_CHANGED = {
     "mm_mjpg_frame_sample": 8,
     "mm_flac_decode": 8,
     "warc_extract": 8,
+    "mm_png_decode": 8,          # r8: odd doc_ids now Adam7-interlaced
 }
 
 

@@ -23,11 +23,12 @@ header walk, Content-Length framing), and ``mm_tar_shard_extract``
 (WebDataset tar shards chained through the image dispatch). All pure
 stdlib+numpy,
 golden-gated, skipping corrupt payloads with the engine's ValueError
-contract. All three entropy-coding families real image columns use —
-DEFLATE, Huffman+DCT, LZW — now decode with production parsers.
+contract. Every lossless image family real columns use — DEFLATE
+(PNG), Huffman+DCT (JPEG), LZW (GIF), prefix-codes+LZ77+spatial
+transforms (WebP VP8L) — now decodes with production parsers.
 
-H264 and WebP still need codecs this environment lacks; those
-parsers REJECT the fourcc loudly with the PIL/ffmpeg swap point
+H264 and LOSSY WebP (VP8) still need codecs this environment lacks;
+those parsers REJECT the fourcc loudly with the PIL/ffmpeg swap point
 named in the message.
 """
 
@@ -225,7 +226,11 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                payload = build_png(_png_gate_pixels(doc_id))
+                # odd doc_ids travel Adam7-INTERLACED (r8): same
+                # pixels, different scanline layout, so the oracle is
+                # unchanged while the gate exercises both decode paths
+                payload = build_png(_png_gate_pixels(doc_id),
+                                    interlace=bool(doc_id % 2))
                 if doc_id % 89 == 17:
                     mutated = bytearray(payload)
                     mutated[payload.index(b"IDAT") + 6] ^= 0xFF
@@ -400,9 +405,9 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable-width LZW decompression (dynamic 5..12-bit codes, Clear /
     EOI, KwKwK case, table-reset), four-pass de-interlacing on odd
     doc_ids — and the operator aggregates the DECODED pixel array.
-    With PNG (DEFLATE), JPEG (Huffman+DCT), and now GIF (LZW), all
-    three entropy-coding families of real image columns decode with
-    production parsers; only WebP/VP8 keeps a swap point.
+    With PNG (DEFLATE), JPEG (Huffman+DCT), GIF (LZW), and WebP VP8L
+    (r8), every lossless image family of real image columns decodes
+    with production parsers; only lossy VP8 keeps a swap point.
 
     Corruption truncates 5 bytes off every 103rd payload — the LZW
     stream (or trailer walk) hits EOF and the operator skips the doc
@@ -431,6 +436,98 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     m = parse_gif(payload)
                 except ValueError:
                     continue  # corrupt-skip, counted by the oracle's WHERE
+                px = m["pixels"].astype("int64")
+                rows.append((doc_id, m["width"], m["height"], m["n_pixels"],
+                             int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                             int(px[:, :, 2].sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+def _webp_gate_pixels(doc_id: int):
+    """The mm_webp_decode gate corpus — same closed-form idea as the
+    other image gates with distinct dimensions/coefficients. The VP8L
+    encoder is fully lossless, so the whole transform + prefix-code +
+    LZ77 pipeline is bit-exact and the oracle stays analytic."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 17, 4 + doc_id % 6
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return np.dstack([(3 * x + 2 * y + doc_id) % 256,
+                      (x + y + 4 * doc_id) % 256,
+                      (2 * x + 3 * y + 7 * doc_id) % 256]).astype("uint8")
+
+
+@query(
+    "mm_webp_decode",
+    oracle="""
+    SELECT d.doc_id,
+           cast(4 + d.doc_id % 17 as bigint) AS width,
+           cast(4 + d.doc_id % 6 as bigint)  AS height,
+           cast((4 + d.doc_id % 17) * (4 + d.doc_id % 6) as bigint)
+             AS n_pixels,
+           cast(sum((3 * gx.x + 2 * gy.y + d.doc_id) % 256) as bigint)
+             AS sum_r,
+           cast(sum((gx.x + gy.y + 4 * d.doc_id) % 256) as bigint)
+             AS sum_g,
+           cast(sum((2 * gx.x + 3 * gy.y + 7 * d.doc_id) % 256) as bigint)
+             AS sum_b
+    FROM documents d
+    CROSS JOIN generate_series(0, 19) gx(x)
+    CROSS JOIN generate_series(0, 8) gy(y)
+    WHERE d.doc_id % 109 <> 13
+      AND gx.x < 4 + d.doc_id % 17 AND gy.y < 4 + d.doc_id % 6
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode: each row carries a complete RIFF/WEBP
+    file whose VP8L stream codec/vp8l.py genuinely decodes — canonical
+    prefix codes (simple + code-length-coded), LZ77 backrefs through
+    the plane-code neighborhood map, color cache, and the spec's four
+    transforms. The gate CYCLES the transform by doc_id (none /
+    subtract-green / predictor mode doc_id//5 % 14 / color / palette)
+    and enables a 4-bit color cache on every third doc, so the driver
+    gate exercises every decode path; the encoder is lossless, so the
+    oracle recomputes pixel sums analytically. With PNG (DEFLATE),
+    JPEG (Huffman+DCT), GIF (LZW) and now VP8L (prefix codes + LZ77 +
+    spatial transforms), every lossless image family real columns
+    contain decodes with production parsers; only LOSSY VP8 keeps a
+    named swap point (codec/vp8l.py parse_webp).
+
+    Corruption truncates 5 bytes off every 109th payload — the RIFF
+    chunk-size check (or the VP8L entropy reader) hits EOF and the
+    operator skips the doc. Production payloads come from
+    ``spark.read.format("binaryFile")``; only this synthesizing loop
+    is test scaffolding.
+    """
+    from go_triton_spark.codec.vp8l import build_webp, parse_webp
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
+                           if f.name != "bit_depth"])
+    variants = ("none", "sub_green", "predictor", "color", "palette")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_webp(
+                    _webp_gate_pixels(doc_id),
+                    transform=variants[doc_id % 5],
+                    predictor_mode=(doc_id // 5) % 14,
+                    cache_bits=4 if doc_id % 3 == 0 else 0)
+                if doc_id % 109 == 13:
+                    payload = payload[:-5]  # corrupt: truncated stream
+                try:
+                    m = parse_webp(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle
                 px = m["pixels"].astype("int64")
                 rows.append((doc_id, m["width"], m["height"], m["n_pixels"],
                              int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),

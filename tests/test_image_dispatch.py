@@ -36,8 +36,20 @@ def test_known_compressed_formats_named_in_error():
     idx = np.zeros((3, 3), np.uint8)
     assert np.array_equal(parse_image(build_gif(idx, pal))["pixels"],
                           pal[idx])
-    with pytest.raises(ValueError, match="webp"):
-        parse_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
+    # WebP routes to the real VP8L decoder since round 8: a header-only
+    # RIFF is a corrupt-skip rejection, a lossless payload decodes,
+    # and LOSSY VP8 is still the one format NAMED as a swap point
+    with pytest.raises(ValueError, match="missing VP8L"):
+        parse_image(b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+                    + b"JUNK" + (8).to_bytes(4, "little") + b"\x00" * 8)
+    from go_triton_spark.codec.vp8l import build_webp
+    wpx = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    assert sniff_image_format(build_webp(wpx)) == "webp"
+    assert np.array_equal(parse_image(build_webp(wpx))["pixels"], wpx)
+    lossy = (b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
+             + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
+    with pytest.raises(ValueError, match="VP8"):
+        parse_image(lossy)
 
 
 def test_unknown_bytes_corrupt_skip_contract():

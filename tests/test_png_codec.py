@@ -133,13 +133,71 @@ def test_garbage_rejected(mutant):
         parse_png(mutant)
 
 
-def test_interlace_and_exotic_depth_rejected():
+def test_exotic_depth_and_bad_interlace_rejected():
     ihdr16 = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
     with pytest.raises(ValueError, match="bit depth"):
         parse_png(_SIG + ihdr16 + _chunk(b"IEND", b""))
-    adam7 = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    bad = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
     with pytest.raises(ValueError, match="interlace"):
-        parse_png(_SIG + adam7 + _chunk(b"IEND", b""))
+        parse_png(_SIG + bad + _chunk(b"IEND", b""))
+
+
+def test_adam7_hand_assembled_golden():
+    """9x9 image: pass 1 holds pixels (0,0)/(8,0)/(0,8)/(8,8) — build
+    the seven passes' scanlines BY HAND (filter 0) and verify the
+    decoder places every pass on the spec's 8x8 grid."""
+    w = h = 9
+    val = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    parts = []
+    for x0, y0, dx, dy in passes:
+        sub = val[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        parts.extend(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+    data = (_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + _chunk(b"IEND", b""))
+    m = parse_png(data)
+    assert np.array_equal(m["pixels"], val)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=st.integers(1, 17), h=st.integers(1, 13), seed=st.integers(0, 99))
+def test_adam7_roundtrip_matches_progressive(w, h, seed):
+    """build_png(interlace=True) must decode to the SAME pixels as the
+    sequential encoding of the same image — including sizes < 8 where
+    some passes are empty."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    inter = build_png(px, interlace=True)
+    plain = build_png(px)
+    assert inter != plain                      # genuinely different bytes
+    assert np.array_equal(parse_png(inter)["pixels"], px)
+    assert np.array_equal(parse_png(plain)["pixels"], px)
+
+
+def test_adam7_truncated_pass_rejected():
+    """A valid zlib stream whose LAST Adam7 pass is short must fail
+    the length check, not decode partial pixels."""
+    px = np.arange(10 * 10 * 3, dtype=np.uint8).reshape(10, 10, 3)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    parts = []
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        parts.extend(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+    scan = b"".join(parts)
+    for cut in (7, 1, len(scan) - 3):       # short and nearly-empty
+        data = (_SIG
+                + _chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 2,
+                                              0, 0, 1))
+                + _chunk(b"IDAT", zlib.compress(scan[:-cut]))
+                + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="length mismatch"):
+            parse_png(data)
 
 
 def test_bad_filter_type_rejected():
