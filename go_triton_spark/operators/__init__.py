@@ -22,6 +22,8 @@ Importing this package populates the registry (see registry.py). Modules:
 - timeseries.py       : as-of joins (backward/forward/nearest),
                         gap-fill, funnel, cohort, sessionize
 - multimodal.py       : binary-column plumbing (decode/feature stubs)
+- sketches.py         : mergeable KMV/theta distinct-count sketches
+                        (exact-integer estimator, shard-merge proof)
 """
 
 from go_triton_spark.operators.registry import REGISTRY, QueryDef, query, tables
@@ -43,6 +45,7 @@ from go_triton_spark.operators import multimodal  # noqa: F401,E402
 from go_triton_spark.operators import curation  # noqa: F401,E402
 from go_triton_spark.operators import training  # noqa: F401,E402
 from go_triton_spark.operators import interval_join  # noqa: F401,E402
+from go_triton_spark.operators import sketches  # noqa: F401,E402
 
 
 def _category(qd) -> str:

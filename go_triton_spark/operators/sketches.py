@@ -1,0 +1,183 @@
+"""Mergeable distinct-count sketches (KMV / theta family).
+
+The 100 TB story: exact COUNT(DISTINCT) over a high-cardinality column
+shuffles every distinct value; a KMV (k-minimum-values) sketch carries
+a BOUNDED k-row summary per group that is map-side combinable and
+MERGEABLE across shards/days/partitions — the property that lets a
+nightly job maintain per-day sketches and answer "distinct users this
+quarter" by merging 90 tiny summaries instead of rescanning a quarter
+of the lake (Beyer et al., "On Synopses for Distinct-Value Estimation
+Under Multiset Operations", SIGMOD'07; the same estimator family as
+Apache DataSketches' theta sketch).
+
+Everything here is DETERMINISTIC integer math on a 60-bit md5-derived
+hash (same bytes in Spark and DuckDB), so the driver gate checks the
+ESTIMATES exactly, not just row counts:
+
+    h(v)       = int(md5(v)[:15], 16)            — uniform in [0, 2^60)
+    theta est. = floor((k - 1) * 2^60 / h_(k))   — h_(k) = k-th smallest
+                 (exact count when the group has fewer than k values)
+
+The merge operation is just "union the hash sets, re-take the k
+smallest" — associative and commutative, which is what makes the
+shard-merge query below a genuine mergeability proof.
+
+Oracle note: the cross-engine contract is only the HEX-PREFIX hash
+(identical md5 bytes both sides); estimates stay in BIGINT-safe range
+because (k-1) * 2^60 < 2^66 is computed in DECIMAL(38,0) on the Spark
+side and HUGEINT in DuckDB, then floored to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_triton_spark.operators.registry import query, tables
+
+_K = 64                    # sketch size (k minimum values per group)
+_UNIVERSE = 1 << 60        # 60-bit hash universe (15 md5 hex digits)
+
+# Spark-side 60-bit hash of a column (conv() returns a decimal string;
+# the binary cast is required under ANSI mode — no implicit coercion)
+_H = ("cast(conv(substr(md5(cast(cast({col} as string) as binary)), "
+      "1, 15), 16, 10) as bigint)")
+
+# DuckDB-side twin
+_H_DUCK = "(('0x' || substr(md5(({col})::VARCHAR), 1, 15))::BIGINT)"
+
+
+def _estimate_expr(n_col: str, kth_col: str):
+    """Theta estimate in exact integer math: floor((k-1)*2^60 / h_k),
+    falling back to the exact count below k values."""
+    numer = (F.lit(_K - 1).cast("decimal(38,0)")
+             * F.lit(_UNIVERSE).cast("decimal(38,0)"))
+    return (F.when(F.col(n_col) < _K, F.col(n_col))
+            .otherwise(F.floor(numer / F.col(kth_col)))
+            .cast("long"))
+
+
+_EST_DUCK = f"""
+    CASE WHEN n < {_K} THEN n
+         ELSE (({_K - 1}::HUGEINT * {_UNIVERSE}::HUGEINT) // kth)::BIGINT
+    END
+"""
+
+
+@query(
+    "sketch_theta_distinct",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                      {_H_DUCK.format(col="user_id")} AS h
+               FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rk
+          FROM h),
+    s AS (SELECT event_type, count(*) AS n,
+                 max(CASE WHEN rk = {_K} THEN h END) AS kth
+          FROM r WHERE rk <= {_K} GROUP BY event_type),
+    x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type)
+    SELECT s.event_type,
+           cast({_EST_DUCK} as bigint) AS theta_estimate,
+           x.exact_distinct
+    FROM s JOIN x USING (event_type)
+    """,
+    tags=("llm", "sketch", "agg"),
+)
+def sketch_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct-user estimate per event_type, next to the
+    exact count (the gate checks the estimate EXACTLY — deterministic
+    integer math, not a tolerance band).
+
+    Plan at 100 TB: one shuffle of (event_type, 8-byte hash) pairs
+    AFTER a distinct that is itself map-side combinable; the window
+    that ranks hashes sees at most the distinct values but every
+    group's state the ESTIMATOR needs is k rows — a production
+    implementation caps it with a k-row heap UDAF; here the rank
+    filter expresses the same bound declaratively and lets Catalyst
+    run it as one exchange + sort."""
+    (e,) = tables(spark, sf_dir, "events")
+    # hash FIRST, then one distinct on (group, h): the hash is a pure
+    # function of the value, so this equals distinct-then-hash with a
+    # single exchange instead of two
+    h = (e.select("event_type",
+                  F.expr(_H.format(col="user_id")).alias("h"))
+         .distinct())
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = h.select("event_type", "h", F.row_number().over(w).alias("rk"))
+    # n counts the rank-capped rows, so n < k iff the group is exact
+    sk = (ranked.where(F.col("rk") <= _K)
+          .groupBy("event_type")
+          .agg(F.count("*").alias("n"),
+               F.max(F.when(F.col("rk") == _K, F.col("h"))).alias("kth")))
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (sk.join(exact, "event_type")
+            .select("event_type",
+                    _estimate_expr("n", "kth").alias("theta_estimate"),
+                    "exact_distinct"))
+
+
+@query(
+    "sketch_theta_union",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type, event_id % 2 AS shard,
+                      {_H_DUCK.format(col="user_id")} AS h
+               FROM events),
+    shard_k AS (SELECT event_type, shard, h FROM (
+                  SELECT event_type, shard, h,
+                         row_number() OVER (PARTITION BY event_type, shard
+                                            ORDER BY h) AS rk
+                  FROM h) WHERE rk <= {_K}),
+    merged AS (SELECT DISTINCT event_type, h FROM shard_k),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rk
+          FROM merged),
+    s AS (SELECT event_type, count(*) AS n,
+                 max(CASE WHEN rk = {_K} THEN h END) AS kth
+          FROM r WHERE rk <= {_K} GROUP BY event_type),
+    x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type)
+    SELECT s.event_type,
+           cast({_EST_DUCK} as bigint) AS theta_estimate,
+           x.exact_distinct
+    FROM s JOIN x USING (event_type)
+    """,
+    tags=("llm", "sketch", "agg"),
+)
+def sketch_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE across shards: build an independent k-min sketch
+    per (event_type, event_id%2) shard, then merge the two bounded
+    summaries (union the hash sets, re-take the k smallest) and
+    estimate the union's cardinality — without ever re-touching the
+    raw rows. The estimate provably equals the single-pass sketch of
+    the union (k-min of a union is contained in the union of k-mins),
+    which the gate verifies exactly.
+
+    This is the shape that matters at 100 TB: per-day/per-shard
+    sketches are tiny (k rows), merge in O(k log k), and answer
+    cross-partition distinct questions without a rescan."""
+    (e,) = tables(spark, sf_dir, "events")
+    h = (e.select("event_type", (F.col("event_id") % 2).alias("shard"),
+                  F.expr(_H.format(col="user_id")).alias("h"))
+         .distinct())
+    ws = Window.partitionBy("event_type", "shard").orderBy("h")
+    shard_k = (h.select("event_type", "shard", "h",
+                        F.row_number().over(ws).alias("rk"))
+               .where(F.col("rk") <= _K))
+    merged = shard_k.select("event_type", "h").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    r = merged.select("event_type", "h", F.row_number().over(w).alias("rk"))
+    sk = (r.where(F.col("rk") <= _K)
+          .groupBy("event_type")
+          .agg(F.count("*").alias("n"),
+               F.max(F.when(F.col("rk") == _K, F.col("h"))).alias("kth")))
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (sk.join(exact, "event_type")
+            .select("event_type",
+                    _estimate_expr("n", "kth").alias("theta_estimate"),
+                    "exact_distinct"))

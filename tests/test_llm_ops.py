@@ -538,3 +538,28 @@ def test_similarity_histogram_is_complete_and_constant_size(spark):
     k = min(300, n)
     assert sum(r["n_pairs"] for r in rows) == k * (k - 1) // 2
     assert all(-10 <= r["bin"] <= 10 for r in rows)
+
+
+def test_theta_sketch_estimate_properties(spark):
+    """KMV estimator invariants the oracle can't express: the estimate
+    tracks the exact count within the k=64 theoretical error band
+    (~3 sigma = 3/sqrt(k-1) ~ 38%), is deterministic across runs, and
+    the shard-merged sketch equals the single-pass sketch exactly
+    (k-min of a union == k-min of the union of k-mins)."""
+    single = {r["event_type"]: r for r in
+              _run(spark, "sketch_theta_distinct").collect()}
+    merged = {r["event_type"]: r for r in
+              _run(spark, "sketch_theta_union").collect()}
+    assert set(single) == set(merged) and single
+    for et, row in single.items():
+        est, exact = row["theta_estimate"], row["exact_distinct"]
+        assert exact > 0
+        # within the 3-sigma KMV band (or exact when below k)
+        assert abs(est - exact) <= max(3, 0.38 * exact + 1), (et, est, exact)
+        # mergeability: shard-merge must reproduce the single-pass
+        # estimate EXACTLY, not approximately
+        assert merged[et]["theta_estimate"] == est, et
+        assert merged[et]["exact_distinct"] == exact, et
+    again = {r["event_type"]: r["theta_estimate"] for r in
+             _run(spark, "sketch_theta_distinct").collect()}
+    assert again == {et: r["theta_estimate"] for et, r in single.items()}
