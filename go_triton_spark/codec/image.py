@@ -24,8 +24,8 @@ _WEBP_RIFF = b"RIFF"
 
 
 def sniff_image_format(data: bytes) -> str:
-    """Return 'bmp' | 'png' | 'jpeg' | 'gif' | 'webp', or raise
-    ValueError for bytes that match no known image magic."""
+    """Return 'bmp' | 'png' | 'jpeg' | 'gif' | 'webp' | 'tiff', or
+    raise ValueError for bytes that match no known image magic."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if data[:2] == b"BM":
@@ -36,6 +36,8 @@ def sniff_image_format(data: bytes) -> str:
         return "gif"
     if data[:4] == _WEBP_RIFF and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     raise ValueError("unknown image format (no recognized magic)")
 
 
@@ -63,5 +65,8 @@ def parse_image(data: bytes) -> dict:
     if fmt == "gif":
         from go_triton_spark.codec.gif import parse_gif
         return parse_gif(data)
+    if fmt == "tiff":
+        from go_triton_spark.codec.tiff import parse_tiff
+        return parse_tiff(data)
     from go_triton_spark.codec.vp8l import parse_webp
     return parse_webp(data)

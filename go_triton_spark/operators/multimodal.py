@@ -537,6 +537,90 @@ def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(decode, schema=schema)
 
 
+def _tiff_gate_pixels(doc_id: int):
+    """The mm_tiff_decode gate corpus — closed-form like the others,
+    distinct dims/coefficients; the TIFF encoder is lossless under all
+    four compressions so the oracle stays analytic."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 15, 4 + doc_id % 8
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return np.dstack([(x + 4 * y + 3 * doc_id) % 256,
+                      (5 * x + y + doc_id) % 256,
+                      (x * y + 2 * doc_id) % 256]).astype("uint8")
+
+
+@query(
+    "mm_tiff_decode",
+    oracle="""
+    SELECT d.doc_id,
+           cast(4 + d.doc_id % 15 as bigint) AS width,
+           cast(4 + d.doc_id % 8 as bigint)  AS height,
+           cast((4 + d.doc_id % 15) * (4 + d.doc_id % 8) as bigint)
+             AS n_pixels,
+           cast(sum((gx.x + 4 * gy.y + 3 * d.doc_id) % 256) as bigint)
+             AS sum_r,
+           cast(sum((5 * gx.x + gy.y + d.doc_id) % 256) as bigint)
+             AS sum_g,
+           cast(sum((gx.x * gy.y + 2 * d.doc_id) % 256) as bigint)
+             AS sum_b
+    FROM documents d
+    CROSS JOIN generate_series(0, 17) gx(x)
+    CROSS JOIN generate_series(0, 10) gy(y)
+    WHERE d.doc_id % 113 <> 29
+      AND gx.x < 4 + d.doc_id % 15 AND gy.y < 4 + d.doc_id % 8
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode: each row carries a complete TIFF 6.0 file that
+    codec/tiff.py genuinely parses — IFD walk in BOTH byte orders,
+    strip assembly, and the gate CYCLES all four baseline compressions
+    by doc_id (none / TIFF-LZW with early change / Deflate / PackBits),
+    the horizontal-differencing predictor on doc_id%2, and big-endian
+    files on doc_id%3==0, so the driver exercises every decode path.
+    TIFF-LZW is an independent second LZW (MSB-first, early change) —
+    GIF's LSB-first variant cannot stand in for it.
+
+    Corruption truncates 7 bytes off every 113th payload — a strip (or
+    the LZW stream inside it) hits EOF and the operator skips the doc.
+    Production payloads come from ``spark.read.format("binaryFile")``;
+    only this synthesizing loop is test scaffolding.
+    """
+    from go_triton_spark.codec.tiff import build_tiff, parse_tiff
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
+                           if f.name != "bit_depth"])
+    comps = ("none", "lzw", "deflate", "packbits")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_tiff(_tiff_gate_pixels(doc_id),
+                                     compression=comps[doc_id % 4],
+                                     predictor=bool(doc_id % 2),
+                                     big_endian=doc_id % 3 == 0)
+                if doc_id % 113 == 29:
+                    payload = payload[:-7]  # corrupt: truncated strip
+                try:
+                    m = parse_tiff(payload)
+                except ValueError:
+                    continue  # corrupt-skip, counted by the oracle
+                px = m["pixels"].astype("int64")
+                rows.append((doc_id, m["width"], m["height"], m["n_pixels"],
+                             int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                             int(px[:, :, 2].sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)
+
+
 def _gate_frame(doc_id: int, f: int):
     """Frame f of the mm_frame_sample gate video: 8x6 RGB, every
     channel a closed-form function of (x, y, f, doc_id) so the DuckDB

@@ -90,6 +90,8 @@ FUZZED_QUERIES = [
     "warc_extract",
     "mm_tar_shard_extract",
     "mm_flac_decode",
+    "mm_webp_decode",
+    "mm_tiff_decode",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
@@ -250,6 +252,11 @@ import datetime as _dt
 
 EVT_FUZZED = [
     "sessionize_events",
+    # the theta sketches are exact integer math on md5-derived hashes,
+    # so the DuckDB twin verifies them on ANY generated events corpus
+    # (including below-k groups, where estimate == exact)
+    "sketch_theta_distinct",
+    "sketch_theta_union",
     "funnel_click_to_purchase",
     "cohort_weekly_retention",
     "ts_gapfill_ffill",
