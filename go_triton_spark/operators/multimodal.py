@@ -621,6 +621,103 @@ def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(decode, schema=schema)
 
 
+def _xfmt_gate_pixels(img_key: int):
+    """Pixel content for the cross-format dedup gate: keyed by
+    ``img_key`` (doc_id % 50), so ~10 docs per sf0.01 corpus share
+    IDENTICAL pixels while traveling as DIFFERENT container formats."""
+    import numpy as np
+
+    w, h = 4 + img_key % 9, 4 + img_key % 5
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return np.dstack([(2 * x + 5 * y + img_key) % 256,
+                      (3 * x + y + 7 * img_key) % 256,
+                      (x * y + 11 * img_key) % 256]).astype("uint8")
+
+
+@query(
+    "dedup_image_cross_format",
+    oracle="""
+    WITH live AS (SELECT doc_id, doc_id % 50 AS img_key,
+                         CASE doc_id % 4 WHEN 0 THEN 'bmp'
+                              WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
+                              ELSE 'webp' END AS fmt
+                  FROM documents WHERE doc_id % 127 <> 31),
+    g AS (SELECT img_key, min(doc_id) AS keep_id, count(*) AS copies
+          FROM live GROUP BY img_key)
+    SELECT l.doc_id, l.fmt, g.copies,
+           l.doc_id = g.keep_id AS keep
+    FROM live l JOIN g USING (img_key)
+    """,
+    tags=("llm", "dedup", "multimodal", "image"),
+)
+def dedup_image_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format image dedup: the same photo stored as BMP, PNG,
+    TIFF, or lossless WebP is the SAME training image — byte-level
+    fingerprints miss that entirely. Each row's payload travels as a
+    doc_id-cycled container format, the magic-sniffing dispatch
+    (codec/image.py) routes it to the right REAL decoder, and dedup
+    groups on md5 of the CANONICAL DECODED pixels (dims + raw RGB
+    bytes), keeping the lowest doc_id per pixel-identical group.
+
+    The oracle is deliberately NOT a re-implementation of the pixel
+    hash: it groups by the generator's ground-truth image key, so the
+    gate is a true differential test of decode + canonicalize — any
+    decoder that mangles one format's pixels breaks the group sizes.
+
+    At 100 TB: decode+hash is a per-row Arrow pass (zero shuffles);
+    only (16-byte fingerprint, doc_id) pairs shuffle for the groupBy —
+    the exact dedup_exact shape with the fingerprint computed from
+    pixels instead of bytes. Corruption truncates every 127th payload;
+    all four parsers reject and the doc drops out of its group.
+    """
+    import hashlib
+
+    from go_triton_spark.codec.bmp import build_bmp
+    from go_triton_spark.codec.image import parse_image
+    from go_triton_spark.codec.png import build_png
+    from go_triton_spark.codec.tiff import build_tiff
+    from go_triton_spark.codec.vp8l import build_webp
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("fingerprint", T.StringType()),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = (("bmp", build_bmp), ("png", build_png),
+                    ("tiff", build_tiff), ("webp", build_webp))
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                fmt, build = builders[doc_id % 4]
+                payload = build(_xfmt_gate_pixels(doc_id % 50))
+                if doc_id % 127 == 31:
+                    payload = payload[:-9]  # corrupt: truncated file
+                try:
+                    m = parse_image(payload)
+                except ValueError:
+                    continue  # corrupt-skip: drops out of its group
+                canon = (f"{m['width']}x{m['height']}:".encode()
+                         + m["pixels"].tobytes())
+                rows.append((doc_id, fmt,
+                             hashlib.md5(canon).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt",
+                                              "fingerprint"])
+
+    decoded = src.mapInPandas(decode, schema=schema)
+    g = (decoded.groupBy("fingerprint")
+         .agg(F.min("doc_id").alias("keep_id"),
+              F.count("*").alias("copies")))
+    return (decoded.join(g, "fingerprint")
+            .select("doc_id", "fmt", "copies",
+                    (F.col("doc_id") == F.col("keep_id")).alias("keep")))
+
+
 def _gate_frame(doc_id: int, f: int):
     """Frame f of the mm_frame_sample gate video: 8x6 RGB, every
     channel a closed-form function of (x, y, f, doc_id) so the DuckDB

@@ -563,3 +563,26 @@ def test_theta_sketch_estimate_properties(spark):
     again = {r["event_type"]: r["theta_estimate"] for r in
              _run(spark, "sketch_theta_distinct").collect()}
     assert again == {et: r["theta_estimate"] for et, r in single.items()}
+
+
+def test_cross_format_dedup_groups_mix_formats(spark):
+    """The fingerprint groups must span CONTAINER formats — the whole
+    point is that the same pixels in BMP vs PNG vs TIFF vs WebP land
+    in one group (byte-hash dedup cannot do this)."""
+    df = _run(spark, "dedup_image_cross_format")
+    rows = df.collect()
+    assert rows
+    # rebuild groups from the keep/copies output: each keeper's group
+    # size equals copies; total keeps == number of distinct images
+    keeps = [r for r in rows if r["keep"]]
+    assert keeps and sum(r["copies"] for r in keeps) == len(rows)
+    # multi-copy groups exist and contain >= 2 distinct formats (docs
+    # 50 apart differ in doc_id % 4 because gcd(50, 4) = 2 -> formats
+    # alternate within a group)
+    from collections import defaultdict
+    by_copies = defaultdict(list)
+    for r in rows:
+        by_copies[(r["copies"], r["doc_id"] % 50)].append(r["fmt"])
+    multi = [fmts for (c, _), fmts in by_copies.items() if c >= 2]
+    assert multi
+    assert any(len(set(fmts)) >= 2 for fmts in multi), multi[:3]

@@ -92,6 +92,7 @@ FUZZED_QUERIES = [
     "mm_flac_decode",
     "mm_webp_decode",
     "mm_tiff_decode",
+    "dedup_image_cross_format",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
