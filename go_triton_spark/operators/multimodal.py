@@ -709,13 +709,18 @@ def dedup_image_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "fmt",
                                               "fingerprint"])
 
+    from pyspark.sql import Window
+
+    # window aggregate, NOT groupBy+join-back: the join shape would
+    # evaluate the Python decode pass once per branch (EXPLAIN.md audit
+    # caught exactly that); the window shuffles once on the fingerprint
+    # and reads the decoded rows a single time
     decoded = src.mapInPandas(decode, schema=schema)
-    g = (decoded.groupBy("fingerprint")
-         .agg(F.min("doc_id").alias("keep_id"),
-              F.count("*").alias("copies")))
-    return (decoded.join(g, "fingerprint")
-            .select("doc_id", "fmt", "copies",
-                    (F.col("doc_id") == F.col("keep_id")).alias("keep")))
+    wf = Window.partitionBy("fingerprint")
+    return decoded.select(
+        "doc_id", "fmt",
+        F.count("*").over(wf).alias("copies"),
+        (F.col("doc_id") == F.min("doc_id").over(wf)).alias("keep"))
 
 
 def _gate_frame(doc_id: int, f: int):
