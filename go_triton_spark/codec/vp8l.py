@@ -501,24 +501,36 @@ def _ct_delta(t: int, c: int) -> int:
     return (t * c) >> 5
 
 
+def _ct_delta_vec(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized signed 3.5 fixed-point delta: int8(t) * int8(c) >> 5
+    (arithmetic shift — numpy >> on signed ints floors, same as C)."""
+    return (t.astype(np.int8).astype(np.int64)
+            * c.astype(np.int8).astype(np.int64)) >> 5
+
+
 def _inv_color_transform(px: np.ndarray, xsize: int, ysize: int,
                          size_bits: int, tiles: np.ndarray) -> np.ndarray:
-    out = px.copy()
+    """Vectorized inverse color transform: the per-pixel deltas depend
+    only on the pixel's own channels and its tile's elements, so the
+    whole plane inverts in a handful of array ops (this is the DECODE
+    path — production cost, unlike the encoder's forward half)."""
     tx = -(-xsize // (1 << size_bits))
-    for pos in range(xsize * ysize):
-        x, y = pos % xsize, pos // xsize
-        elem = int(tiles[(y >> size_bits) * tx + (x >> size_bits)])
-        g2r = elem & 0xFF
-        g2b = (elem >> 8) & 0xFF
-        r2b = (elem >> 16) & 0xFF
-        v = int(out[pos])
-        g = (v >> 8) & 0xFF
-        r = ((v >> 16) & 0xFF) + _ct_delta(g2r, g)
-        r &= 0xFF
-        b = (v & 0xFF) + _ct_delta(g2b, g)
-        b = (b + _ct_delta(r2b, r)) & 0xFF
-        out[pos] = (v & 0xFF00FF00) | (r << 16) | b
-    return out
+    grid = px.reshape(ysize, xsize)
+    ty = -(-ysize // (1 << size_bits))
+    tgrid = tiles.reshape(ty, tx)
+    # per-pixel tile element via index broadcast
+    yy = np.arange(ysize) >> size_bits
+    xx = np.arange(xsize) >> size_bits
+    elem = tgrid[yy[:, None], xx[None, :]].astype(np.int64)
+    g2r = elem & 0xFF
+    g2b = (elem >> 8) & 0xFF
+    r2b = (elem >> 16) & 0xFF
+    v = grid.astype(np.int64)
+    g = (v >> 8) & 0xFF
+    r = (((v >> 16) & 0xFF) + _ct_delta_vec(g2r, g)) & 0xFF
+    b = ((v & 0xFF) + _ct_delta_vec(g2b, g) + _ct_delta_vec(r2b, r)) & 0xFF
+    out = (v & 0xFF00FF00) | (r << 16) | b
+    return out.astype(np.uint32).reshape(-1)
 
 
 def _inv_palette(px: np.ndarray, orig_xsize: int, ysize: int,
@@ -908,29 +920,92 @@ def _write_image(bw: _BitWriter, argb: np.ndarray, xsize: int,
                 bw.write(dx, de)
 
 
+def _avg2_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _predict_vec(mode: int, L, T, TL, TR) -> np.ndarray:
+    """Vectorized twin of _predict over packed int64 ARGB arrays."""
+    if mode == 0:
+        return np.full_like(L, 0xFF000000)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2_vec(_avg2_vec(L, TR), T)
+    if mode == 6:
+        return _avg2_vec(L, TL)
+    if mode == 7:
+        return _avg2_vec(L, T)
+    if mode == 8:
+        return _avg2_vec(TL, T)
+    if mode == 9:
+        return _avg2_vec(T, TR)
+    if mode == 10:
+        return _avg2_vec(_avg2_vec(L, TL), _avg2_vec(T, TR))
+    if mode == 11:                               # Select
+        pl = np.zeros(L.shape, np.int64)
+        pt = np.zeros(L.shape, np.int64)
+        for sh in (24, 16, 8, 0):
+            lc = (L >> sh) & 0xFF
+            tc = (T >> sh) & 0xFF
+            est = lc + tc - ((TL >> sh) & 0xFF)
+            pl += np.abs(est - lc)
+            pt += np.abs(est - tc)
+        return np.where(pl < pt, L, T)
+    if mode == 12:                               # ClampAddSubtractFull
+        out = np.zeros(L.shape, np.int64)
+        for sh in (24, 16, 8, 0):
+            v = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)
+                 - ((TL >> sh) & 0xFF))
+            out |= np.clip(v, 0, 255) << sh
+        return out
+    if mode == 13:                               # ClampAddSubtractHalf
+        ave = _avg2_vec(L, T)
+        out = np.zeros(L.shape, np.int64)
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            d = a - ((TL >> sh) & 0xFF)
+            half = np.where(d >= 0, d // 2, -((-d) // 2))  # trunc, like C
+            out |= np.clip(a + half, 0, 255) << sh
+        return out
+    raise ValueError(f"bad predictor mode {mode}")
+
+
 def _forward_predictor(argb: np.ndarray, xsize: int, ysize: int,
                        mode: int, size_bits: int) -> np.ndarray:
     """Forward single-tile predictor transform: residual = pixel - pred
-    per channel mod 256, with the decoder's exact edge rules."""
-    out = np.zeros_like(argb)
-    for pos in range(xsize * ysize):
-        x, y = pos % xsize, pos // xsize
-        if pos == 0:
-            pred = 0xFF000000
-        elif y == 0:
-            pred = int(argb[pos - 1])
-        elif x == 0:
-            pred = int(argb[pos - xsize])
-        else:
-            pred = _predict(mode, int(argb[pos - 1]), int(argb[pos - xsize]),
-                            int(argb[pos - xsize - 1]),
-                            int(argb[pos - xsize + 1]))
-        v = 0
-        for sh in (24, 16, 8, 0):
-            v |= ((((int(argb[pos]) >> sh) & 0xFF)
-                   - ((pred >> sh) & 0xFF)) & 0xFF) << sh
-        out[pos] = v
-    return out
+    per channel mod 256, with the decoder's exact edge rules. Fully
+    vectorized — at ENCODE time every neighbor is an original pixel
+    (the decoder reconstructs them exactly), so there is no scan-order
+    dependency, unlike _inv_predictor."""
+    grid = argb.reshape(ysize, xsize).astype(np.int64)
+    L = np.zeros_like(grid)
+    L[:, 1:] = grid[:, :-1]
+    T = np.zeros_like(grid)
+    T[1:, :] = grid[:-1, :]
+    TL = np.zeros_like(grid)
+    TL[1:, 1:] = grid[:-1, :-1]
+    TR = np.zeros_like(grid)
+    TR[1:, :-1] = grid[:-1, 1:]
+    if ysize > 1:
+        TR[1:, -1] = grid[1:, 0]                 # flat-buffer wrap rule
+    pred = _predict_vec(mode, L, T, TL, TR)
+    if xsize > 1:
+        pred[0, 1:] = L[0, 1:]                   # row 0: forced L
+    if ysize > 1:
+        pred[1:, 0] = T[1:, 0]                   # col 0: forced T
+    pred[0, 0] = 0xFF000000
+    out = np.zeros_like(grid)
+    for sh in (24, 16, 8, 0):
+        out |= ((((grid >> sh) & 0xFF) - ((pred >> sh) & 0xFF))
+                & 0xFF) << sh
+    return out.astype(np.uint32).reshape(-1)
 
 
 def build_vp8l(pixels: np.ndarray, alpha: np.ndarray | None = None,

@@ -386,14 +386,24 @@ def _gif_gate_parts(doc_id: int):
            cast(p.w as bigint) AS width,
            cast(p.h as bigint) AS height,
            cast(p.w * p.h as bigint) AS n_pixels,
-           cast(sum((7 * ci.c + p.doc_id) % 256) as bigint) AS sum_r,
-           cast(sum((11 * ci.c + 3 * p.doc_id) % 256) as bigint) AS sum_g,
-           cast(sum((5 * ci.c * ci.c + p.doc_id) % 256) as bigint) AS sum_b
+           cast(sum(CASE WHEN ci.t THEN 0
+                         ELSE (7 * ci.c + p.doc_id) % 256 END)
+                as bigint) AS sum_r,
+           cast(sum(CASE WHEN ci.t THEN 0
+                         ELSE (11 * ci.c + 3 * p.doc_id) % 256 END)
+                as bigint) AS sum_g,
+           cast(sum(CASE WHEN ci.t THEN 0
+                         ELSE (5 * ci.c * ci.c + p.doc_id) % 256 END)
+                as bigint) AS sum_b,
+           cast(sum(CASE WHEN ci.t THEN 1 ELSE 0 END) as bigint)
+             AS n_transparent
     FROM p
     CROSS JOIN generate_series(0, 16) gx(x)
     CROSS JOIN generate_series(0, 8) gy(y)
     CROSS JOIN LATERAL
-      (SELECT (gx.x + 2 * gy.y + p.doc_id) % 16 AS c) ci
+      (SELECT (gx.x + 2 * gy.y + p.doc_id) % 16 AS c,
+              p.doc_id % 3 = 1 AND (gx.x + 2 * gy.y + p.doc_id) % 16 = 15
+                AS t) ci
     WHERE gx.x < p.w AND gy.y < p.h
     GROUP BY p.doc_id, p.w, p.h
     """,
@@ -419,8 +429,9 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (d,) = tables(spark, sf_dir, "documents")
     src = spread(d.select("doc_id"), spark, rows_per_task=500)
-    schema = T.StructType([f for f in _IMG_DECODE_SCHEMA
-                           if f.name != "bit_depth"])
+    schema = T.StructType(
+        [f for f in _IMG_DECODE_SCHEMA if f.name != "bit_depth"]
+        + [T.StructField("n_transparent", T.LongType())])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -428,8 +439,14 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 idx, pal = _gif_gate_parts(doc_id)
-                payload = build_gif(idx, pal,
-                                    interlace=bool(doc_id % 2))
+                # doc_id % 3 == 1: a real Graphic Control Extension
+                # declares palette index 15 TRANSPARENT — those pixels
+                # must composite to background (0,0,0) with alpha 0,
+                # never palette color 15 (r8: the GCE decode path is
+                # driver-gated, not just unit-tested)
+                tidx = 15 if doc_id % 3 == 1 else None
+                payload = build_gif(idx, pal, interlace=bool(doc_id % 2),
+                                    transparency_index=tidx)
                 if doc_id % 103 == 59:
                     payload = payload[:-5]  # corrupt: truncated stream
                 try:
@@ -439,7 +456,8 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = m["pixels"].astype("int64")
                 rows.append((doc_id, m["width"], m["height"], m["n_pixels"],
                              int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
-                             int(px[:, :, 2].sum())))
+                             int(px[:, :, 2].sum()),
+                             int((m["alpha"] == 0).sum())))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return src.mapInPandas(decode, schema=schema)

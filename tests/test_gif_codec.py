@@ -345,3 +345,34 @@ def test_magic_dispatch_routes_gif():
     data = build_gif(idx, pal)
     assert sniff_image_format(data) == "gif"
     assert np.array_equal(parse_image(data)["pixels"], pal[idx])
+
+
+def test_gate_corpus_transparency_and_corruption_contract():
+    """The mm_gif_decode gate contract after r8: doc_id%3==1 payloads
+    carry a real GCE (palette index 15 transparent — composited pixels
+    zero with alpha 0), every truncated shape in the 103-period
+    rejects, and clean payloads decode to the closed form."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from go_triton_spark.operators.multimodal import _gif_gate_parts
+
+    for doc_id in range(59, 59 + 103 * 30, 103):
+        idx, pal = _gif_gate_parts(doc_id)
+        tidx = 15 if doc_id % 3 == 1 else None
+        payload = build_gif(idx, pal, interlace=bool(doc_id % 2),
+                            transparency_index=tidx)
+        with pytest.raises(ValueError):
+            parse_gif(payload[:-5])
+    for doc_id in range(0, 60):
+        idx, pal = _gif_gate_parts(doc_id)
+        tidx = 15 if doc_id % 3 == 1 else None
+        m = parse_gif(build_gif(idx, pal, interlace=bool(doc_id % 2),
+                                transparency_index=tidx))
+        expect = pal[idx].astype("int64")
+        mask = idx == 15
+        if tidx is not None:
+            expect[mask] = 0
+            assert (m["alpha"] == 0).sum() == mask.sum(), doc_id
+        else:
+            assert (m["alpha"] == 255).all(), doc_id
+        assert np.array_equal(m["pixels"].astype("int64"), expect), doc_id
