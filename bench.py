@@ -98,6 +98,7 @@ HEADLINE = [
     "mm_webp_decode",            # r8: VP8L prefix-code+LZ77+transforms
     "mm_tiff_decode",            # r8: IFD walk + TIFF-LZW/PackBits
     "dedup_image_cross_format",  # r8: decoded-pixel dedup over 4 formats
+    "mm_caption_frame_align",    # r8: video-text training-pair range join
     "sketch_theta_distinct",     # r8: mergeable KMV distinct estimate
     "warc_extract",              # r7: Common Crawl shard ingest
     "join_skew_aware",           # r7: measured per verdict ask (skew guard)

@@ -639,6 +639,200 @@ def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(decode, schema=schema)
 
 
+@query(
+    "mm_vtt_extract",
+    oracle="""
+    SELECT d.doc_id,
+           cast(gk.k as bigint) AS cue_idx,
+           cast(500 * gk.k as bigint) AS start_ms,
+           cast(500 * gk.k + 400 as bigint) AS end_ms,
+           cast(1 + (d.doc_id + gk.k) % 4 as bigint) AS n_words
+    FROM documents d
+    CROSS JOIN generate_series(0, 6) gk(k)
+    WHERE d.doc_id % 101 <> 7
+      AND gk.k < 2 + d.doc_id % 5
+    """,
+    tags=("llm", "multimodal", "video", "text"),
+)
+def mm_vtt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebVTT caption-track parse: each row carries a complete
+    caption file that codec/vtt.py genuinely parses — signature line,
+    cue identifiers, HH:MM:SS.mmm timing arrows, multi-line payloads,
+    NOTE blocks — and the operator explodes cues to rows with integer
+    timings and word counts. This is the text half of video training
+    pairs (mm_caption_frame_align below joins it to decoded frames).
+
+    Corruption mangles the first timing arrow of every 101st file
+    ("-->" -> "-!>"): the cue walk finds an identifier with no timing
+    line and rejects the doc. Production payloads come from
+    ``spark.read.format("binaryFile")``; only this synthesizing loop
+    is test scaffolding.
+    """
+    from go_triton_spark.codec.vtt import build_webvtt, parse_webvtt
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=2000)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cue_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_words", T.LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_webvtt(_vtt_gate_cues(doc_id),
+                                       note="gate corpus")
+                if doc_id % 101 == 7:
+                    payload = payload.replace(b"-->", b"-!>", 1)
+                try:
+                    cues = parse_webvtt(payload)
+                except ValueError:
+                    continue  # corrupt-skip
+                rows.extend(
+                    (doc_id, k, c["start_ms"], c["end_ms"],
+                     len(c["text"].split()))
+                    for k, c in enumerate(cues))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(extract, schema=schema)
+
+
+def _vtt_gate_cues(doc_id: int) -> list:
+    """Closed-form cue list for the VTT gates: 2..6 cues, 400 ms long,
+    on a 500 ms grid (so the 250 ms-sampled frames of the align query
+    land INSIDE cue k at t = 500k), 1..4 single-token words."""
+    cues = []
+    for k in range(2 + doc_id % 5):
+        start = 500 * k
+        words = " ".join(f"w{j}" for j in range(1 + (doc_id + k) % 4))
+        cues.append((start, start + 400, words))
+    return cues
+
+
+@query(
+    "mm_caption_frame_align",
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id, gf.f AS frame_idx, 250 * gf.f AS t_ms,
+             cast(sum((gx.x + 2 * gy.y + 3 * gf.f + d.doc_id) % 256)
+                  as bigint) AS sum_r
+      FROM documents d
+      CROSS JOIN generate_series(0, 7) gf(f)
+      CROSS JOIN generate_series(0, 7) gx(x)
+      CROSS JOIN generate_series(0, 5) gy(y)
+      WHERE d.doc_id % 97 <> 13 AND d.doc_id % 101 <> 7
+        AND gf.f < 2 + d.doc_id % 7 AND gf.f % 2 = 0
+      GROUP BY d.doc_id, gf.f),
+    c AS (
+      SELECT d.doc_id, gk.k AS cue_idx,
+             500 * gk.k AS start_ms,
+             500 * gk.k + 400 AS end_ms,
+             1 + (d.doc_id + gk.k) % 4 AS n_words
+      FROM documents d
+      CROSS JOIN generate_series(0, 6) gk(k)
+      WHERE d.doc_id % 97 <> 13 AND d.doc_id % 101 <> 7
+        AND gk.k < 2 + d.doc_id % 5)
+    SELECT f.doc_id, cast(f.frame_idx as bigint) AS frame_idx,
+           cast(c.cue_idx as bigint) AS cue_idx,
+           cast(f.t_ms as bigint) AS t_ms,
+           f.sum_r, cast(c.n_words as bigint) AS n_words
+    FROM f JOIN c ON f.doc_id = c.doc_id
+                 AND f.t_ms >= c.start_ms AND f.t_ms < c.end_ms
+    """,
+    tags=("llm", "multimodal", "video", "text"),
+)
+def mm_caption_frame_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-text ALIGNMENT: decode the frames (real AVI parse, the
+    mm_frame_sample corpus at 250 ms/frame) and the caption track
+    (real WebVTT parse), then range-join each sampled frame's
+    timestamp into its covering cue — the (frame, caption) training
+    pairs a multimodal pipeline feeds the tokenizer.
+
+    Plan: both sides are per-row Arrow decode passes (zero shuffles);
+    the alignment is ONE equi-join on doc_id with the time-window
+    predicate as a residual — at 100 TB the join key distributes the
+    pairing, and no cross-doc comparison ever happens. Corruption on
+    EITHER side (97-period truncated AVI, 101-period mangled VTT
+    arrow) drops the whole doc from the pairing — both parsers'
+    corrupt-skip gates compose."""
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+    from go_triton_spark.codec.vtt import build_webvtt, parse_webvtt
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+
+    fschema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ])
+    cschema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cue_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_words", T.LongType()),
+    ])
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 101 == 7:
+                    continue       # VTT side corrupt: doc leaves pairing
+                n = 2 + doc_id % 7
+                payload = build_avi(
+                    [_gate_frame(doc_id, f) for f in range(n)], fps=4)
+                if doc_id % 97 == 13:
+                    payload = payload[:48]
+                try:
+                    m = parse_avi(payload)
+                except ValueError:
+                    continue
+                sampled = np.asarray(m["frames"])[0::2, :, :, 0]
+                sums = sampled.astype("int64").sum(axis=(1, 2))
+                rows.extend((doc_id, 2 * i, 250 * 2 * i, int(s))
+                            for i, s in enumerate(sums))
+            yield pd.DataFrame(rows, columns=[f.name for f in fschema])
+
+    def cues(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 97 == 13:
+                    continue       # AVI side corrupt: doc leaves pairing
+                payload = build_webvtt(_vtt_gate_cues(doc_id))
+                if doc_id % 101 == 7:
+                    payload = payload.replace(b"-->", b"-!>", 1)
+                try:
+                    parsed = parse_webvtt(payload)
+                except ValueError:
+                    continue
+                rows.extend(
+                    (doc_id, k, c["start_ms"], c["end_ms"],
+                     len(c["text"].split()))
+                    for k, c in enumerate(parsed))
+            yield pd.DataFrame(rows, columns=[f.name for f in cschema])
+
+    fdf = src.mapInPandas(frames, schema=fschema)
+    cdf = src.mapInPandas(cues, schema=cschema)
+    return (fdf.join(cdf, (fdf.doc_id == cdf.doc_id)
+                     & (fdf.t_ms >= cdf.start_ms)
+                     & (fdf.t_ms < cdf.end_ms))
+            .select(fdf.doc_id, "frame_idx", "cue_idx", "t_ms",
+                    "sum_r", "n_words"))
+
+
 def _xfmt_gate_pixels(img_key: int):
     """Pixel content for the cross-format dedup gate: keyed by
     ``img_key`` (doc_id % 50), so ~10 docs per sf0.01 corpus share

@@ -93,6 +93,8 @@ FUZZED_QUERIES = [
     "mm_webp_decode",
     "mm_tiff_decode",
     "dedup_image_cross_format",
+    "mm_vtt_extract",
+    "mm_caption_frame_align",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
