@@ -42,6 +42,7 @@ from go_triton_spark.operators import dedup  # noqa: F401,E402
 from go_triton_spark.operators import similarity  # noqa: F401,E402
 from go_triton_spark.operators import text  # noqa: F401,E402
 from go_triton_spark.operators import multimodal  # noqa: F401,E402
+from go_triton_spark.operators import perceptual  # noqa: F401,E402
 from go_triton_spark.operators import curation  # noqa: F401,E402
 from go_triton_spark.operators import training  # noqa: F401,E402
 from go_triton_spark.operators import interval_join  # noqa: F401,E402

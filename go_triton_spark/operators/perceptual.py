@@ -1,0 +1,211 @@
+"""Perceptual (content-based) near-duplicate operators over decoded
+media — the image/audio siblings of the text near-dup family.
+
+Byte hashes (dedup_exact) catch identical files; decoded-pixel hashes
+(dedup_image_cross_format) catch the same pixels in different
+containers. Neither catches what image training-data pipelines
+actually fight: the SAME photo re-encoded, resized, or slightly
+retouched. The production answer (LAION, DataComp) is a perceptual
+hash — here dHash (gradient hash): luma-downsample to a 9x8 grid,
+emit one bit per horizontal gradient sign, giving a 64-bit signature
+whose Hamming distance tracks visual similarity. Near-dup pairs are
+then found EXACTLY like SimHash text dedup: band the 64 bits into 4x
+16-bit keys (pigeonhole: any pair within Hamming<=3 collides on at
+least one band), bucket-join on (band, key), and verify candidates
+with an exact popcount — never all-pairs.
+
+At 100 TB: decode+hash is a per-row Arrow pass (zero shuffles); only
+(doc_id, 8-byte signature) rows shuffle into band buckets, and the
+exact verifier touches candidate pairs only. The same
+bucket-join-then-verify plan the text side already proved at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_triton_spark.operators.registry import query, spread, tables
+
+_DH_ROWS, _DH_COLS = 8, 9          # dHash grid: 8 rows x 9 cols -> 64 bits
+_PH_BANDS, _PH_BAND_BITS = 4, 16   # 4 bands x 16 bits; catches Hamming<=3
+_PH_MAX_HAMMING = 3
+
+
+def dhash64(pixels) -> int:
+    """64-bit difference hash of an (h, w, 3) uint8 RGB array.
+
+    Integer luma (r + 2g + b) / 4, area-average resample onto the 9x8
+    grid (row/col bins), then bit (r, c) = 1 iff grid[r][c+1] >
+    grid[r][c]. Pure numpy, format-agnostic — callers feed it any
+    parse_image output. Returned as a SIGNED 64-bit value so it stores
+    in a Spark LongType column without loss.
+    """
+    import numpy as np
+
+    px = pixels.astype("int64")
+    luma = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4
+    h, w = luma.shape
+    # area-average resample: split rows into 8 bins, cols into 9 bins
+    rbin = (np.arange(h) * _DH_ROWS) // h
+    cbin = (np.arange(w) * _DH_COLS) // w
+    grid = np.zeros((_DH_ROWS, _DH_COLS), dtype=np.float64)
+    for r in range(_DH_ROWS):
+        rows = luma[rbin == r]
+        for c in range(_DH_COLS):
+            grid[r, c] = rows[:, cbin == c].mean()
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64)  # (8, 8)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+    return int((bits * weights).sum(dtype=np.uint64).view(np.int64))
+
+
+def _phash_key_bits(img_key: int) -> int:
+    """Ground-truth 64-bit gradient pattern for one gate image key.
+
+    md5-derived so distinct keys differ in ~32 bits (the pairwise
+    floor is asserted in tests — with 40 keys the probability any two
+    64-bit digests land within Hamming 3 is ~1e-14, and the generator
+    is deterministic so the property is checked once, not per run).
+    """
+    return int.from_bytes(
+        hashlib.md5(b"phash-gate:%d" % img_key).digest()[:8], "big")
+
+
+def _phash_gate_pixels(doc_id: int):
+    """Gate image for doc_id: an 18x16 grayscale-content RGB image
+    whose 9x8 dHash is EXACTLY ``_phash_key_bits(doc_id % 40)``, with
+    per-doc perturbations that keep the hash within Hamming 1:
+
+    - variant 0: the base image;
+    - variant 1: +/-4 per-pixel noise (every gradient step is +/-12,
+      block-mean noise shifts a step by at most 8 — signs survive);
+    - variant 2: one gradient sign inverted at (row = img_key % 8,
+      col 7) — flips exactly ONE hash bit (column 7 is the row's last
+      step, so no neighboring gradient changes).
+
+    So docs sharing img_key = doc_id % 40 sit within Hamming<=2 of
+    each other (near-dups), while distinct keys sit ~32 bits apart —
+    and the DuckDB oracle can state the expected pairs from img_key
+    alone, a differential test of decode + hash + banding + verify.
+    """
+    import numpy as np
+
+    img_key = doc_id % 40
+    variant = (doc_id // 40) % 3
+    bits = _phash_key_bits(img_key)
+    step = np.where(
+        [[(bits >> (r * 8 + c)) & 1 for c in range(8)] for r in range(8)],
+        12, -12)
+    grid = np.concatenate(
+        [np.full((8, 1), 128, dtype=np.int64),
+         128 + np.cumsum(step, axis=1)], axis=1)          # (8, 9)
+    if variant == 2:
+        r = img_key % 8
+        grid[r, 8] = grid[r, 7] - (grid[r, 8] - grid[r, 7])
+    img = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1)  # (16, 18)
+    if variant == 1:
+        py, px = np.mgrid[0:16, 0:18]
+        img = img + ((doc_id * 7 + px * 5 + py * 3) % 9) - 4
+    return np.dstack([img, img, img]).astype("uint8")
+
+
+@query(
+    "dedup_image_phash",
+    oracle="""
+    WITH live AS (SELECT doc_id, doc_id % 40 AS img_key
+                  FROM documents WHERE doc_id % 131 <> 17)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM live a JOIN live b
+      ON a.img_key = b.img_key AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup", "multimodal", "image"),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash-64 over DECODED pixels,
+    banded Hamming LSH, exact popcount verification (<= 3 bits).
+
+    Each row's payload is a complete real image file (container format
+    cycles bmp/png/tiff/webp by doc_id, so the magic-sniffing dispatch
+    and all four production decoders sit on the hot path), perturbed
+    per doc: pixel noise and a single-gradient retouch that byte- and
+    pixel-exact dedup both miss, but dHash keeps within Hamming 1.
+    Every 131st payload is truncated mid-file — all four parsers
+    reject it and the doc drops out of its pair set (corrupt-skip on
+    real bytes).
+
+    The oracle is deliberately NOT a dHash re-implementation: it
+    states the expected pairs from the generator's ground-truth image
+    key, so any decoder, resampler, hash, banding, or verify defect
+    breaks the match.
+
+    Plan shape (the SimHash/minhash scale plan, applied to images):
+    decode+hash never shuffles; signatures cache as (doc_id, long);
+    4x16-bit band keys derive JVM-side (shiftrightunsigned + mask);
+    candidates = one bucket self-join; verify = xor + bit_count, all
+    whole-stage codegen.
+    """
+    from go_triton_spark.codec.bmp import build_bmp
+    from go_triton_spark.codec.image import parse_image
+    from go_triton_spark.codec.png import build_png
+    from go_triton_spark.codec.tiff import build_tiff
+    from go_triton_spark.codec.vp8l import build_webp
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = (build_bmp, build_png, build_tiff, build_webp)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = builders[doc_id % 4](_phash_gate_pixels(doc_id))
+                if doc_id % 131 == 17:
+                    payload = payload[:-11]  # corrupt: truncated file
+                try:
+                    m = parse_image(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle WHERE
+                rows.append((doc_id, dhash64(m["pixels"])))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    # signatures are read by the band explode AND both verify sides —
+    # cache so the Python decode pass runs once (the window/cache
+    # lesson from dedup_image_cross_format's plan audit)
+    sigs = src.mapInPandas(hash_images, schema=schema).cache()
+
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'key', "
+        f"cast(shiftrightunsigned(phash, {b * _PH_BAND_BITS}) & 65535 as int))"
+        for b in range(_PH_BANDS))
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    cand = (
+        buckets.alias("a").join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ha = sigs.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("h_a"))
+    hb = sigs.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("h_b"))
+    return (
+        cand.join(ha, "id_a").join(hb, "id_b")
+        .where(F.expr(f"bit_count(h_a ^ h_b) <= {_PH_MAX_HAMMING}"))
+        .select("id_a", "id_b")
+    )
