@@ -102,6 +102,8 @@ HEADLINE = [
     "sketch_theta_distinct",     # r8: mergeable KMV distinct estimate
     "warc_extract",              # r7: Common Crawl shard ingest
     "join_skew_aware",           # r7: measured per verdict ask (skew guard)
+    "dedup_image_phash",         # r8: perceptual dHash + Hamming LSH
+    "mm_audio_features",         # r8: decoded-signal featurization (rFFT)
 ]
 
 

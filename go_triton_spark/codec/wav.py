@@ -4,11 +4,13 @@ decode is NOT a stub (VERDICT r3 ask; the PIL/ffmpeg formats keep their
 documented swap points in operators/multimodal.py).
 
 Scope: canonical RIFF/WAVE containers with integer PCM (format tag 1)
-at 8/16/24/32-bit depth, mono or multi-channel. The chunk walk is a
-real parser — it skips unknown chunks (LIST, fact, cue, bext...),
-honors the RIFF odd-size pad byte, and fails loudly (ValueError) on
-truncated or non-PCM input so callers can apply the engine's
-corrupt-skip semantics (same contract as the msgpack decode path).
+at 8/16/24/32-bit depth plus G.711 telephony companding (tag 6 =
+A-law, tag 7 = mu-law; expanded to linear via codec/g711.py), mono or
+multi-channel. The chunk walk is a real parser — it skips unknown
+chunks (LIST, fact, cue, bext...), honors the RIFF odd-size pad byte,
+and fails loudly (ValueError) on truncated or unsupported-tag input
+so callers can apply the engine's corrupt-skip semantics (same
+contract as the msgpack decode path).
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ import struct
 import numpy as np
 
 _PCM = 1
+_ALAW = 6
+_ULAW = 7
 
 
 def parse_wav(data: bytes) -> dict:
@@ -47,10 +51,13 @@ def parse_wav(data: bytes) -> dict:
                 raise ValueError("fmt chunk too short")
             (tag, n_channels, sample_rate, _byte_rate, _block_align,
              bit_depth) = struct.unpack_from("<HHIIHH", data, body_start)
-            if tag != _PCM:
+            if tag not in (_PCM, _ALAW, _ULAW):
                 raise ValueError(f"unsupported WAV format tag {tag} "
-                                 "(only integer PCM)")
-            fmt = (n_channels, sample_rate, bit_depth)
+                                 "(integer PCM, A-law, mu-law)")
+            if tag != _PCM and bit_depth != 8:
+                raise ValueError("G.711 WAV requires 8-bit codes, "
+                                 f"got {bit_depth}")
+            fmt = (tag, n_channels, sample_rate, bit_depth)
         elif cid == b"data":
             pcm = data[body_start:body_start + csize]
         # odd chunk sizes carry a pad byte (RIFF spec)
@@ -60,10 +67,16 @@ def parse_wav(data: bytes) -> dict:
     if pcm is None:
         raise ValueError("missing data chunk")
 
-    n_channels, sample_rate, bit_depth = fmt
+    tag, n_channels, sample_rate, bit_depth = fmt
     if n_channels < 1 or sample_rate < 1:
         raise ValueError("corrupt fmt chunk")
-    if bit_depth == 8:
+    if tag == _ULAW:
+        from go_triton_spark.codec.g711 import ulaw_decode
+        x = ulaw_decode(pcm)
+    elif tag == _ALAW:
+        from go_triton_spark.codec.g711 import alaw_decode
+        x = alaw_decode(pcm)
+    elif bit_depth == 8:
         # 8-bit WAV is unsigned, biased at 128
         x = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
     elif bit_depth == 16:
@@ -103,19 +116,39 @@ def parse_wav(data: bytes) -> dict:
         "n_channels": int(n_channels),
         "sample_rate": int(sample_rate),
         "bit_depth": int(bit_depth),
+        "codec": {_PCM: "pcm", _ALAW: "alaw", _ULAW: "ulaw"}[tag],
         "n_frames": int(n_frames),
         "duration_ms": int(duration_ms),
         "peak": peak,
         "rms_u": rms_u,
+        # decoded PCM as (n_frames, n_channels) — same contract as
+        # parse_flac's ``samples``, so audio feature operators are
+        # container-agnostic (see codec/audio.py)
+        "samples": x[:n_frames * n_channels].reshape(n_frames, n_channels),
     }
 
 
 def build_wav(samples, sample_rate: int = 8000, n_channels: int = 1,
-              bit_depth: int = 16) -> bytes:
-    """Assemble a canonical 44-byte-header PCM WAV from int samples
+              bit_depth: int = 16, codec: str = "pcm") -> bytes:
+    """Assemble a canonical 44-byte-header WAV from int samples
     (interleaved if multi-channel). Deterministic byte output — used
     to synthesize real in-flight WAV payloads for the mm_wav_decode
-    operator's gate corpus and test fixtures."""
+    operator's gate corpus and test fixtures.
+
+    ``codec='ulaw'`` / ``'alaw'`` writes a G.711 container (format
+    tag 7 / 6, 8-bit): ``samples`` are then the raw COMPANDED code
+    bytes (0..255), not linear PCM."""
+    if codec in ("ulaw", "alaw"):
+        tag = _ULAW if codec == "ulaw" else _ALAW
+        pcm = np.asarray(samples, dtype=np.uint8).tobytes()
+        block_align = n_channels
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, tag, n_channels,
+                                     sample_rate,
+                                     sample_rate * block_align,
+                                     block_align, 8)
+        hdr += b"data" + struct.pack("<I", len(pcm))
+        return hdr + pcm
     if bit_depth == 16:
         pcm = np.asarray(samples, dtype="<i2").tobytes()
     elif bit_depth == 8:

@@ -1310,6 +1310,95 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_g711_decode",
+    oracle="""
+    WITH codes AS (
+      SELECT d.doc_id, (13 * gi.i + d.doc_id) % 256 AS c
+      FROM documents d CROSS JOIN generate_series(0, 127) gi(i)
+      WHERE d.doc_id % 139 <> 11 AND gi.i < 64 + d.doc_id % 64),
+    lin AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN
+          CASE WHEN ((255 - c) & 128) = 128
+               THEN 132 - ((((255 - c) & 15) * 8 + 132)
+                           * (1 << (((255 - c) >> 4) & 7)))
+               ELSE ((((255 - c) & 15) * 8 + 132)
+                     * (1 << (((255 - c) >> 4) & 7))) - 132 END
+        ELSE
+          CASE WHEN (xor(c, 85) & 128) = 128 THEN 1 ELSE -1 END *
+          CASE ((xor(c, 85) & 112) >> 4)
+               WHEN 0 THEN (xor(c, 85) & 15) * 16 + 8
+               WHEN 1 THEN (xor(c, 85) & 15) * 16 + 264
+               ELSE ((xor(c, 85) & 15) * 16 + 264)
+                    * (1 << (((xor(c, 85) & 112) >> 4) - 1)) END
+        END AS s
+      FROM codes)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+           cast(count(*) as bigint)    AS n_samples,
+           cast(sum(abs(s)) as bigint) AS sum_abs,
+           cast(max(abs(s)) as bigint) AS peak
+    FROM lin GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony audio decode: mu-law and A-law WAV (format tags
+    7/6) expanded to linear PCM via codec/g711.py, aggregating the
+    DECODED samples. Telephony/speech corpora are a real training-data
+    source and ship companded — a pipeline that can't expand G.711
+    reads their amplitudes wrong by construction.
+
+    The oracle is the strongest kind in the registry: an INDEPENDENT
+    re-implementation of the ITU-T expansion segment math in pure SQL
+    (bit ops + CASE over the code stream), not a golden and not
+    differential — any table, sign, or segment defect in the codec
+    breaks the hash. The codec is additionally gated against stdlib
+    ``audioop`` (CPython's C implementation) in tests.
+
+    Every 139th payload is truncated mid-data-chunk; the RIFF chunk
+    walk rejects it (corrupt-skip). Per-row-independent Arrow pass,
+    zero shuffles — the mm-family scale shape.
+    """
+    import numpy as np
+
+    from go_triton_spark.codec.wav import build_wav, parse_wav
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("law", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 64 + doc_id % 64
+                codes = ((13 * np.arange(n, dtype=np.int64) + doc_id)
+                         % 256).astype(np.uint8)
+                law = "ulaw" if doc_id % 2 == 0 else "alaw"
+                payload = build_wav(codes, codec=law)
+                if doc_id % 139 == 11:
+                    payload = payload[:-9]  # corrupt: truncated data
+                try:
+                    m = parse_wav(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                ch = np.abs(m["samples"][:, 0].astype(np.int64))
+                rows.append((doc_id, m["codec"], m["n_frames"],
+                             int(ch.sum()), int(ch.max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+@query(
     "warc_extract",
     oracle="""
     SELECT d.doc_id,

@@ -209,3 +209,102 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr(f"bit_count(h_a ^ h_b) <= {_PH_MAX_HAMMING}"))
         .select("id_a", "id_b")
     )
+
+
+# =====================================================================
+# Audio signal features (quality/content filtering primitives)
+# =====================================================================
+
+def _audio_gate_signal(doc_id: int):
+    """Gate waveform: a 128-sample 50%-duty square wave whose period
+    (8/16/32 by doc_id % 3) and amplitude (1000 + doc_id % 100) give
+    every feature below a closed form the DuckDB oracle states
+    directly — energy n*A^2, zero crossings 2n/P - 1, and a dominant
+    rFFT bin at exactly n/P (the fundamental beats the strongest
+    harmonic by >2.4x for all three periods, so the argmax is never a
+    float-rounding coin flip)."""
+    import numpy as np
+
+    period = 8 << (doc_id % 3)
+    amp = 1000 + doc_id % 100
+    i = np.arange(128)
+    return np.where((i // (period // 2)) % 2 == 0, amp, -amp).astype(
+        np.int64)
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    SELECT doc_id,
+           cast(128 as bigint) AS n_samples,
+           cast(8000 as bigint) AS sample_rate,
+           cast(128 * (1000 + doc_id % 100) * (1000 + doc_id % 100)
+                as bigint) AS energy,
+           cast(CASE doc_id % 3 WHEN 0 THEN 31 WHEN 1 THEN 15 ELSE 7 END
+                as bigint) AS zcr,
+           cast(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END
+                as bigint) AS peak_bin
+    FROM documents WHERE doc_id % 137 <> 7
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurization for training-data filtering: energy,
+    zero-crossing rate, and dominant-frequency bin (rFFT argmax) over
+    DECODED samples — the signal-level stats an audio curation
+    pipeline thresholds on (silence/clipping/tone detection), the way
+    text_quality_score thresholds text stats.
+
+    Container-agnostic on purpose: payloads alternate real WAV (PCM)
+    and real FLAC (Rice+LPC) by doc_id and flow through the
+    magic-sniffing ``parse_audio`` dispatch, so both decoders sit on
+    the hot path and the features never see the container. Every
+    137th payload is truncated mid-stream; both parsers reject it
+    (WAV chunk-length check, FLAC CRC/length) and the doc drops out.
+
+    At 100 TB: per-row-independent Arrow pass, zero shuffles — the
+    mm-family scale shape. The rFFT is numpy over a 128-sample frame;
+    production frame sizes (1024-4096) keep the same per-row
+    independence.
+    """
+    import numpy as np
+
+    from go_triton_spark.codec.audio import parse_audio
+    from go_triton_spark.codec.flac import build_flac
+    from go_triton_spark.codec.wav import build_wav
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("peak_bin", T.LongType()),
+    ])
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = _audio_gate_signal(doc_id)
+                payload = (build_wav(s) if doc_id % 2 == 0
+                           else build_flac(s))
+                if doc_id % 137 == 7:
+                    payload = payload[:-13]  # corrupt: truncated stream
+                try:
+                    m = parse_audio(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                ch = m["samples"][:, 0].astype(np.int64)
+                energy = int((ch * ch).sum())
+                zcr = int(np.sum(ch[1:] * ch[:-1] < 0))
+                spec = np.abs(np.fft.rfft(ch.astype(np.float64)))
+                peak_bin = int(np.argmax(spec[1:]) + 1)
+                rows.append((doc_id, m["n_samples"], m["sample_rate"],
+                             energy, zcr, peak_bin))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(features, schema=schema)

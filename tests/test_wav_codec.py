@@ -22,10 +22,16 @@ def test_fixture_golden():
     time, not by parse_wav)."""
     with open(FIXTURE, "rb") as fh:
         m = parse_wav(fh.read())
+    samples = m.pop("samples")
     assert m == {
         "n_channels": 2, "sample_rate": 44100, "bit_depth": 16,
+        "codec": "pcm",
         "n_frames": 441, "duration_ms": 10, "peak": 1000, "rms_u": 584,
     }
+    # decoded PCM contract (round 8): (n_frames, n_channels), and the
+    # stats above must be recomputable from it
+    assert samples.shape == (441, 2)
+    assert int(np.abs(samples).max()) == 1000
 
 
 def test_round_trip_matches_stdlib_wave(tmp_path):
