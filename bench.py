@@ -104,6 +104,8 @@ HEADLINE = [
     "join_skew_aware",           # r7: measured per verdict ask (skew guard)
     "dedup_image_phash",         # r8: perceptual dHash + Hamming LSH
     "mm_audio_features",         # r8: decoded-signal featurization (rFFT)
+    "mm_g711_decode",            # r8: ITU-T telephony expansion
+    "mm_adpcm_decode",           # r8: adaptive-quantizer prediction
 ]
 
 

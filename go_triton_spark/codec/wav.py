@@ -22,6 +22,7 @@ import numpy as np
 _PCM = 1
 _ALAW = 6
 _ULAW = 7
+_IMA_ADPCM = 0x11
 
 
 def parse_wav(data: bytes) -> dict:
@@ -51,13 +52,20 @@ def parse_wav(data: bytes) -> dict:
                 raise ValueError("fmt chunk too short")
             (tag, n_channels, sample_rate, _byte_rate, _block_align,
              bit_depth) = struct.unpack_from("<HHIIHH", data, body_start)
-            if tag not in (_PCM, _ALAW, _ULAW):
+            if tag not in (_PCM, _ALAW, _ULAW, _IMA_ADPCM):
                 raise ValueError(f"unsupported WAV format tag {tag} "
-                                 "(integer PCM, A-law, mu-law)")
-            if tag != _PCM and bit_depth != 8:
+                                 "(integer PCM, A-law, mu-law, IMA ADPCM)")
+            if tag in (_ALAW, _ULAW) and bit_depth != 8:
                 raise ValueError("G.711 WAV requires 8-bit codes, "
                                  f"got {bit_depth}")
-            fmt = (tag, n_channels, sample_rate, bit_depth)
+            if tag == _IMA_ADPCM:
+                if bit_depth != 4:
+                    raise ValueError("IMA ADPCM WAV requires 4-bit "
+                                     f"codes, got {bit_depth}")
+                if n_channels != 1:
+                    raise ValueError("IMA ADPCM: mono only")
+            fmt = (tag, n_channels, sample_rate, bit_depth,
+                   _block_align)
         elif cid == b"data":
             pcm = data[body_start:body_start + csize]
         # odd chunk sizes carry a pad byte (RIFF spec)
@@ -67,10 +75,13 @@ def parse_wav(data: bytes) -> dict:
     if pcm is None:
         raise ValueError("missing data chunk")
 
-    tag, n_channels, sample_rate, bit_depth = fmt
+    tag, n_channels, sample_rate, bit_depth, block_align = fmt
     if n_channels < 1 or sample_rate < 1:
         raise ValueError("corrupt fmt chunk")
-    if tag == _ULAW:
+    if tag == _IMA_ADPCM:
+        from go_triton_spark.codec.adpcm import decode_ima_blocks
+        x = decode_ima_blocks(pcm, block_align)
+    elif tag == _ULAW:
         from go_triton_spark.codec.g711 import ulaw_decode
         x = ulaw_decode(pcm)
     elif tag == _ALAW:
@@ -116,7 +127,8 @@ def parse_wav(data: bytes) -> dict:
         "n_channels": int(n_channels),
         "sample_rate": int(sample_rate),
         "bit_depth": int(bit_depth),
-        "codec": {_PCM: "pcm", _ALAW: "alaw", _ULAW: "ulaw"}[tag],
+        "codec": {_PCM: "pcm", _ALAW: "alaw", _ULAW: "ulaw",
+                  _IMA_ADPCM: "ima_adpcm"}[tag],
         "n_frames": int(n_frames),
         "duration_ms": int(duration_ms),
         "peak": peak,

@@ -1398,6 +1398,116 @@ def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(decode, schema=schema)
 
 
+def _ima_steps_values() -> str:
+    from go_triton_spark.codec.adpcm import STEP_TABLE
+    return ", ".join(f"({i}, {s})" for i, s in enumerate(STEP_TABLE))
+
+
+@query(
+    "mm_adpcm_decode",
+    oracle=f"""
+    WITH RECURSIVE
+    params AS (
+      SELECT doc_id,
+             32 + 2 * (doc_id % 17)          AS n_nib,
+             ((doc_id * 37) % 4096) - 2048   AS pred0,
+             doc_id % 89                     AS idx0
+      FROM documents WHERE doc_id % 149 <> 13),
+    steps(si, step) AS (VALUES {_ima_steps_values()}),
+    dec AS (
+      SELECT doc_id, n_nib, 0 AS i, pred0 AS pred, idx0 AS idx,
+             cast(pred0 AS bigint) AS sample
+      FROM params
+      UNION ALL
+      SELECT doc_id, n_nib, i + 1,
+             greatest(-32768, least(32767, praw))        AS pred,
+             greatest(0, least(88, idx + adj))           AS idx,
+             cast(greatest(-32768, least(32767, praw)) AS bigint) AS sample
+      FROM (
+        SELECT doc_id, n_nib, i, idx,
+               CASE WHEN (nib & 8) = 8 THEN pred - diff
+                    ELSE pred + diff END                 AS praw,
+               CASE WHEN (nib & 7) < 4 THEN -1
+                    ELSE 2 * ((nib & 7) - 3) END         AS adj
+        FROM (
+          SELECT q.doc_id, q.n_nib, q.i, q.idx, q.pred, q.nib,
+                 (q.step >> 3)
+                 + CASE WHEN (q.nib & 1) = 1 THEN q.step >> 2 ELSE 0 END
+                 + CASE WHEN (q.nib & 2) = 2 THEN q.step >> 1 ELSE 0 END
+                 + CASE WHEN (q.nib & 4) = 4 THEN q.step ELSE 0 END AS diff
+          FROM (
+            SELECT d.doc_id, d.n_nib, d.i, d.idx, d.pred, st.step,
+                   (3 * d.i + d.doc_id) % 16 AS nib
+            FROM dec d JOIN steps st ON st.si = d.idx
+            WHERE d.i < d.n_nib
+          ) q
+        ) w
+      ) z)
+    SELECT doc_id,
+           cast(count(*) AS bigint)          AS n_samples,
+           cast(sum(abs(sample)) AS bigint)  AS sum_abs,
+           cast(max(abs(sample)) AS bigint)  AS peak,
+           cast(max(CASE WHEN i = n_nib THEN sample END) AS bigint)
+             AS last_sample
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM audio decode (WAV format tag 0x11): 4-bit adaptive
+    differential codes expanded through the 89-entry step machine
+    (codec/adpcm.py), aggregating the DECODED samples — the engine's
+    sixth coding family (adaptive-quantizer prediction), and the
+    standard codec of voice/game corpora that predate modern formats.
+
+    The oracle re-implements the ENTIRE decode state machine as a
+    recursive CTE (step table as VALUES; per-nibble predictor/index
+    recursion with the same clamps) — an independent SQL decoder, so
+    any drift in the table, sign handling, index adaptation, or clamp
+    order breaks the hash, sample by sample.
+
+    Every 149th payload is truncated; the RIFF chunk walk rejects it
+    (corrupt-skip). Per-row-independent Arrow pass, zero shuffles.
+    """
+    import numpy as np
+
+    from go_triton_spark.codec.adpcm import build_ima_wav
+    from go_triton_spark.codec.wav import parse_wav
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("last_sample", T.LongType()),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_nib = 32 + 2 * (doc_id % 17)
+                nib = (3 * np.arange(n_nib, dtype=np.int64) + doc_id) % 16
+                pred0 = ((doc_id * 37) % 4096) - 2048
+                idx0 = doc_id % 89
+                payload = build_ima_wav(nib, pred0, idx0)
+                if doc_id % 149 == 13:
+                    payload = payload[:-3]  # corrupt: truncated block
+                try:
+                    m = parse_wav(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                s = m["samples"][:, 0].astype(np.int64)
+                rows.append((doc_id, len(s), int(np.abs(s).sum()),
+                             int(np.abs(s).max()), int(s[-1])))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)
+
+
 @query(
     "warc_extract",
     oracle="""
