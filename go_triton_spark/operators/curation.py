@@ -348,3 +348,73 @@ def curate_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "curate_importance_resample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts)-1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2),
+    contrib AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(bg), 1, 1))
+             - strpos('0123456789abcdef', substr(md5(bg), 2, 1)) AS w
+      FROM big),
+    scored AS (
+      SELECT t.doc_id,
+             cast(coalesce(sum(c.w), 0) as bigint) AS score
+      FROM toks t LEFT JOIN contrib c USING (doc_id)
+      GROUP BY t.doc_id)
+    SELECT doc_id, score, score >= 40 AS selected FROM scored
+    """,
+    tags=("llm", "curation"),
+)
+def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-bigram
+    features, a per-bucket target/source log-ratio table, document
+    score = sum of its bigrams' ratios, select docs above the
+    resampling threshold.
+
+    Engine-parity surrogate for the ratio table: production DSIR
+    broadcasts learned log(p_target/p_source) per hash bucket; here
+    the lookup is the INTEGER difference of two md5 hex digits of the
+    bigram — same computational shape (hash -> bucket weight -> sum),
+    exact in both engines, no float logs on the hash path. Selection
+    uses a fixed integer threshold; production swaps in an
+    approx-quantile cut plus Gumbel noise for sampled (not top-k)
+    selection.
+
+    At 100 TB: tokenize/hash/weight is a JVM-side narrow pass (HOFs +
+    md5, whole-stage codegen), the only shuffle is the per-doc sum
+    (map-side combinable), and the threshold filter is free. No
+    Python anywhere.
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), t -> t <> '')").alias("ts"))
+    contrib = (
+        toks.where(F.expr("size(ts) >= 2"))
+        .select("doc_id", F.explode(
+            F.expr("transform(sequence(1, size(ts)-1), "
+                   "i -> concat(ts[i-1], ' ', ts[i]))")).alias("bg"))
+        .select("doc_id",
+                (F.expr("instr('0123456789abcdef', substr(md5(bg), 1, 1))")
+                 - F.expr("instr('0123456789abcdef', substr(md5(bg), 2, 1))")
+                 ).alias("w")))
+    scored = (
+        toks.select("doc_id").join(
+            contrib.groupBy("doc_id").agg(F.sum("w").alias("s")),
+            "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("score")))
+    return scored.select("doc_id", "score",
+                         (F.col("score") >= 40).alias("selected"))

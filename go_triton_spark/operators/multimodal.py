@@ -715,6 +715,66 @@ def _vtt_gate_cues(doc_id: int) -> list:
 
 
 @query(
+    "mm_srt_extract",
+    oracle="""
+    SELECT d.doc_id,
+           cast(gk.k as bigint) AS cue_idx,
+           cast(500 * gk.k as bigint) AS start_ms,
+           cast(500 * gk.k + 400 as bigint) AS end_ms,
+           cast(1 + (d.doc_id + gk.k) % 4 as bigint) AS n_words
+    FROM documents d
+    CROSS JOIN generate_series(0, 6) gk(k)
+    WHERE d.doc_id % 103 <> 9
+      AND gk.k < 2 + d.doc_id % 5
+    """,
+    tags=("llm", "multimodal", "video", "text"),
+)
+def mm_srt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL SubRip (.srt) caption parse — the other ubiquitous
+    subtitle container next to WebVTT. Payloads are complete SRT
+    files (numbered blocks, comma-millisecond timings) routed through
+    the magic-sniffing ``parse_captions`` dispatch (codec/srt.py), so
+    a heterogeneous caption column needs no per-row format metadata —
+    the same dispatch posture as codec/image.py / codec/audio.py.
+
+    Corruption mangles the timing arrow of every 103rd file; the
+    block walk finds an index with no timing line and rejects the
+    doc (corrupt-skip). Per-row Arrow pass, zero shuffles.
+    """
+    from go_triton_spark.codec.srt import build_srt, parse_captions
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=2000)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cue_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n_words", T.LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = build_srt(_vtt_gate_cues(doc_id))
+                if doc_id % 103 == 9:
+                    payload = payload.replace(b"-->", b"-!>", 1)
+                try:
+                    cues = parse_captions(payload)
+                except ValueError:
+                    continue  # corrupt-skip
+                rows.extend(
+                    (doc_id, k, c["start_ms"], c["end_ms"],
+                     len(c["text"].split()))
+                    for k, c in enumerate(cues))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(extract, schema=schema)
+
+
+@query(
     "mm_caption_frame_align",
     oracle="""
     WITH f AS (
