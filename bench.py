@@ -106,6 +106,9 @@ HEADLINE = [
     "mm_audio_features",         # r8: decoded-signal featurization (rFFT)
     "mm_g711_decode",            # r8: ITU-T telephony expansion
     "mm_adpcm_decode",           # r8: adaptive-quantizer prediction
+    "mm_qoi_decode",             # r8: QOI byte-op decode
+    "mm_zip_shard_extract",      # r8: zip shards (DEFLATE + CRC + QOI)
+    "curate_importance_resample",  # r8: DSIR-style selection (pure JVM)
 ]
 
 

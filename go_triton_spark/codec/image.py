@@ -24,8 +24,8 @@ _WEBP_RIFF = b"RIFF"
 
 
 def sniff_image_format(data: bytes) -> str:
-    """Return 'bmp' | 'png' | 'jpeg' | 'gif' | 'webp' | 'tiff', or
-    raise ValueError for bytes that match no known image magic."""
+    """Return 'bmp' | 'png' | 'jpeg' | 'gif' | 'webp' | 'tiff' |
+    'qoi', or raise ValueError for bytes matching no known magic."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if data[:2] == b"BM":
@@ -38,6 +38,8 @@ def sniff_image_format(data: bytes) -> str:
         return "webp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"qoif":
+        return "qoi"
     raise ValueError("unknown image format (no recognized magic)")
 
 
@@ -68,5 +70,8 @@ def parse_image(data: bytes) -> dict:
     if fmt == "tiff":
         from go_triton_spark.codec.tiff import parse_tiff
         return parse_tiff(data)
+    if fmt == "qoi":
+        from go_triton_spark.codec.qoi import parse_qoi
+        return parse_qoi(data)
     from go_triton_spark.codec.vp8l import parse_webp
     return parse_webp(data)

@@ -17,15 +17,21 @@ color tables, four-pass de-interlace), ``mm_frame_sample`` /
 RIFF walk; raw-DIB batch decode AND Motion-JPEG '00dc' frames routed
 through the JPEG codec), ``mm_flac_decode`` (real FLAC via
 codec/flac.py — Rice residuals, FIXED + on-wire-LPC prediction,
-mid/side stereo, CRC-8/16), ``warc_extract`` (Common Crawl-layout
-.warc.gz shards via codec/warc.py — member-wise gzip, WARC/1.0
-header walk, Content-Length framing), and ``mm_tar_shard_extract``
-(WebDataset tar shards chained through the image dispatch). All pure
-stdlib+numpy,
+mid/side stereo, CRC-8/16), ``mm_g711_decode`` (ITU-T mu-law/A-law
+telephony expansion, codec/g711.py), ``mm_adpcm_decode`` (IMA ADPCM
+adaptive-quantizer prediction, codec/adpcm.py), ``mm_qoi_decode``
+(QOI run/index/delta ops, codec/qoi.py), ``warc_extract`` (Common
+Crawl-layout .warc.gz shards via codec/warc.py — member-wise gzip,
+WARC/1.0-1.1 header walk, Content-Length framing),
+``mm_tar_shard_extract`` / ``mm_zip_shard_extract`` (WebDataset-style
+tar and DEFLATE zip shards chained through the image dispatch), and
+``mm_vtt_extract`` / ``mm_srt_extract`` (WebVTT + SubRip caption
+tracks through the parse_captions dispatch). All pure stdlib+numpy,
 golden-gated, skipping corrupt payloads with the engine's ValueError
 contract. Every lossless image family real columns use — DEFLATE
 (PNG), Huffman+DCT (JPEG), LZW (GIF), prefix-codes+LZ77+spatial
-transforms (WebP VP8L) — now decodes with production parsers.
+transforms (WebP VP8L), byte-op chains (QOI) — now decodes with
+production parsers.
 
 H264 and LOSSY WebP (VP8) still need codecs this environment lacks;
 those parsers REJECT the fourcc loudly with the PIL/ffmpeg swap point
@@ -1453,6 +1459,185 @@ def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ch = np.abs(m["samples"][:, 0].astype(np.int64))
                 rows.append((doc_id, m["codec"], m["n_frames"],
                              int(ch.sum()), int(ch.max())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(decode, schema=schema)
+
+
+@query(
+    "mm_zip_shard_extract",
+    oracle="""
+    SELECT d.doc_id, gk.k AS sample_idx,
+           cast((d.doc_id + 3 * gk.k) % 10 as bigint) AS label,
+           cast(6 * sum((7 * gk.k + d.doc_id + gx.x) % 256) as bigint)
+             AS sum_r
+    FROM documents d
+    CROSS JOIN generate_series(0, 2) gk(k)
+    CROSS JOIN generate_series(0, 7) gx(x)
+    WHERE d.doc_id % 157 <> 3
+      AND gk.k < 1 + d.doc_id % 3
+    GROUP BY d.doc_id, gk.k
+    """,
+    tags=("llm", "multimodal", "ingest"),
+)
+def mm_zip_shard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-shard ingest: the other common dataset-shard container next
+    to WebDataset tar (mm_tar_shard_extract) — each row carries a
+    complete DEFLATE-compressed zip of (NNNN.qoi, NNNN.cls) sample
+    pairs. The operator unzips it (stdlib zipfile; per-member CRC-32
+    verified on read), groups members by stem, decodes every image
+    through the magic-sniffing dispatch (codec/image.py ->
+    codec/qoi.py), and emits one row per sample with its label and
+    decoded red-channel sum — container framing + DEFLATE + QOI, three
+    real decode layers chained.
+
+    Corruption flips a byte inside the first member's compressed data
+    on every 157th shard; zipfile's CRC check (or the inflater) rejects
+    the member and the operator skips the shard. Production shards
+    come from ``spark.read.format("binaryFile")`` over a dataset
+    bucket; only the synthesizing loop is scaffolding.
+    """
+    import io
+    import zipfile
+    import zlib
+
+    import numpy as np
+
+    from go_triton_spark.codec.image import parse_image
+    from go_triton_spark.codec.qoi import build_qoi
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=300)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w",
+                                     zipfile.ZIP_DEFLATED) as zf:
+                    for k in range(1 + doc_id % 3):
+                        c = (7 * k + doc_id) % 256
+                        x = np.arange(8, dtype=np.int64)[None, :]
+                        plane = ((c + x) % 256).astype(np.uint8)
+                        img = np.dstack([plane, plane, plane])
+                        img = np.repeat(img, 6, axis=0)  # (6, 8, 3)
+                        zf.writestr(f"{k:04d}.qoi", build_qoi(img))
+                        zf.writestr(f"{k:04d}.cls",
+                                    str((doc_id + 3 * k) % 10))
+                payload = bytearray(buf.getvalue())
+                if doc_id % 157 == 3:
+                    payload[44] ^= 0xFF  # corrupt: first member's data
+                samples: dict = {}
+                try:
+                    with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+                        for name in zf.namelist():
+                            data = zf.read(name)  # CRC-verified read
+                            stem, _, ext = name.rpartition(".")
+                            samples.setdefault(stem, {})[ext] = data
+                except (zipfile.BadZipFile, zlib.error, ValueError):
+                    continue  # corrupt-skip, counted by the oracle
+                for stem in sorted(samples):
+                    parts = samples[stem]
+                    if "qoi" not in parts or "cls" not in parts:
+                        continue
+                    px = parse_image(parts["qoi"])["pixels"]
+                    rows.append((doc_id, int(stem),
+                                 int(parts["cls"].decode()),
+                                 int(px[:, :, 0].astype("int64").sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(extract, schema=schema)
+
+
+@query(
+    "mm_qoi_decode",
+    oracle="""
+    SELECT d.doc_id,
+           cast(4 + d.doc_id % 11 as bigint) AS width,
+           cast(4 + d.doc_id % 6 as bigint)  AS height,
+           cast((4 + d.doc_id % 11) * (4 + d.doc_id % 6) as bigint)
+             AS n_pixels,
+           cast(sum((5 * (gx.x // 2) + 2 * gy.y + d.doc_id) % 256)
+                as bigint) AS sum_r,
+           cast(sum((gx.x // 2 + 3 * gy.y + 2 * d.doc_id) % 256)
+                as bigint) AS sum_g,
+           cast(sum(((gx.x // 2) * gy.y + 5 * d.doc_id) % 256)
+                as bigint) AS sum_b
+    FROM documents d
+    CROSS JOIN generate_series(0, 14) gx(x)
+    CROSS JOIN generate_series(0, 9) gy(y)
+    WHERE d.doc_id % 151 <> 23
+      AND gx.x < 4 + d.doc_id % 11 AND gy.y < 4 + d.doc_id % 6
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def mm_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode (qoiformat.org, the one-page public spec):
+    each payload is a complete QOI stream the engine's own encoder
+    assembled — run-length, 64-slot index recall, DIFF/LUMA delta
+    ops, and literal RGB all exercised (the gate pixels repeat in
+    2-wide horizontal runs, so QOI_OP_RUN and the delta ops both hit)
+    — and codec/qoi.py genuinely decodes it op by op. Payloads route
+    through the magic-sniffing parse_image dispatch, which now covers
+    SEVEN container formats.
+
+    Corruption blanks the end marker of every 151st stream; the
+    decoder rejects it (corrupt-skip). Per-row Arrow pass, zero
+    shuffles — the mm-family scale shape.
+    """
+    import numpy as np
+
+    from go_triton_spark.codec.image import parse_image
+    from go_triton_spark.codec.qoi import build_qoi
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ])
+
+    def gate_pixels(doc_id: int):
+        w, h = 4 + doc_id % 11, 4 + doc_id % 6
+        x = np.arange(w, dtype=np.int64)[None, :] // 2  # 2-wide runs
+        y = np.arange(h, dtype=np.int64)[:, None]
+        return np.dstack([(5 * x + 2 * y + doc_id) % 256,
+                          (x + 3 * y + 2 * doc_id) % 256,
+                          (x * y + 5 * doc_id) % 256]).astype("uint8")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = bytearray(build_qoi(gate_pixels(doc_id)))
+                if doc_id % 151 == 23:
+                    payload[-8:] = b"\x00" * 8  # corrupt: end marker
+                try:
+                    m = parse_image(bytes(payload))
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                px = m["pixels"].astype("int64")
+                rows.append((doc_id, m["width"], m["height"],
+                             m["n_pixels"],
+                             int(px[:, :, 0].sum()),
+                             int(px[:, :, 1].sum()),
+                             int(px[:, :, 2].sum())))
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
     return src.mapInPandas(decode, schema=schema)
