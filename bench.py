@@ -109,6 +109,8 @@ HEADLINE = [
     "mm_qoi_decode",             # r8: QOI byte-op decode
     "mm_zip_shard_extract",      # r8: zip shards (DEFLATE + CRC + QOI)
     "curate_importance_resample",  # r8: DSIR-style selection (pure JVM)
+    "mm_midi_extract",           # r8: SMF walk (VLQ + running status)
+    "mm_exif_orientation",       # r8: APP1/IFD metadata extraction
 ]
 
 

@@ -1465,6 +1465,155 @@ def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_exif_orientation",
+    oracle="""
+    SELECT doc_id,
+           cast(CASE WHEN doc_id % 11 = 0 THEN 1
+                     ELSE 1 + doc_id % 8 END as bigint) AS orientation,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 'CAM' || cast(doc_id % 5 as varchar) END AS make,
+           cast(CASE WHEN doc_id % 11 <> 0 AND (1 + doc_id % 8) >= 5
+                     THEN 8 ELSE 16 END as bigint) AS display_w,
+           cast(CASE WHEN doc_id % 11 <> 0 AND (1 + doc_id % 8) >= 5
+                     THEN 16 ELSE 8 END as bigint) AS display_h
+    FROM documents
+    WHERE NOT (doc_id % 173 = 31 AND doc_id % 11 <> 0)
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def mm_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation extraction — the pixels-are-stored-sideways
+    trap of image pipelines: a JPEG's EXIF Orientation tag (274) says
+    how to display the unrotated stored pixels, and a pipeline that
+    ignores it trains on rotated photos. codec/exif.py walks the JPEG
+    marker stream to APP1, then the embedded TIFF IFD chain (REUSING
+    codec/tiff.py's entry walker), emitting orientation, camera make,
+    and the orientation-corrected display dimensions.
+
+    Every 11th doc carries NO EXIF segment at all (real corpora are
+    full of stripped files) — the parser distinguishes absent (None,
+    spec-default orientation 1) from corrupt; every 173rd tagged doc
+    has its byte-order mark mangled and is rejected (corrupt-skip).
+    Per-row Arrow pass, zero shuffles.
+    """
+    import numpy as np
+
+    from go_triton_spark.codec.exif import (build_exif_jpeg,
+                                            display_size,
+                                            parse_exif_jpeg)
+    from go_triton_spark.codec.jpeg import build_jpeg_gray
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=1000)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orientation", T.LongType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("display_w", T.LongType()),
+        T.StructField("display_h", T.LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = build_jpeg_gray(np.full((8, 16), 77, np.uint8))
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 11 == 0:
+                    payload = base           # EXIF-stripped file
+                else:
+                    payload = build_exif_jpeg(
+                        base, orientation=1 + doc_id % 8,
+                        make=f"CAM{doc_id % 5}", pixel_x=16, pixel_y=8)
+                    if doc_id % 173 == 31:
+                        payload = bytearray(payload)
+                        payload[payload.index(b"II*\x00")] = 0x58
+                        payload = bytes(payload)
+                try:
+                    m = parse_exif_jpeg(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                orient = m["orientation"] if m else 1
+                make = m["make"] if m else None
+                w, h = display_size(16, 8, orient)
+                rows.append((doc_id, orient, make, w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(extract, schema=schema)
+
+
+@query(
+    "mm_midi_extract",
+    oracle="""
+    SELECT d.doc_id,
+           cast(3 + d.doc_id % 6 as bigint) AS n_notes,
+           cast(sum(40 + (d.doc_id + 7 * gk.k) % 48) as bigint)
+             AS sum_pitch,
+           cast(max(1 + (d.doc_id + gk.k) % 127) as bigint)
+             AS max_velocity,
+           cast(100 * (2 + d.doc_id % 6) + 80 as bigint) AS total_ticks
+    FROM documents d
+    CROSS JOIN generate_series(0, 8) gk(k)
+    WHERE d.doc_id % 167 <> 29
+      AND gk.k < 3 + d.doc_id % 6
+    GROUP BY d.doc_id
+    """,
+    tags=("llm", "multimodal", "music"),
+)
+def mm_midi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic-music ingest: REAL Standard MIDI File parse
+    (codec/midi.py — MThd/MTrk walk, VLQ delta times, RUNNING STATUS,
+    note-on-velocity-0-as-note-off normalization), rolled up to the
+    per-piece stats a music-tokenization pipeline filters on (note
+    count, pitch mass, velocity ceiling, piece length in ticks).
+    Symbolic music (Lakh-MIDI-style corpora) is a genuine pretraining
+    modality; its container is this, not audio.
+
+    The gate writes note-offs as running-status velocity-0 note-ons —
+    the compact idiom real sequencers emit — so a parser that
+    mishandles either quirk changes note counts and breaks the hash.
+    Corruption flips the MTrk magic on every 167th file (reject +
+    skip). Per-row Arrow pass, zero shuffles.
+    """
+    from go_triton_spark.codec.midi import build_midi, parse_midi
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=2000)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_notes", T.LongType()),
+        T.StructField("sum_pitch", T.LongType()),
+        T.StructField("max_velocity", T.LongType()),
+        T.StructField("total_ticks", T.LongType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 3 + doc_id % 6
+                notes = [(100 * k, 80,
+                          40 + (doc_id + 7 * k) % 48,
+                          1 + (doc_id + k) % 127) for k in range(n)]
+                payload = bytearray(build_midi(notes))
+                if doc_id % 167 == 29:
+                    payload[14] ^= 0xFF  # corrupt: MTrk magic
+                try:
+                    m = parse_midi(bytes(payload))
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                ons = [e for e in m["tracks"][0] if e["type"] == "note_on"]
+                last = max(e["tick"] for e in m["tracks"][0])
+                rows.append((doc_id, len(ons),
+                             sum(e["data"][0] for e in ons),
+                             max(e["data"][1] for e in ons), last))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(extract, schema=schema)
+
+
+@query(
     "mm_zip_shard_extract",
     oracle="""
     SELECT d.doc_id, gk.k AS sample_idx,
