@@ -111,6 +111,8 @@ HEADLINE = [
     "curate_importance_resample",  # r8: DSIR-style selection (pure JVM)
     "mm_midi_extract",           # r8: SMF walk (VLQ + running status)
     "mm_exif_orientation",       # r8: APP1/IFD metadata extraction
+    "mm_shot_boundaries",        # r8: consecutive-frame MAD cuts
+    "dedup_audio_fingerprint",   # r8: gain-invariant energy deltas
 ]
 
 

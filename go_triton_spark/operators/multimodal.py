@@ -1465,6 +1465,79 @@ def mm_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_shot_boundaries",
+    oracle="""
+    SELECT d.doc_id, cast(gf.f as bigint) AS frame_idx,
+           (gf.f % 3 = 0) AS is_cut
+    FROM documents d
+    CROSS JOIN generate_series(1, 12) gf(f)
+    WHERE d.doc_id % 179 <> 5
+      AND gf.f < 6 + d.doc_id % 7
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (hard-cut) detection over DECODED video frames —
+    the video-curation primitive behind keyframe selection and
+    clip-level dedup: consecutive-frame mean-absolute-difference, cut
+    where it exceeds a threshold. Each row carries a complete real
+    AVI (RIFF/DIB via codec/avi.py); the MAD sequence computes inside
+    the same Arrow task that decoded the frames, so no pixel ever
+    shuffles — per-doc video work is partition-local by construction,
+    the shape that scales to clip corpora.
+
+    Gate video: shots change every 3 frames (content jumps by 97
+    intensity levels, within-shot jitter of 1), so cuts sit two
+    orders of magnitude above the in-shot MAD and the threshold (16)
+    is never a coin flip. The oracle states cut positions from the
+    generator's shot grid — a differential test of decode + MAD +
+    threshold. Every 179th payload is truncated (corrupt-skip).
+    """
+    import numpy as np
+
+    from go_triton_spark.codec.avi import build_avi, parse_avi
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ])
+
+    def shot_frame(doc_id: int, f: int):
+        x = np.arange(8, dtype=np.int64)[None, :]
+        y = np.arange(6, dtype=np.int64)[:, None]
+        # base stays in [0, 250] so the +jitter never wraps 255 -> 0
+        # (a wrap turns a 1-level in-shot jitter into a 255-level MAD
+        # spike and fakes a cut)
+        plane = (x + 2 * y + 97 * (f // 3) + doc_id) % 251 + (f % 3)
+        return np.dstack([plane, plane, plane]).astype("uint8")
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 6 + doc_id % 7
+                payload = build_avi(
+                    [shot_frame(doc_id, f) for f in range(n)])
+                if doc_id % 179 == 5:
+                    payload = payload[:-17]  # corrupt: truncated movi
+                try:
+                    m = parse_avi(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                frames = [fr.astype(np.int64) for fr in m["frames"]]
+                for f in range(1, len(frames)):
+                    mad = float(np.abs(frames[f] - frames[f - 1]).mean())
+                    rows.append((doc_id, f, mad > 16.0))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return src.mapInPandas(detect, schema=schema)
+
+
+@query(
     "mm_exif_orientation",
     oracle="""
     SELECT doc_id,

@@ -212,6 +212,122 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Gain-invariant audio fingerprint dedup
+# =====================================================================
+
+_AFP_SEGS = 16            # segments per clip -> 15-bit fingerprint
+_AFP_SEG_LEN = 32         # samples per segment
+
+
+def audio_fingerprint(samples) -> int:
+    """Chromaprint-style energy-delta fingerprint: split the clip
+    into fixed segments, compute per-segment energy, emit one bit per
+    consecutive-segment energy INCREASE. Ratios of energies are
+    invariant to gain, so the same recording at different volumes —
+    the most common audio near-dup in scraped corpora — fingerprints
+    identically, while byte and sample hashes both miss it."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n_seg = len(s) // _AFP_SEG_LEN
+    seg = s[:n_seg * _AFP_SEG_LEN].reshape(n_seg, _AFP_SEG_LEN)
+    energy = (seg * seg).sum(axis=1)
+    bits = energy[1:] > energy[:-1]
+    return int(sum(1 << j for j, b in enumerate(bits) if b))
+
+
+def _afp_gate_signal(doc_id: int):
+    """Gate clip: 16 segments of 32-sample square waves whose
+    AMPLITUDE STAIRCASE encodes md5 bits of the group key (doc_id %
+    45) — amp_j = 100*(2 + bit_j) + j, so consecutive-segment energy
+    deltas are never ties — scaled by a per-doc gain of 1..3x. Docs
+    sharing the key fingerprint identically at any gain; the 45 key
+    patterns are pairwise distinct (asserted in tests)."""
+    import numpy as np
+
+    akey = doc_id % 45
+    gain = 1 + (doc_id // 45) % 3
+    h = int.from_bytes(
+        hashlib.md5(b"afp-gate:%d" % akey).digest(), "big")
+    segs = []
+    for j in range(_AFP_SEGS):
+        amp = (100 * (2 + ((h >> j) & 1)) + j) * gain
+        i = np.arange(_AFP_SEG_LEN)
+        segs.append(np.where(i % 8 < 4, amp, -amp))
+    return np.concatenate(segs).astype(np.int64)
+
+
+@query(
+    "dedup_audio_fingerprint",
+    oracle="""
+    WITH live AS (SELECT doc_id, doc_id % 45 AS akey
+                  FROM documents WHERE doc_id % 181 <> 7)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM live a JOIN live b
+      ON a.akey = b.akey AND a.doc_id < b.doc_id
+    """,
+    tags=("llm", "dedup", "multimodal", "audio"),
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup pairs: the same recording at
+    different GAIN is the same training clip — byte hashes and
+    decoded-sample hashes both miss that; a gain-invariant
+    energy-delta fingerprint (``audio_fingerprint``) catches it.
+    Payloads alternate real WAV and FLAC containers through the
+    magic-sniffing parse_audio dispatch, and every doc carries a
+    per-doc volume scale, so the operator proves decode + normalize +
+    fingerprint end to end. Every 181st payload is truncated
+    (corrupt-skip on real bytes).
+
+    The oracle states expected pairs from the generator's ground-truth
+    clip key — a differential test; any decoder or fingerprint defect
+    splits or merges groups and breaks the hash.
+
+    Plan (the dedup_exact scale shape, fingerprint computed from
+    decoded audio): decode+fingerprint never shuffles; only
+    (doc_id, int fingerprint) rows reach the self-join's exchange.
+    """
+    from go_triton_spark.codec.audio import parse_audio
+    from go_triton_spark.codec.flac import build_flac
+    from go_triton_spark.codec.wav import build_wav
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id"), spark, rows_per_task=500)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ])
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                s = _afp_gate_signal(doc_id)
+                payload = (build_wav(s) if doc_id % 2 == 0
+                           else build_flac(s))
+                if doc_id % 181 == 7:
+                    payload = payload[:-19]  # corrupt: truncated
+                try:
+                    m = parse_audio(payload)
+                except ValueError:
+                    continue  # corrupt-skip, mirrored by the oracle
+                rows.append((doc_id,
+                             audio_fingerprint(m["samples"][:, 0])))
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    # both join sides read the fingerprint frame — cache so the Python
+    # decode pass runs once (same lesson as dedup_image_phash)
+    fps = src.mapInPandas(fingerprint, schema=schema).cache()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (a.join(b, (F.col("a.afp") == F.col("b.afp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b")))
+
+
+# =====================================================================
 # Audio signal features (quality/content filtering primitives)
 # =====================================================================
 

@@ -58,3 +58,37 @@ def test_dhash_distinguishes_content():
     a = _phash_gate_pixels(1)
     b = _phash_gate_pixels(2)
     assert _hamming(dhash64(a), dhash64(b)) > _PH_MAX_HAMMING
+
+
+# =====================================================================
+# audio fingerprint invariants (dedup_audio_fingerprint's gate)
+# =====================================================================
+
+def test_afp_keys_distinct():
+    """All 45 gate clip keys must fingerprint distinctly, else the
+    differential oracle would under-count groups."""
+    from go_triton_spark.operators.perceptual import (
+        _afp_gate_signal, audio_fingerprint)
+    fps = {audio_fingerprint(_afp_gate_signal(k)) for k in range(45)}
+    assert len(fps) == 45
+
+
+def test_afp_gain_invariant():
+    from go_triton_spark.operators.perceptual import (
+        _afp_gate_signal, audio_fingerprint)
+    for key in (0, 7, 44):
+        base = audio_fingerprint(_afp_gate_signal(key))          # gain 1
+        for v in (2, 3):
+            doc = key + 45 * (v - 1)
+            assert (doc % 45, 1 + (doc // 45) % 3) == (key, v)
+            assert audio_fingerprint(_afp_gate_signal(doc)) == base
+    # plain numeric scaling of the samples is also invariant
+    sig = _afp_gate_signal(3)
+    assert audio_fingerprint(sig * 7) == audio_fingerprint(sig)
+
+
+def test_afp_detects_different_content():
+    from go_triton_spark.operators.perceptual import (
+        _afp_gate_signal, audio_fingerprint)
+    assert (audio_fingerprint(_afp_gate_signal(1))
+            != audio_fingerprint(_afp_gate_signal(2)))
