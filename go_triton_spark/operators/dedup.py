@@ -306,12 +306,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(d, spark, rows_per_task=150).select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    # md5 once per token; 16 narrow +/-1 columns instead of a 16x row
-    # explosion — the shuffle carries (doc_id, 16 ints) per token and
-    # map-side combine collapses it to one row per doc before the wire
-    contribs = toks.select(
+    # md5 MATERIALIZED once per token in its own projection — the 16
+    # digit tests then read the same string column instead of leaning
+    # on codegen subexpression elimination across 16 md5(tok) calls;
+    # 16 narrow +/-1 columns instead of a 16x row explosion — the
+    # shuffle carries (doc_id, 16 ints) per token and map-side combine
+    # collapses it to one row per doc before the wire
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    contribs = hashed.select(
         "doc_id",
-        *[F.when(F.expr(f"instr('89abcdef', substr(md5(tok), {i + 1}, 1)) > 0"), 1)
+        *[F.when(F.expr(f"instr('89abcdef', substr(h, {i + 1}, 1)) > 0"), 1)
           .otherwise(-1).alias(f"c{i}") for i in range(16)])
     sums = contribs.groupBy("doc_id").agg(
         *[F.sum(f"c{i}").alias(f"s{i}") for i in range(16)])
