@@ -113,6 +113,8 @@ HEADLINE = [
     "mm_exif_orientation",       # r8: APP1/IFD metadata extraction
     "mm_shot_boundaries",        # r8: consecutive-frame MAD cuts
     "dedup_audio_fingerprint",   # r8: gain-invariant energy deltas
+    "ts_resample_ohlc",          # r8: one-exchange OHLC rollup
+    "text_cdc_chunks",           # r8: rolling-hash chunking (JVM HOFs)
 ]
 
 

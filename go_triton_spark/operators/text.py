@@ -513,3 +513,107 @@ def text_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_groups"),
                  F.sum("copies").alias("n_docs"),
                  F.sum("min_id").alias("min_id_sum")))
+
+
+@query(
+    "text_cdc_chunks",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, gi.p,
+             cast(ascii(substr(text, cast(gi.p as int), 1)) as bigint)
+               AS c,
+             len(text) AS n
+      FROM documents
+      CROSS JOIN generate_series(1, 4096) gi(p)
+      WHERE gi.p <= len(text)),
+    hashed AS (
+      SELECT doc_id, p, n,
+             lag(c, 3) OVER w * 16777216 + lag(c, 2) OVER w * 65536
+             + lag(c, 1) OVER w * 256 + c AS h
+      FROM chars WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    bounds AS (
+      SELECT doc_id, p, n FROM hashed
+      WHERE p >= 4 AND p < n AND h % 64 = 0),
+    lens AS (
+      SELECT doc_id, n,
+             p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+               AS clen,
+             n - max(p) OVER (PARTITION BY doc_id) AS tail_len
+      FROM bounds),
+    agg AS (
+      SELECT doc_id,
+             cast(count(*) + 1 as bigint) AS n_chunks,
+             cast(greatest(max(clen), max(tail_len)) as bigint)
+               AS max_chunk_len
+      FROM lens GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(a.n_chunks,
+                CASE WHEN len(d.text) > 0 THEN 1 ELSE 0 END) as bigint)
+             AS n_chunks,
+           cast(coalesce(a.max_chunk_len, len(d.text)) as bigint)
+             AS max_chunk_len
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash cut points, the
+    Rabin-Karp/FastCDC primitive): chunk boundaries where a 4-char
+    polynomial hash lands on a 6-bit zero residue, so an insertion
+    early in a document shifts only the chunks it touches — the
+    property that makes CDC the storage-grade sub-document dedup key,
+    where fixed-width chunks (text_chunk) resynchronize never.
+    Emits per-doc chunk count and max chunk length; a dedup pass
+    would hash each chunk (dedup_span_exact's shape) downstream.
+
+    All JVM-side: per-char posexplode, the rolling hash as three lag()
+    reads over ONE (doc_id)-keyed window exchange, boundary filter,
+    chunk lengths from a second lag over boundaries (same
+    partitioning), then a map-side-combinable per-doc aggregate. No
+    Python; the hash never overflows int64 (max codepoint * 2^24).
+
+    At 100 TB the explode inflates rows 1000x but never crosses an
+    exchange unkeyed — everything hashes on doc_id; production CDC
+    over multi-MB blobs would swap the explode for an Arrow pass,
+    same downstream plan.
+    """
+    from pyspark.sql import Window
+
+    (d,) = tables(spark, sf_dir, "documents")
+    chars = (
+        d.select("doc_id", F.length("text").alias("n"),
+                 F.posexplode(F.split("text", ""))
+                  .alias("p0", "ch"))
+        .where(F.col("ch") != "")
+        .select("doc_id", "n", (F.col("p0") + 1).alias("p"),
+                # long, not int: a non-ASCII codepoint (up to 0x10FFFF)
+                # times 2^24 overflows int32 under ANSI arithmetic
+                F.ascii("ch").cast("long").alias("c")))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    hashed = chars.withColumn(
+        "h",
+        F.lag("c", 3).over(w) * 16777216 + F.lag("c", 2).over(w) * 65536
+        + F.lag("c", 1).over(w) * 256 + F.col("c"))
+    bounds = hashed.where((F.col("p") >= 4) & (F.col("p") < F.col("n"))
+                          & (F.col("h") % 64 == 0))
+    wb = Window.partitionBy("doc_id").orderBy("p")
+    wall = Window.partitionBy("doc_id")
+    lens = bounds.select(
+        "doc_id", "n",
+        (F.col("p") - F.coalesce(F.lag("p").over(wb), F.lit(0)))
+        .alias("clen"),
+        (F.col("n") - F.max("p").over(wall)).alias("tail_len"))
+    agg = lens.groupBy("doc_id").agg(
+        (F.count("*") + 1).alias("n_chunks"),
+        F.greatest(F.max("clen"), F.max("tail_len"))
+         .alias("max_chunk_len"))
+    return (
+        d.select("doc_id", F.length("text").alias("len"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks",
+                       F.when(F.col("len") > 0, 1).otherwise(0))
+             .cast("long").alias("n_chunks"),
+            F.coalesce("max_chunk_len", F.col("len"))
+             .cast("long").alias("max_chunk_len")))

@@ -307,3 +307,56 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.where(F.col("event_type") == "click")
             .select(F.col("event_id").alias("click_id"), "user_id",
                     nearest.alias("nearest_purchase_us")))
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             cast(floor(epoch(ts) / 3600) as bigint) AS h, value,
+             row_number() OVER (
+               PARTITION BY user_id, cast(floor(epoch(ts) / 3600) as bigint)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY user_id, cast(floor(epoch(ts) / 3600) as bigint)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, h,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           cast(count(*) as bigint) AS n_events
+    FROM r GROUP BY user_id, h
+    """,
+    tags=("llm", "timeseries"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the hypertable/financial downsample): per
+    (user, hour) bucket emit open (first value by event time), high,
+    low, close (last value), and event count. Open/close tie-break on
+    (ts, event_id) so duplicate timestamps stay deterministic — the
+    detail naive first()/last() aggregates get wrong.
+
+    Plan: ONE exchange on (user_id, hour) serves both row_number
+    windows AND the final aggregate (same partitioning expression);
+    values pass through untouched (no float arithmetic), so the
+    result hashes identically across engines. At 100 TB this is the
+    canonical rollup shape: narrow projection, single hash partition,
+    map-side-combinable aggregate.
+    """
+    (e,) = tables(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    d = e.select("user_id", hour.alias("h"), "ts", "event_id", "value")
+    wa = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    ranked = (d.withColumn("rn_a", F.row_number().over(wa))
+               .withColumn("rn_d", F.row_number().over(wd)))
+    return (ranked.groupBy("user_id", "h").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events")))

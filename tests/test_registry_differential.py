@@ -95,6 +95,21 @@ FUZZED_QUERIES = [
     "dedup_image_cross_format",
     "mm_vtt_extract",
     "mm_caption_frame_align",
+    # round 8 additions — same posture: payloads/oracles closed-form
+    # in doc_id (or deterministic text math), any corpus exercises them
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "mm_audio_features",
+    "mm_g711_decode",
+    "mm_adpcm_decode",
+    "mm_qoi_decode",
+    "mm_zip_shard_extract",
+    "mm_midi_extract",
+    "mm_exif_orientation",
+    "mm_shot_boundaries",
+    "mm_srt_extract",
+    "curate_importance_resample",
+    "text_cdc_chunks",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
@@ -290,6 +305,9 @@ EVT_FUZZED = [
     "s17_json_projection",
     "udaf_grouped_pandas",
     "window_moving_stats",
+    # r8: OHLC rollup — same-instant ties exercise the (ts, event_id)
+    # open/close tie-break both engines must agree on
+    "ts_resample_ohlc",
 ]
 
 _BASE_TS = _dt.datetime(2024, 3, 1, 0, 0, 0)
