@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_audio_fingerprint",   # r8: gain-invariant energy deltas
     "ts_resample_ohlc",          # r8: one-exchange OHLC rollup
     "text_cdc_chunks",           # r8: rolling-hash chunking (JVM HOFs)
+    "curate_containment",        # r8: asymmetric quote detection
+    "sketch_cms_heavy_hitters",  # r8: mergeable CMS frequency grid
 ]
 
 

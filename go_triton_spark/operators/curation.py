@@ -418,3 +418,60 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("score")))
     return scored.select("doc_id", "score",
                          (F.col("score") >= 40).alias("selected"))
+
+
+@query(
+    "curate_containment",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {_ORACLE_SHINGLES} AS s FROM documents),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+    ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id_a, id_b, cast(inter as bigint) AS inter,
+           cast(least(sa.sz, sb.sz) as bigint) AS min_sz
+    FROM ip JOIN sz sa ON sa.doc_id = ip.id_a
+            JOIN sz sb ON sb.doc_id = ip.id_b
+    WHERE inter * 10 >= least(sa.sz, sb.sz) * 8 AND inter > 0
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def curate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs: |A intersect B| / min(|A|, |B|)
+    >= 0.8 over word-3-gram sets. Jaccard misses the case curation
+    actually hunts — a short document (or benchmark item) QUOTED
+    inside a much longer one drives the union up and Jaccard down,
+    while containment stays ~1. This is the partial-copy /
+    quote-detection primitive next to dedup_ngram_jaccard's symmetric
+    near-dup.
+
+    Same inverted-index plan as the Jaccard pass (explode shingles,
+    self-join on 64-bit shingle hashes, count shared per pair) with an
+    integer-math threshold against the SMALLER set size. The shingle
+    cache is shared with the whole dedup family; at 100 TB candidates
+    come from the same banded-LSH front end.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    ex = (sh.select("doc_id", F.explode("shingles").alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("g")))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter")))
+    return (
+        pairs
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("min_sz", F.least("sz_a", "sz_b"))
+        .where((F.col("inter") * 10 >= F.col("min_sz") * 8)
+               & (F.col("inter") > 0))
+        .select("id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+                F.col("min_sz").cast("long").alias("min_sz")))

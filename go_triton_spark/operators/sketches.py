@@ -181,3 +181,88 @@ def sketch_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     _estimate_expr("n", "kth").alias("theta_estimate"),
                     "exact_distinct"))
+
+
+# =====================================================================
+# Count-Min sketch (mergeable frequency estimation)
+# =====================================================================
+
+_CMS_D = 4      # hash rows
+_CMS_W = 64     # buckets per row
+
+# row-salted 32-bit md5 prefix -> bucket (identical bytes both engines)
+_CMS_B = ("pmod(cast(conv(substr(md5(cast(concat(tok, '#', '{r}') "
+          "as binary)), 1, 8), 16, 10) as bigint), " + str(_CMS_W) + ")")
+_CMS_B_DUCK = ("(('0x' || substr(md5(tok || '#' || '{r}'), 1, 8))::BIGINT"
+               f" % {_CMS_W})")
+
+
+def _cms_oracle() -> str:
+    per_row = ", ".join(
+        f"min(CASE WHEN r = {r} THEN c END)" for r in range(_CMS_D))
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT tok, source, {r} AS r, {_CMS_B_DUCK.format(r=r)} AS b "
+        f"FROM toks" for r in range(_CMS_D))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS tok, source
+      FROM documents),
+    tb AS ({bucket_rows}),
+    shard_counters AS (
+      SELECT source, r, b, count(*) AS c FROM tb GROUP BY 1, 2, 3),
+    counters AS (
+      SELECT r, b, sum(c) AS c FROM shard_counters GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT tok FROM toks),
+    pb AS ({bucket_rows.replace('FROM toks', 'FROM probes')
+            .replace(', source,', ',')}),
+    est AS (
+      SELECT pb.tok, min(counters.c) AS est
+      FROM (SELECT DISTINCT tok, r, b FROM pb) pb
+      JOIN counters ON counters.r = pb.r AND counters.b = pb.b
+      GROUP BY pb.tok)
+    SELECT tok, cast(est as bigint) AS est FROM est
+    """
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("llm", "sketch"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates — the frequency twin of
+    the theta distinct sketch: a (4 x 64) counter grid per shard,
+    MERGED BY ADDITION across shards (CMS is linear — the property
+    that lets per-day/per-shard sketches answer corpus-wide heavy-
+    hitter queries without rescans), then every distinct token probed
+    with est = min over rows of its bucket counter.
+
+    The plan PROVES the mergeability: counters build per `source`
+    shard (groupBy source,row,bucket — map-side combinable), merge by
+    summation, and only then serve estimates; the merged grid is 256
+    rows, so the probe join broadcasts. Estimates are deterministic
+    integer math on md5-derived buckets — the DuckDB oracle rebuilds
+    the identical sketch and must match every estimate EXACTLY,
+    including collision-inflated ones (CMS overestimates; the gate
+    checks the sketch's arithmetic, not a lossy 'close enough').
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.expr(
+            "filter(split(lower(text), ' '), t -> t <> '')")).alias("tok"))
+    bucket_structs = ", ".join(
+        f"named_struct('r', {r}, 'b', {_CMS_B.format(r=r)})"
+        for r in range(_CMS_D))
+    tb = toks.select(
+        "source", "tok",
+        F.explode(F.expr(f"array({bucket_structs})")).alias("rb"),
+    ).select("source", "tok", F.col("rb.r").alias("r"),
+             F.col("rb.b").alias("b"))
+    shard_counters = tb.groupBy("source", "r", "b").count()
+    counters = (shard_counters.groupBy("r", "b")
+                .agg(F.sum("count").alias("c")))
+    probes = tb.select("tok", "r", "b").distinct()
+    return (probes.join(F.broadcast(counters), ["r", "b"])
+            .groupBy("tok").agg(F.min("c").cast("long").alias("est")))

@@ -665,8 +665,10 @@ def test_relational_queries_on_fully_empty_tables(spark, _fuzz_dir):
 # on ANY corpus.
 DOC2_FUZZED = [
     "curate_canonical_docs",
+    "curate_containment",         # r8: asymmetric containment pairs
     "curate_datacard",
     "curate_decontaminate",
+    "sketch_cms_heavy_hitters",   # r8: exact-integer CMS twin oracle
     "curate_language_balance",
     "curate_mix_weights",
     "curate_pipeline_end_to_end",
