@@ -116,6 +116,7 @@ HEADLINE = [
     "ts_resample_ohlc",          # r8: one-exchange OHLC rollup
     "text_cdc_chunks",           # r8: rolling-hash chunking (JVM HOFs)
     "curate_containment",        # r8: asymmetric quote detection
+    "emb_pq_codes",              # r8: per-subspace PQ codebooks
     "sketch_cms_heavy_hitters",  # r8: mergeable CMS frequency grid
 ]
 

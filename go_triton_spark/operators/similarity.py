@@ -1102,3 +1102,156 @@ def emb_label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("same_label")
                             / F.col("pairs"), 6).alias("purity"))
             .orderBy("label"))
+
+
+# --- product quantization (PQ codes) ----------------------------------
+_PQ_M = 4                      # subspaces
+_PQ_SUB = _DIM // _PQ_M        # dims per subspace (16)
+_PQ_K = 4                      # centroids per subspace codebook
+
+# squared distance between a vec's subspace slice and a codebook
+# centroid (both already double arrays), folded left-to-right and
+# rounded to 6 dp before the argmin — the emb_kmeans determinism
+# contract, applied per subspace
+_PQ_DIST = (
+    "round(aggregate(zip_with(sub, c.vec, "
+    "(x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 AS double), (acc, v) -> acc + v), 6)")
+_PQ_BEST = (
+    f"element_at(array_sort(transform(cb.cents, c -> "
+    f"named_struct('dist', {_PQ_DIST}, 'cid', c.cid))), 1)")
+
+
+def _pq_dist_sql(cent_col: str) -> str:
+    t = (f"(cast(e.embedding[(t.s * {_PQ_SUB}) + i] AS double)"
+         f" - {cent_col}[i])"
+         f" * (cast(e.embedding[(t.s * {_PQ_SUB}) + i] AS double)"
+         f" - {cent_col}[i])")
+    return (f"round((SELECT sum({t} ORDER BY i)"
+            f" FROM generate_series(1, {_PQ_SUB}) g(i)), 6)")
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH subs AS (
+      SELECT e.vec_id, t.s,
+             list_transform(e.embedding[(t.s * {_PQ_SUB}) + 1 :
+                                        (t.s + 1) * {_PQ_SUB}],
+                            x -> cast(x AS double)) AS sub
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) t(s)),
+    c0 AS (
+      SELECT s, vec_id AS cid, sub AS cent FROM subs
+      WHERE vec_id < {_PQ_K}),
+    d1 AS (
+      SELECT e.vec_id, t.s, c.cid, {_pq_dist_sql('c.cent')} AS dist
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) t(s)
+      JOIN c0 c ON c.s = t.s),
+    a1 AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) t WHERE rn = 1),
+    m1 AS (
+      SELECT a1.s, a1.cid, g.i AS pos,
+             cast(sum(cast(e.embedding[(a1.s * {_PQ_SUB}) + g.i]
+                           AS decimal(30,8))) AS double)
+               / count(*) AS cv
+      FROM a1 JOIN embeddings e USING (vec_id)
+      CROSS JOIN generate_series(1, {_PQ_SUB}) g(i)
+      GROUP BY a1.s, a1.cid, g.i),
+    c1 AS (
+      SELECT s, cid, array_agg(cv ORDER BY pos) AS cent
+      FROM m1 GROUP BY s, cid),
+    d2 AS (
+      SELECT e.vec_id, t.s, c.cid, {_pq_dist_sql('c.cent')} AS dist
+      FROM embeddings e
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) t(s)
+      JOIN c1 c ON c.s = t.s),
+    a2 AS (
+      SELECT vec_id, s, cid, dist FROM (
+        SELECT vec_id, s, cid, dist,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rn
+        FROM d2) t WHERE rn = 1)
+    SELECT vec_id,
+           string_agg(cast(cid AS varchar), '|' ORDER BY s) AS pq_codes,
+           cast(sum(cast(round(dist * 1000000) AS bigint)) as bigint)
+             AS err_u
+    FROM a2 GROUP BY vec_id
+    """,
+    tags=("llm", "similarity", "vector", "quantize"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011) — the codebook
+    compression behind IVF-PQ serving indexes: split each vector into
+    {m} subspaces, train a tiny per-subspace codebook (deterministic
+    Lloyd: seeds = lowest vec_ids, one re-center pass — the
+    emb_kmeans recipe applied per subspace), and store each vector as
+    m small codes. 64 dims collapse to 4 bytes; ANN scoring becomes
+    table lookups (ADC) downstream.
+
+    Scale shape, inherited from emb_kmeans: ALL m codebooks pack into
+    ONE broadcast row (array of (s, cid, centroid) structs); both
+    assignment passes are shuffle-free map work (slice + zip_with
+    fold + struct argmin per subspace); the only shuffle is the
+    re-center aggregate at (m x k x sub_dim) cardinality — independent
+    of corpus size. Cross-engine determinism: 6-dp-rounded
+    left-to-right double folds, decimal-exact means, ties to the
+    lowest code id; the per-vec error reports in integer micro-units.
+    """
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    sub_expr = (f"transform(slice(embedding, (s * {_PQ_SUB}) + 1, "
+                f"{_PQ_SUB}), x -> cast(x AS double))")
+
+    def codebook_row(src):
+        """(s, cid, cent-array) rows -> ONE broadcast row of structs."""
+        return src.agg(F.expr(
+            "array_sort(collect_list(named_struct("
+            "'s', s, 'cid', cid, 'vec', cent)))").alias("all_cents"))
+
+    def subs_of(df):
+        """Explode the subspace index and slice per (vec, s)."""
+        return (df.select("vec_id", "embedding",
+                          F.explode(F.expr(
+                              f"sequence(0, {_PQ_M - 1})")).alias("s"))
+                .withColumn("sub", F.expr(sub_expr)))
+
+    c0 = codebook_row(
+        subs_of(emb.where(F.col("vec_id") < _PQ_K))
+        .select("s", F.col("vec_id").alias("cid"),
+                F.col("sub").alias("cent")))
+
+    def assign(cb_row):
+        """Per (vec, s): argmin code against this codebook row."""
+        best = (f"element_at(array_sort(transform("
+                f"filter(all_cents, c -> c.s = s), c -> "
+                f"named_struct('dist', {_PQ_DIST}, "
+                f"'cid', c.cid))), 1)")
+        return (subs_of(emb).crossJoin(F.broadcast(cb_row))
+                .withColumn("best", F.expr(best))
+                .select("vec_id", "s",
+                        F.col("best.cid").alias("cid"),
+                        F.col("best.dist").alias("dist")))
+
+    a1 = assign(c0)
+    m1 = (a1.join(subs_of(emb).select("vec_id", "s", "sub"),
+                  ["vec_id", "s"])
+          .select("s", "cid", F.posexplode("sub").alias("pos", "v"))
+          .groupBy("s", "cid", "pos")
+          .agg((F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+                / F.count("*")).alias("cv")))
+    c1 = codebook_row(
+        m1.groupBy("s", "cid")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, cv))),"
+                    " p -> p.cv)").alias("cent")))
+    a2 = assign(c1)
+    return (a2.groupBy("vec_id").agg(
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(s, cid))), p -> cast(p.cid AS string)), '|')")
+        .alias("pq_codes"),
+        F.expr("sum(cast(round(dist * 1000000) AS bigint))").cast("long")
+        .alias("err_u")))

@@ -755,6 +755,7 @@ EMB2_FUZZED = [
     "emb_outlier_scores",
     "emb_kmeans",
     "emb_label_knn_purity",
+    "emb_pq_codes",          # r8: per-subspace Lloyd, same contracts
     "knn_graph_lsh",
     "semdedup_prune",
 ]
