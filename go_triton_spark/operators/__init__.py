@@ -47,6 +47,7 @@ from go_triton_spark.operators import curation  # noqa: F401,E402
 from go_triton_spark.operators import training  # noqa: F401,E402
 from go_triton_spark.operators import interval_join  # noqa: F401,E402
 from go_triton_spark.operators import sketches  # noqa: F401,E402
+from go_triton_spark.operators import ingest  # noqa: F401,E402
 
 
 def _category(qd) -> str:
