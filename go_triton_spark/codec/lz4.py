@@ -15,9 +15,10 @@ specs (lz4_Block_format.md / lz4_Frame_format.md, lz4.github.io):
   within the last 12 bytes); round-trips through any compliant decoder.
 - ``frame_compress`` / ``frame_decompress`` — magic 0x184D2204, FLG/BD
   descriptor with xxHash32 header checksum, per-block checksums, the
-  EndMark, and the whole-content xxHash32 trailer. Block-independence
-  only (the mode every shard writer uses); linked blocks are rejected
-  loudly rather than mis-decoded.
+  EndMark, and the whole-content xxHash32 trailer. Both block modes
+  decode: independent blocks and liblz4's default LINKED blocks (match
+  offsets reaching up to 64 KiB into prior blocks' history); the
+  encoder emits independent blocks.
 - ``xxh32`` — complete xxHash32 (the frame format's only checksum
   primitive), validated against the reference vectors in its spec.
 
@@ -93,9 +94,17 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 
 # ------------------------------------------------------------------ block
 
-def block_decompress(buf: bytes, max_size: int = 1 << 26) -> bytes:
-    """Decode one LZ4 block (raw sequence grammar, no framing)."""
-    out = bytearray()
+def block_decompress(buf: bytes, max_size: int = 1 << 26,
+                     prefix: bytes = b"") -> bytes:
+    """Decode one LZ4 block (raw sequence grammar, no framing).
+
+    ``prefix`` is decode history a linked-block frame may back-reference
+    (up to the format's 64 KiB window); only the newly decoded bytes are
+    returned.
+    """
+    out = bytearray(prefix)
+    base = len(prefix)
+    max_size += base
     pos = 0
     n = len(buf)
     while True:
@@ -121,7 +130,7 @@ def block_decompress(buf: bytes, max_size: int = 1 << 26) -> bytes:
             raise Lz4Error("decoded block exceeds size bound")
         if pos == n:
             # Legal end: the final sequence is literals-only.
-            return bytes(out)
+            return bytes(out[base:])
         if pos + 2 > n:
             raise Lz4Error("truncated match offset")
         offset = buf[pos] | (buf[pos + 1] << 8)
@@ -266,8 +275,7 @@ def frame_decompress(buf: bytes) -> bytes:
     bd = buf[5]
     if (flg >> 6) != 0x01:
         raise Lz4Error(f"unsupported LZ4 frame version {flg >> 6}")
-    if not (flg >> 5) & 1:
-        raise Lz4Error("linked-block LZ4 frames not supported")
+    linked = not (flg >> 5) & 1   # liblz4's default mode
     if flg & 0x02:
         raise Lz4Error("reserved FLG bit set")
     block_checksum = bool((flg >> 4) & 1)
@@ -316,7 +324,11 @@ def frame_decompress(buf: bytes) -> bytes:
             pos += 4
             if xxh32(body) != want:
                 raise Lz4Error("LZ4 block checksum mismatch")
-        out += body if uncompressed else block_decompress(body, bmax)
+        if uncompressed:
+            out += body
+        else:
+            history = bytes(out[-65536:]) if linked else b""
+            out += block_decompress(body, bmax, prefix=history)
     if content_checksum:
         if pos + 4 > len(buf):
             raise Lz4Error("truncated content checksum")

@@ -101,6 +101,25 @@ def test_multi_block_frame():
     assert frame_decompress(f) == data
 
 
+def _pb(x):
+    return x.to_pybytes() if hasattr(x, "to_pybytes") else bytes(x)
+
+
+def test_cross_implementation_against_liblz4():
+    """Differential check against the REAL liblz4 bundled in pyarrow:
+    its frames (linked-block mode, multi-block at 300 KB) decode here,
+    and this encoder's frames decode there."""
+    import random
+
+    pa = pytest.importorskip("pyarrow")
+    codec = pa.Codec("lz4_frame")
+    rng = random.Random(7)
+    for n in (0, 1, 100, 5000, 300_000):
+        data = bytes(rng.choice(b"abcdefgh \n") for _ in range(n))
+        assert frame_decompress(_pb(codec.compress(data))) == data
+        assert _pb(codec.decompress(frame_compress(data), n)) == data
+
+
 @settings(max_examples=80, deadline=None)
 @given(st.integers(0, 2 ** 31 - 1), st.integers(0, 4000))
 @example(seed=0, n=12)     # encoder's short-input literal path boundary
