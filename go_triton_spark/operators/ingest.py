@@ -117,3 +117,52 @@ def text_lz4_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=[f.name for f in _SHARD_SCHEMA])
 
     return src.mapInPandas(run, schema=_SHARD_SCHEMA)
+
+
+@query(
+    "text_zst_jsonl_ingest",
+    oracle=_SHARD_ORACLE % 29,
+    tags=("llm", "text", "ingest"),
+)
+def text_zst_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.jsonl.zst` shard ingest — the compression wrapping most large
+    public text corpora (The Pile, Dolma, RedPajama) — through the
+    pure-Python RFC 8878 decoder (codec/zstd.py): FSE-described and
+    predefined sequence tables, Huffman literals (1- and 4-stream),
+    repeat offsets, full frame layer.
+
+    The shards are compressed by the REAL libzstd bundled in pyarrow
+    (available on every executor), so the driver gate doubles as a
+    cross-implementation differential test: any entropy-decode bug
+    shifts the codepoint-sum column. Corruption truncates the final
+    byte of every 173rd shard — structurally detected regardless of
+    where the frame ends (missing bitstream sentinel / overrun block),
+    since libzstd frames carry no content checksum by default.
+    """
+    import pyarrow as pa
+
+    from go_triton_spark.codec.zstd import ZstdError, decompress
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id", "text"), spark, rows_per_task=500)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = pa.Codec("zstd", compression_level=3)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                comp = codec.compress(_shard_rows(doc_id, str(text)))
+                shard = (comp.to_pybytes()
+                         if hasattr(comp, "to_pybytes") else bytes(comp))
+                if doc_id % 173 == 29:
+                    shard = shard[:-1]
+                try:
+                    payload = decompress(shard)
+                except ZstdError:
+                    continue  # corrupt-skip
+                rows.extend(_extract_records(doc_id, payload))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SHARD_SCHEMA])
+
+    return src.mapInPandas(run, schema=_SHARD_SCHEMA)

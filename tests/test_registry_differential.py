@@ -111,6 +111,7 @@ FUZZED_QUERIES = [
     "curate_importance_resample",
     "text_cdc_chunks",
     "text_lz4_jsonl_ingest",
+    "text_zst_jsonl_ingest",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
