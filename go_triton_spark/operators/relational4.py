@@ -662,3 +662,91 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS total_value
         FROM events GROUP BY ALL
     """)
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents) t
+      WHERE tok IN ('spark', 'query', 'join')
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ), contrib AS (
+      SELECT tf.doc_id,
+             cast(round(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (cast(stats.sum_dl AS double) / stats.n)))
+               * 1e6, 0) AS bigint) AS c
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, cast(sum(c) AS bigint) AS score_e6
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "search"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 for the query
+    ``spark query join`` — the ranking function every retrieval
+    pipeline (and RAG corpus curation) runs over a text corpus.
+
+    Determinism: each per-term contribution is rounded to integer
+    micro-units BEFORE the per-doc sum, so the score is an exact
+    BIGINT in both engines — float summation order cannot flip ranks
+    (the registry's scaled-integer policy; ln() ulp drift is absorbed
+    by the 1e-6 quantum, the same exposure tfidf_top_terms carries).
+
+    Scale shape: ONE tokenize pass; the explode is filtered to the
+    query terms immediately (predicate inside the same stage as the
+    scan, so the shuffled tf set is only docs containing query terms);
+    dl rides the token rows (max aggregate) instead of a second
+    corpus-wide join; document frequency and corpus stats are
+    broadcast one-row/three-row dims. Final ordering is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    (d,) = tables(spark, sf_dir, "documents")
+    terms = ["spark", "query", "join"]
+    base = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "),
+                 lambda x: x != "").alias("toks"),
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+
+    stats = base.agg(F.count("*").alias("n"),
+                     F.sum("dl").alias("sum_dl"))
+
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+
+    joined = (tf.join(F.broadcast(dfreq), "tok")
+                .crossJoin(F.broadcast(stats)))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    idf = F.log(F.lit(1) + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    c = (idf * (F.col("tf") * F.lit(2.2))
+         / (F.col("tf") + F.lit(1.2)
+            * (F.lit(1) - F.lit(0.75)
+               + F.lit(0.75) * F.col("dl") / avgdl)))
+    contrib = joined.select(
+        "doc_id", F.round(c * F.lit(1e6), 0).cast("long").alias("c"))
+    return (contrib.groupBy("doc_id").agg(F.sum("c").alias("score_e6"))
+            .orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(20))

@@ -360,3 +360,60 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_events")))
+
+
+@query(
+    "ts_anomaly_rolling",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id,
+             cast(round(value * 100) AS bigint) AS x,
+             count(*) OVER w AS k,
+             cast(sum(cast(round(value * 100) AS bigint)) OVER w
+                  AS bigint) AS s1,
+             cast(sum(cast(round(value * 100) AS bigint)
+                      * cast(round(value * 100) AS bigint)) OVER w
+                  AS bigint) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, x AS value_e2, s1 AS base_sum
+    FROM b
+    WHERE k = 7
+      AND (7 * x - s1) * (7 * x - s1) > 9 * (7 * s2 - s1 * s1)
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def ts_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag an event whose value
+    sits more than 3 sigma from the mean of that user's PREVIOUS 7
+    events (a full trailing baseline; partial windows don't fire).
+
+    Determinism: values are 2-decimal, so everything runs in exact e2
+    integers — the 3-sigma rule is evaluated as
+    ``(k*x - s1)^2 > 9*(k*s2 - s1^2)`` (both sides k^2-scaled), never
+    touching float mean/stddev whose summation order differs across
+    engines.
+
+    Scale shape: ONE hash exchange on user_id, both running sums ride
+    the same sort in a single Window physical operator, and the filter
+    is a post-window Project — per-user state is O(window), so a
+    1000-executor run is embarrassingly parallel in user_id.
+    """
+    (e,) = tables(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-7, -1))
+    x = F.round(F.col("value") * 100).cast("long")
+    b = e.select(
+        "event_id", "user_id", x.alias("x"),
+        F.count("*").over(w).alias("k"),
+        F.sum(x).over(w).alias("s1"),
+        F.sum(x * x).over(w).alias("s2"),
+    )
+    lhs = (F.lit(7) * F.col("x") - F.col("s1"))
+    rhs = F.lit(9) * (F.lit(7) * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (b.where((F.col("k") == 7) & (lhs * lhs > rhs))
+             .select("event_id", "user_id",
+                     F.col("x").alias("value_e2"),
+                     F.col("s1").alias("base_sum")))

@@ -112,6 +112,7 @@ FUZZED_QUERIES = [
     "text_cdc_chunks",
     "text_lz4_jsonl_ingest",
     "text_zst_jsonl_ingest",
+    "text_bm25_search",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
 # query carries its reason on its own @query(fuzz_exclusion=...) row
@@ -297,6 +298,7 @@ EVT_FUZZED = [
     "asof_join_two_tables",
     "evt_dedup_by_key",
     "evt_sliding_window",
+    "ts_anomaly_rolling",
     "grouped_map_demean",
     "interval_join_sessions",
     "map_ops",
