@@ -298,6 +298,20 @@ def _decode_image(br: _Bits, xsize: int, ysize: int,
     without the transform prelude); returns flat uint32 array of
     xsize*ysize pixels. Sub-images (entropy/transform/palette data)
     use the same coder with no meta-prefix."""
+    # Field order per the spec (and libwebp's DecodeImageStream):
+    # color-cache info FIRST, then the meta-prefix bit (top level
+    # only). The reverse order is invisible to a same-author round
+    # trip — both flags off writes the identical 00 bit pair — and was
+    # caught by the libwebp differential suite.
+    cache_bits = 0
+    cache = None
+    if br.bits(1):                                 # color cache
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"bad color cache bits {cache_bits}")
+        cache = [0] * (1 << cache_bits)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
     meta = None
     meta_bits = 0
     n_groups = 1
@@ -308,15 +322,6 @@ def _decode_image(br: _Bits, xsize: int, ysize: int,
         meta_img = _decode_image(br, mx, my)
         meta = (((meta_img >> 8) & 0xFFFF)).astype(np.int64)
         n_groups = int(meta.max()) + 1
-
-    cache_bits = 0
-    cache = None
-    if br.bits(1):                                 # color cache
-        cache_bits = br.bits(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError(f"bad color cache bits {cache_bits}")
-        cache = [0] * (1 << cache_bits)
-    cache_size = (1 << cache_bits) if cache_bits else 0
 
     big = xsize * ysize >= 4096          # LUT amortizes past ~4k pixels
     groups = []
@@ -807,6 +812,14 @@ def _write_image(bw: _BitWriter, argb: np.ndarray, xsize: int,
     ``cache_bits`` enables a real color cache (cache-hit symbols
     emitted whenever the hashed slot matches) — both exist to exercise
     the decoder's corresponding paths with genuine streams."""
+    # Spec field order: color cache, THEN the top-level meta bit.
+    if cache_bits:
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color cache bits")
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)                             # no color cache
     if top_level:
         if use_meta:
             bw.write(1, 1)                         # meta prefix present
@@ -817,13 +830,6 @@ def _write_image(bw: _BitWriter, argb: np.ndarray, xsize: int,
             _write_image(bw, tiles, mx, my)
         else:
             bw.write(0, 1)
-    if cache_bits:
-        if not 1 <= cache_bits <= 11:
-            raise ValueError("bad color cache bits")
-        bw.write(1, 1)
-        bw.write(cache_bits, 4)
-    else:
-        bw.write(0, 1)                             # no color cache
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
     shift = 32 - cache_bits if cache_bits else 0
