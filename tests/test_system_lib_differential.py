@@ -18,7 +18,20 @@ import ctypes.util
 import numpy as np
 import pytest
 
+from go_triton_spark.codec.gif import build_gif
+from go_triton_spark.codec.png import build_png, parse_png
 from go_triton_spark.codec.vp8l import build_webp, parse_webp
+
+
+def _try_cdll(*names):
+    for name in names:
+        if not name:
+            continue
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
 
 
 def _load_libwebp():
@@ -44,7 +57,7 @@ def _load_libwebp():
 
 _WEBP = _load_libwebp()
 
-pytestmark = pytest.mark.skipif(_WEBP is None,
+_webp_only = pytest.mark.skipif(_WEBP is None,
                                 reason="libwebp not installed")
 
 
@@ -72,6 +85,7 @@ def _libwebp_encode_lossless(rgba: np.ndarray) -> bytes:
     return buf
 
 
+@_webp_only
 @pytest.mark.parametrize("transform", ["none", "predictor", "color",
                                        "palette"])
 @pytest.mark.parametrize("cache_bits", [0, 1, 4, 8])
@@ -99,6 +113,7 @@ def test_own_streams_decode_in_libwebp(transform, cache_bits, use_meta):
         assert np.array_equal(parse_webp(data)["pixels"], img)
 
 
+@_webp_only
 @pytest.mark.parametrize("kind", ["random", "gradient", "palette",
                                   "photoish"])
 def test_libwebp_streams_decode_here(kind):
@@ -122,3 +137,254 @@ def test_libwebp_streams_decode_here(kind):
         data = _libwebp_encode_lossless(rgba)
         r = parse_webp(data)
         assert np.array_equal(r["pixels"], rgb), (kind, h, w)
+
+
+# --------------------------------------------------------------- libpng
+
+class _PngImage(ctypes.Structure):
+    _fields_ = [("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+                ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+                ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+                ("colormap_entries", ctypes.c_uint32),
+                ("warning_or_error", ctypes.c_uint32),
+                ("message", ctypes.c_char * 64)]
+
+
+def _load_libpng():
+    lib = _try_cdll("libpng16.so.16", "libpng16.so",
+                    ctypes.util.find_library("png16"))
+    if lib is None:
+        return None
+    lib.png_image_begin_read_from_memory.restype = ctypes.c_int
+    lib.png_image_begin_read_from_memory.argtypes = [
+        ctypes.POINTER(_PngImage), ctypes.c_char_p, ctypes.c_size_t]
+    lib.png_image_finish_read.restype = ctypes.c_int
+    lib.png_image_finish_read.argtypes = [
+        ctypes.POINTER(_PngImage), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+    lib.png_image_write_to_memory.restype = ctypes.c_int
+    lib.png_image_write_to_memory.argtypes = [
+        ctypes.POINTER(_PngImage), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+    return lib
+
+
+_PNG = _load_libpng()
+_PNG_FORMAT_RGB = 2
+_png_only = pytest.mark.skipif(_PNG is None, reason="libpng not installed")
+
+
+def _libpng_decode_rgb(data: bytes):
+    img = _PngImage()
+    img.version = 1
+    if not _PNG.png_image_begin_read_from_memory(ctypes.byref(img), data,
+                                                 len(data)):
+        return None, img.message
+    img.format = _PNG_FORMAT_RGB
+    buf = (ctypes.c_ubyte * (img.width * img.height * 3))()
+    if not _PNG.png_image_finish_read(ctypes.byref(img), None, buf, 0,
+                                      None):
+        return None, img.message
+    return (np.frombuffer(bytes(buf), np.uint8)
+            .reshape(img.height, img.width, 3)), None
+
+
+def _libpng_encode_rgb(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    img = _PngImage()
+    img.version = 1
+    img.width, img.height, img.format = w, h, _PNG_FORMAT_RGB
+    size = ctypes.c_size_t(0)
+    _PNG.png_image_write_to_memory(ctypes.byref(img), None,
+                                   ctypes.byref(size), 0, rgb.tobytes(),
+                                   0, None)
+    buf = (ctypes.c_ubyte * size.value)()
+    assert _PNG.png_image_write_to_memory(ctypes.byref(img), buf,
+                                          ctypes.byref(size), 0,
+                                          rgb.tobytes(), 0, None), \
+        img.message
+    return bytes(buf)[:size.value]
+
+
+@_png_only
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_both_directions_against_libpng(interlace):
+    """This encoder's PNGs (sequential AND Adam7) decode bit-exactly
+    in libpng; real libpng-written PNGs decode bit-exactly here."""
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        h, w = int(rng.integers(1, 80)), int(rng.integers(1, 80))
+        kind = trial % 3
+        if kind == 0:
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:
+            base = np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256
+            rgb = np.dstack([base] * 3).astype(np.uint8)
+        else:
+            rgb = np.tile(rng.integers(0, 256, (1, w, 3), dtype=np.uint8),
+                          (h, 1, 1))
+        got, msg = _libpng_decode_rgb(build_png(rgb, interlace=interlace))
+        assert got is not None, msg
+        assert np.array_equal(got, rgb), (trial, h, w)
+        if not interlace:
+            r = parse_png(_libpng_encode_rgb(rgb))
+            assert np.array_equal(r["pixels"], rgb), (trial, h, w)
+
+
+# --------------------------------------------------------------- giflib
+
+_GifWord = ctypes.c_int
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int),
+                ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", _GifWord), ("Top", _GifWord),
+                ("Width", _GifWord), ("Height", _GifWord),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _ExtensionBlock(ctypes.Structure):
+    _fields_ = [("ByteCount", ctypes.c_int),
+                ("Bytes", ctypes.POINTER(ctypes.c_ubyte)),
+                ("Function", ctypes.c_int)]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock))]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", _GifWord), ("SHeight", _GifWord),
+                ("SColorResolution", _GifWord),
+                ("SBackGroundColor", _GifWord),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int),
+                ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock)),
+                ("Error", ctypes.c_int),
+                ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+_GIF_INPUT_FUNC = ctypes.CFUNCTYPE(ctypes.c_int,
+                                   ctypes.POINTER(_GifFileType),
+                                   ctypes.POINTER(ctypes.c_ubyte),
+                                   ctypes.c_int)
+
+
+def _load_libgif():
+    lib = _try_cdll("libgif.so.7", "libgif.so",
+                    ctypes.util.find_library("gif"))
+    if lib is None:
+        return None
+    lib.DGifOpen.restype = ctypes.POINTER(_GifFileType)
+    lib.DGifOpen.argtypes = [ctypes.c_void_p, _GIF_INPUT_FUNC,
+                             ctypes.POINTER(ctypes.c_int)]
+    lib.DGifSlurp.restype = ctypes.c_int
+    lib.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+    lib.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                  ctypes.POINTER(ctypes.c_int)]
+    return lib
+
+
+_GIF = _load_libgif()
+_gif_only = pytest.mark.skipif(_GIF is None, reason="giflib not installed")
+
+
+def _giflib_decode(data: bytes):
+    """DGifSlurp via a memory read callback. NOTE: giflib deinterlaces
+    into display order inside DGifSlurp, so RasterBits compare directly
+    against the source index plane for interlaced files too."""
+    state = {"pos": 0}
+
+    def reader(gf, buf, count):
+        n = min(count, len(data) - state["pos"])
+        ctypes.memmove(buf, data[state["pos"]:state["pos"] + n], n)
+        state["pos"] += n
+        return n
+
+    cb = _GIF_INPUT_FUNC(reader)
+    err = ctypes.c_int(0)
+    gf = _GIF.DGifOpen(None, cb, ctypes.byref(err))
+    if not gf:
+        return None, ("open", err.value)
+    if not _GIF.DGifSlurp(gf):
+        e = gf.contents.Error
+        _GIF.DGifCloseFile(gf, ctypes.byref(err))
+        return None, ("slurp", e)
+    g = gf.contents
+    frames = []
+    for fi in range(g.ImageCount):
+        si = g.SavedImages[fi]
+        d = si.ImageDesc
+        idx = (np.ctypeslib.as_array(si.RasterBits,
+                                     shape=(d.Width * d.Height,))
+               .copy().reshape(d.Height, d.Width))
+        cm = d.ColorMap if d.ColorMap else g.SColorMap
+        colors = np.array(
+            [[cm.contents.Colors[i].Red, cm.contents.Colors[i].Green,
+              cm.contents.Colors[i].Blue]
+             for i in range(cm.contents.ColorCount)], np.uint8)
+        frames.append((idx, colors))
+    _GIF.DGifCloseFile(gf, ctypes.byref(err))
+    return frames, None
+
+
+@_gif_only
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_encoder_output_decodes_in_giflib(interlace):
+    """The encoder whose LZW boundary bug round 7 caught: its output
+    now decodes bit-exactly in the REAL giflib across palette sizes,
+    interlace, long runs (table growth to 4096) and random planes."""
+    rng = np.random.default_rng(5)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        kbits = int(rng.integers(2, 9))
+        ncol = 1 << kbits
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        kind = trial % 3
+        if kind == 0:
+            idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        elif kind == 1:
+            idx = np.zeros((h, w), np.uint8)
+        else:
+            idx = (np.add.outer(np.arange(h), np.arange(w))
+                   % ncol).astype(np.uint8)
+        frames, err = _giflib_decode(build_gif(idx, pal,
+                                               interlace=interlace))
+        assert frames is not None, err
+        gidx, gcolors = frames[0]
+        assert np.array_equal(gidx, idx), (trial, h, w, kbits)
+        assert np.array_equal(gcolors[:ncol], pal)
+
+
+@_gif_only
+def test_gif_lzw_table_growth_against_giflib():
+    """A 60k-pixel structured plane drives the LZW table through every
+    width change up to 4096 — the family of boundaries the r7 EOI bug
+    lived in, now pinned by the reference decoder."""
+    big = (np.arange(200 * 300) % 251).astype(np.uint8).reshape(200, 300)
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    frames, err = _giflib_decode(build_gif(big, pal))
+    assert frames is not None, err
+    assert np.array_equal(frames[0][0], big)
