@@ -312,7 +312,10 @@ def parse_tiff(data: bytes) -> dict:
             raw += packbits_decode(strip, want)
 
     px = np.frombuffer(bytes(raw), np.uint8).reshape(height, width, spp)
-    if predictor == 2:                          # horizontal differencing
+    # Horizontal differencing lives inside the LZW/Deflate codecs;
+    # libtiff ignores Predictor=2 on none/packbits files and this
+    # decoder matches that reference behavior.
+    if predictor == 2 and comp in (_COMP_LZW, _COMP_DEFLATE):
         px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
 
     if photo in (0, 1):                         # grayscale
@@ -364,6 +367,13 @@ def build_tiff(pixels: np.ndarray, compression: str = "none",
 
     store = arr
     if predictor:
+        # TIFF 6.0 defines horizontal differencing as part of the
+        # LZW (and by extension Deflate) codecs; libtiff ignores the
+        # Predictor tag for none/packbits, so emitting that combo
+        # produces files real readers decode differently (caught by
+        # the libtiff differential suite).
+        if compression not in ("lzw", "deflate"):
+            raise ValueError("TIFF predictor requires lzw or deflate")
         first = arr[:, :1, :].astype(np.int64)
         diff = np.diff(arr.astype(np.int64), axis=1)
         store = np.concatenate([first, diff], axis=1).astype(np.uint8)

@@ -626,10 +626,12 @@ def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                payload = build_tiff(_tiff_gate_pixels(doc_id),
-                                     compression=comps[doc_id % 4],
-                                     predictor=bool(doc_id % 2),
-                                     big_endian=doc_id % 3 == 0)
+                comp = comps[doc_id % 4]
+                payload = build_tiff(
+                    _tiff_gate_pixels(doc_id), compression=comp,
+                    predictor=bool(doc_id % 2)
+                    and comp in ("lzw", "deflate"),
+                    big_endian=doc_id % 3 == 0)
                 if doc_id % 113 == 29:
                     payload = payload[:-7]  # corrupt: truncated strip
                 try:

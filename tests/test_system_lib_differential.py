@@ -388,3 +388,113 @@ def test_gif_lzw_table_growth_against_giflib():
     frames, err = _giflib_decode(build_gif(big, pal))
     assert frames is not None, err
     assert np.array_equal(frames[0][0], big)
+
+
+# --------------------------------------------------------------- libtiff
+
+def _load_libtiff():
+    lib = _try_cdll("libtiff.so.6", "libtiff.so",
+                    ctypes.util.find_library("tiff"))
+    if lib is None:
+        return None
+    tmsize = ctypes.c_ssize_t
+    toff = ctypes.c_uint64
+    lib._READPROC = ctypes.CFUNCTYPE(tmsize, ctypes.c_void_p,
+                                     ctypes.c_void_p, tmsize)
+    lib._SEEKPROC = ctypes.CFUNCTYPE(toff, ctypes.c_void_p, toff,
+                                     ctypes.c_int)
+    lib._CLOSEPROC = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p)
+    lib._SIZEPROC = ctypes.CFUNCTYPE(toff, ctypes.c_void_p)
+    lib._MAPPROC = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_void_p),
+                                    ctypes.POINTER(toff))
+    lib._UNMAPPROC = ctypes.CFUNCTYPE(None, ctypes.c_void_p,
+                                      ctypes.c_void_p, toff)
+    lib.TIFFClientOpen.restype = ctypes.c_void_p
+    lib.TIFFClientOpen.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p,
+        lib._READPROC, lib._READPROC, lib._SEEKPROC, lib._CLOSEPROC,
+        lib._SIZEPROC, lib._MAPPROC, lib._UNMAPPROC]
+    lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+    lib.TIFFReadRGBAImageOriented.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    lib.TIFFSetErrorHandler.restype = ctypes.c_void_p
+    lib.TIFFSetErrorHandler.argtypes = [ctypes.c_void_p]
+    lib.TIFFSetWarningHandler.restype = ctypes.c_void_p
+    lib.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+    lib.TIFFSetErrorHandler(None)
+    lib.TIFFSetWarningHandler(None)
+    return lib
+
+
+_TIFF = _load_libtiff()
+_tiff_only = pytest.mark.skipif(_TIFF is None,
+                                reason="libtiff not installed")
+
+
+def _libtiff_decode_rgb(data: bytes, w: int, h: int):
+    state = {"pos": 0}
+
+    def read(h_, buf, n):
+        k = min(n, len(data) - state["pos"])
+        ctypes.memmove(buf, data[state["pos"]:state["pos"] + k], k)
+        state["pos"] += k
+        return k
+
+    def write(h_, buf, n):
+        return 0
+
+    def seek(h_, off, whence):
+        state["pos"] = {0: off, 1: state["pos"] + off,
+                        2: len(data) + off}[whence]
+        return state["pos"]
+
+    cbs = (_TIFF._READPROC(read), _TIFF._READPROC(write),
+           _TIFF._SEEKPROC(seek),
+           _TIFF._CLOSEPROC(lambda h_: 0),
+           _TIFF._SIZEPROC(lambda h_: len(data)),
+           _TIFF._MAPPROC(lambda h_, p, s: 0),
+           _TIFF._UNMAPPROC(lambda h_, p, s: None))
+    tif = _TIFF.TIFFClientOpen(b"mem", b"rm", None, *cbs)
+    if not tif:
+        return None
+    raster = (ctypes.c_uint32 * (w * h))()
+    ok = _TIFF.TIFFReadRGBAImageOriented(tif, w, h, raster, 1, 1)
+    _TIFF.TIFFClose(tif)
+    if not ok:
+        return None
+    arr = np.frombuffer(bytes(raster), dtype="<u4").reshape(h, w)
+    return np.dstack([arr & 0xFF, (arr >> 8) & 0xFF,
+                      (arr >> 16) & 0xFF]).astype(np.uint8)
+
+
+@_tiff_only
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_encoder_output_decodes_in_libtiff(comp, big_endian):
+    """Both byte orders x all four compressions (predictor included
+    where TIFF defines it — inside LZW/Deflate; the none/packbits +
+    predictor combo this suite flagged is now rejected at build time
+    to match libtiff, which ignores the tag there)."""
+    from go_triton_spark.codec.tiff import build_tiff
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        kind = trial % 3
+        if kind == 0:
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:
+            base = np.add.outer(np.arange(h) * 3, np.arange(w) * 5) % 256
+            rgb = np.dstack([base] * 3).astype(np.uint8)
+        else:
+            rgb = np.full((h, w, 3), 99, np.uint8)
+        pred = comp in ("lzw", "deflate") and trial % 2 == 1
+        d = build_tiff(rgb, compression=comp, predictor=pred,
+                       big_endian=big_endian,
+                       rows_per_strip=max(1, h // 2))
+        got = _libtiff_decode_rgb(d, w, h)
+        assert got is not None, (comp, big_endian, trial)
+        assert np.array_equal(got, rgb), (comp, big_endian, trial, h, w)
