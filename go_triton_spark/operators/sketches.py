@@ -266,3 +266,196 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = tb.select("tok", "r", "b").distinct()
     return (probes.join(F.broadcast(counters), ["r", "b"])
             .groupBy("tok").agg(F.min("c").cast("long").alias("est")))
+
+
+# =====================================================================
+# HyperLogLog (mergeable register-vector distinct estimation)
+# =====================================================================
+#
+# p = 8 -> m = 256 registers; register index = top 8 bits of the same
+# 60-bit md5 hash the theta family uses, rho = leading-zero count of
+# the remaining 52 bits + 1 (Flajolet et al., "HyperLogLog: the
+# analysis of a near-optimal cardinality estimation algorithm",
+# AofA'07). Where theta keeps the k smallest hashes, HLL keeps a FIXED
+# 256-slot register vector whose merge is elementwise max — the
+# smallest possible mergeable summary, the one production systems ship
+# between days/shards.
+#
+# Determinism: the register contribution is kept as the exact integer
+# 2^(53 - M_j)  (= 2 * pow2floor(suffix), or 1 for the all-zero
+# suffix), so the harmonic sum S2 = sum_j 2^(53 - M_j) is an exact
+# BIGINT and the raw estimate
+#     E = alpha_256 * m^2 / sum_j 2^(-M_j)
+#       = floor(floor(ALPHA_NUM * m^2 * 2^53 / S2) / 10^10)
+# is pure integer math (nested-floor identity holds for positive
+# integers), byte-identical in both engines. The small-range
+# (linear-counting) correction needs ln() and is a presentation-layer
+# choice; the gate pins the raw mergeable estimator plus the zero
+# count V it would need.
+
+_HLL_M = 256
+_HLL_NUM = 4239933024614429306506742595584   # round(a_256*1e10)*m^2*2^53
+_HLL_DEN = 10_000_000_000
+
+
+def _smear_pow2(x: str, spark: bool) -> str:
+    """Largest power of two <= x (x > 0), exact integer bit-smearing —
+    floor(log2()) in doubles mis-rounds near 2^52 boundaries."""
+    sh = (lambda e, n: f"({e} | shiftright({e}, {n}))") if spark else \
+         (lambda e, n: f"({e} | ({e} >> {n}))")
+    # cascade through a temp-free nested expression
+    e = x
+    for n in (1, 2, 4, 8, 16, 32):
+        e = sh(e, n)
+    return f"(({e} + 1) >> 1)" if not spark else \
+        f"shiftright(({e} + 1), 1)"
+
+
+def _hll_c2(spark: bool) -> str:
+    """Per-row register contribution 2^(53 - rho) from the hash."""
+    # NB: Spark's shiftleft(1, 52) shifts inside 32-bit int — the
+    # operand must be BIGINT before the shift, not after.
+    rem = "(h & ((1::BIGINT << 52) - 1))" if not spark else \
+        "(h & (shiftleft(cast(1 as bigint), 52) - 1))"
+    p2f = _smear_pow2(rem, spark)
+    return f"(CASE WHEN {rem} = 0 THEN 1 ELSE 2 * {p2f} END)"
+
+
+_HLL_ORACLE_CORE = f"""
+    b AS (SELECT event_type, {_H_DUCK.format(col="user_id")} AS h
+          FROM events),
+    rows_ AS (SELECT event_type, (h >> 52) AS idx,
+                     {_hll_c2(False)} AS c2
+              FROM b),
+    regs AS (SELECT event_type, idx, min(c2) AS rc
+             FROM rows_ GROUP BY event_type, idx),
+    sk AS (SELECT event_type,
+                  cast(count(*) as bigint) AS n_present,
+                  cast(sum(rc) as bigint) AS s_present
+           FROM regs GROUP BY event_type),
+    est AS (SELECT event_type,
+                   cast({_HLL_M} - n_present as bigint) AS v_zero,
+                   cast(s_present
+                        + ({_HLL_M} - n_present) * (1::BIGINT << 53)
+                        as bigint) AS s2
+            FROM sk),
+    x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type)
+    SELECT est.event_type,
+           cast(({_HLL_NUM}::HUGEINT // est.s2::HUGEINT)
+                // {_HLL_DEN} as bigint) AS hll_estimate,
+           est.v_zero, est.s2, x.exact_distinct
+    FROM est JOIN x USING (event_type)
+"""
+
+
+def _hll_sketch(rows: DataFrame) -> DataFrame:
+    """(event_type, idx, c2) rows -> per-group raw-HLL columns."""
+    regs = (rows.groupBy("event_type", "idx")
+            .agg(F.min("c2").alias("rc")))
+    sk = (regs.groupBy("event_type")
+          .agg(F.count("*").alias("n_present"),
+               F.sum("rc").alias("s_present")))
+    s2 = (F.col("s_present")
+          + (F.lit(_HLL_M) - F.col("n_present"))
+          * F.lit(1 << 53)).cast("long")
+    numer = F.lit(str(_HLL_NUM)).cast("decimal(38,0)")
+    out = sk.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
+        s2.alias("s2"))
+    return out.select(
+        "event_type",
+        F.floor(F.floor(numer / F.col("s2")) / F.lit(_HLL_DEN))
+         .cast("long").alias("hll_estimate"),
+        "v_zero", "s2")
+
+
+def _hll_rows(e: DataFrame) -> DataFrame:
+    h = F.expr(_H.format(col="user_id")).alias("h")
+    b = e.select("event_type", h)
+    return b.select(
+        "event_type",
+        F.expr("shiftright(h, 52)").cast("long").alias("idx"),
+        F.expr(_hll_c2(True)).cast("long").alias("c2"))
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"WITH {_HLL_ORACLE_CORE}",
+    tags=("llm", "sketch", "agg"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-HLL distinct-user estimate per event_type next to the exact
+    count; the gate checks the ESTIMATE, the zero-register count and
+    the exact harmonic sum value-for-value.
+
+    Plan at 100 TB: rows collapse to at most m=256 register cells per
+    group in ONE map-side-combinable exchange (min is an algebraic
+    aggregate), the register vector never exceeds 2 KiB per group, and
+    unlike exact count-distinct no raw value ever crosses the wire."""
+    (e,) = tables(spark, sf_dir, "events")
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return _hll_sketch(_hll_rows(e)).join(exact, "event_type").select(
+        "event_type", "hll_estimate", "v_zero", "s2", "exact_distinct")
+
+
+@query(
+    "sketch_hll_union",
+    oracle=f"""
+    WITH b AS (SELECT event_type, event_id % 4 AS shard,
+                      {_H_DUCK.format(col="user_id")} AS h
+               FROM events),
+    rows_ AS (SELECT event_type, shard, (h >> 52) AS idx,
+                     {_hll_c2(False)} AS c2
+              FROM b),
+    shard_regs AS (SELECT event_type, shard, idx, min(c2) AS rc
+                   FROM rows_ GROUP BY event_type, shard, idx),
+    merged AS (SELECT event_type, idx, min(rc) AS rc
+               FROM shard_regs GROUP BY event_type, idx),
+    sk AS (SELECT event_type,
+                  cast(count(*) as bigint) AS n_present,
+                  cast(sum(rc) as bigint) AS s_present
+           FROM merged GROUP BY event_type),
+    est AS (SELECT event_type,
+                   cast({_HLL_M} - n_present as bigint) AS v_zero,
+                   cast(s_present
+                        + ({_HLL_M} - n_present) * (1::BIGINT << 53)
+                        as bigint) AS s2
+            FROM sk),
+    x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type)
+    SELECT est.event_type,
+           cast(({_HLL_NUM}::HUGEINT // est.s2::HUGEINT)
+                // {_HLL_DEN} as bigint) AS hll_estimate,
+           est.v_zero, est.s2, x.exact_distinct
+    FROM est JOIN x USING (event_type)
+    """,
+    tags=("llm", "sketch", "agg"),
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE proof: four independent per-shard register vectors,
+    merged by elementwise max (min over the 2^(53-rho) encoding),
+    estimate the union — the register algebra that lets per-day
+    sketches answer quarter-wide distinct questions without a rescan.
+    Merging is associative/commutative/idempotent, so the merged
+    estimate provably equals the single-pass sketch; the gate pins
+    that equality exactly."""
+    (e,) = tables(spark, sf_dir, "events")
+    # shard rides the row explicitly (the _hll_rows helper projects
+    # down to the 3 distinct-level columns)
+    h = F.expr(_H.format(col="user_id")).alias("h")
+    b = e.select("event_type", (F.col("event_id") % 4).alias("shard"), h)
+    rows = b.select(
+        "event_type", "shard",
+        F.expr("shiftright(h, 52)").cast("long").alias("idx"),
+        F.expr(_hll_c2(True)).cast("long").alias("c2"))
+    shard_regs = (rows.groupBy("event_type", "shard", "idx")
+                  .agg(F.min("c2").alias("rc")))
+    merged = (shard_regs.groupBy("event_type", "idx")
+              .agg(F.min("rc").alias("c2")))
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return _hll_sketch(merged).join(exact, "event_type").select(
+        "event_type", "hll_estimate", "v_zero", "s2", "exact_distinct")

@@ -299,6 +299,8 @@ EVT_FUZZED = [
     "evt_dedup_by_key",
     "evt_sliding_window",
     "ts_anomaly_rolling",
+    "sketch_hll_distinct",
+    "sketch_hll_union",
     "grouped_map_demean",
     "interval_join_sessions",
     "map_ops",
