@@ -333,6 +333,8 @@ def xz_decompress(buf: bytes) -> bytes:
 
 
 def _decode_stream(buf: bytes, pos: int, out: bytearray) -> int:
+    if pos + 12 > len(buf):
+        raise XzError("truncated XZ stream header")
     if buf[pos:pos + 6] != _XZ_MAGIC:
         raise XzError("bad XZ stream header magic")
     flags = buf[pos + 6:pos + 8]
@@ -371,6 +373,8 @@ def _decode_stream(buf: bytes, pos: int, out: bytearray) -> int:
         if pos >= len(buf) or buf[pos] != 0:
             raise XzError("bad XZ index padding")
         pos += 1
+    if pos + 4 > len(buf):
+        raise XzError("truncated XZ index CRC")
     (want,) = struct.unpack_from("<I", buf, pos)
     if zlib.crc32(buf[idx_start:pos]) != want:
         raise XzError("XZ index CRC mismatch")
@@ -465,10 +469,23 @@ def _decode_block(buf: bytes, pos: int, out: bytearray, check_type: int,
 def _lzma2_scan_decode(buf: bytes, pos: int,
                        out: bytearray) -> tuple[int, int]:
     """Walk LZMA2 chunks in-place (they're self-delimiting), decoding
-    into `out`; returns (position after the 0x00 terminator, n_bytes)."""
-    start = pos
-    st: _LzmaState | None = None
+    into `out`; returns (position after the 0x00 terminator, n_bytes).
+
+    Decoding runs against ``dict_buf`` — the output SINCE THE LAST
+    DICTIONARY RESET — never against the global ``out``: pos_state,
+    the previous-byte literal context, and match-distance bounds are
+    all defined relative to the dictionary, so sharing the global
+    buffer would make concatenated streams / multi-block files decode
+    against data an encoder's fresh dictionary never saw (valid
+    ``xz -T`` output would fail; some corrupt input would pass).
+    Every block's first chunk must itself reset the dictionary, as
+    liblzma requires.
+    """
     before = len(out)
+    st: _LzmaState | None = None
+    dict_buf = bytearray()        # output since the last dict reset
+    dict_live = False             # has any dict reset happened yet?
+    state_live = False            # is the LZMA state continuable?
     while True:
         if pos >= len(buf):
             raise XzError("LZMA2 stream missing end-of-stream control")
@@ -477,15 +494,21 @@ def _lzma2_scan_decode(buf: bytes, pos: int,
         if ctrl == 0x00:
             break
         if ctrl in (0x01, 0x02):
+            if ctrl == 0x01:              # dict reset
+                out += dict_buf
+                dict_buf = bytearray()
+                dict_live = True
+            elif not dict_live:
+                raise XzError("LZMA2 first chunk does not reset dict")
             if pos + 2 > len(buf):
                 raise XzError("truncated LZMA2 uncompressed-chunk size")
             size = ((buf[pos] << 8) | buf[pos + 1]) + 1
             pos += 2
             if pos + size > len(buf):
                 raise XzError("LZMA2 uncompressed chunk overruns input")
-            out += buf[pos:pos + size]
+            dict_buf += buf[pos:pos + size]
             pos += size
-            st = None if ctrl == 0x01 else st
+            state_live = False   # uncompressed data invalidates state
             continue
         if ctrl < 0x80:
             raise XzError(f"reserved LZMA2 control byte 0x{ctrl:02x}")
@@ -496,6 +519,12 @@ def _lzma2_scan_decode(buf: bytes, pos: int,
         packed = ((buf[pos + 2] << 8) | buf[pos + 3]) + 1
         pos += 4
         reset = (ctrl >> 5) & 0x03
+        if reset == 3:                    # props + state + dict reset
+            out += dict_buf
+            dict_buf = bytearray()
+            dict_live = True
+        elif not dict_live:
+            raise XzError("LZMA2 first chunk does not reset dict")
         if reset >= 2:
             if pos >= len(buf):
                 raise XzError("truncated LZMA2 props byte")
@@ -506,13 +535,22 @@ def _lzma2_scan_decode(buf: bytes, pos: int,
             if st is None:
                 raise XzError("LZMA2 state reset before any props")
             st.reset()
-        elif st is None:
-            raise XzError("LZMA2 chunk continues state that never existed")
+        elif st is None or not state_live:
+            raise XzError("LZMA2 chunk continues invalid state")
+        state_live = True
         if pos + packed > len(buf):
             raise XzError("LZMA2 chunk overruns input")
         rc = _RangeDecoder(buf[pos:pos + packed])
-        _lzma_decode_into(rc, st, out, len(out) + unpacked)
+        _lzma_decode_into(rc, st, dict_buf, len(dict_buf) + unpacked)
         if rc.pos != packed:
             raise XzError("LZMA2 chunk did not consume its packed size")
+        if not rc.finished():
+            # known-size chunks have no in-stream end marker; the
+            # range coder's flush leaves code == 0 iff the packed
+            # bytes are the true encoder output (liblzma's
+            # rc_is_finished) — without this, a flipped final byte
+            # can decode "cleanly"
+            raise XzError("LZMA2 range coder not flushed at chunk end")
         pos += packed
+    out += dict_buf
     return pos, len(out) - before

@@ -100,23 +100,13 @@ def _driver_green_rounds() -> dict:
 # driver-green round reaches the noted round, the entry is ignored
 # (safe to leave behind; prune opportunistically).
 _PLAN_CHANGED = {
-    # r8: spread() recalibration (rows_per_task=500 for the shingle
-    # family + simhash gained a spread) and codec fixes (GIF LZW
-    # encoder EOI width + GCE transparency; AVI multi-movi
-    # accumulation; FLAC unknown-total; WARC/1.1) — real physical-plan
-    # or decode-logic changes after these queries' r07 greens.
-    "dedup_ngram_jaccard": 8,
-    "dedup_minhash_lsh": 8,
-    "dedup_simhash": 8,
-    "dedup_span_exact": 8,
-    "dedup_clusters": 8,         # consumes dedup_minhash_lsh
-    "curate_decontaminate": 8,   # consumes _shingle_df
-    "mm_gif_decode": 8,
-    "mm_frame_sample": 8,
-    "mm_mjpg_frame_sample": 8,
-    "mm_flac_decode": 8,
-    "warc_extract": 8,
-    "mm_png_decode": 8,          # r8: odd doc_ids now Adam7-interlaced
+    # r9: sign-of-zero normalization — `round(...) + 0` appended to
+    # the covariance/stddev/slope/intercept outputs on BOTH engines
+    # (judge-found -0.0 divergence on degenerate groups) — a real
+    # expression change after these queries' last greens.
+    "agg_covariance": 9,
+    "agg_stats": 9,
+    "agg_regression": 9,
 }
 
 

@@ -120,6 +120,54 @@ def text_lz4_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_xz_jsonl_ingest",
+    oracle=_SHARD_ORACLE % 47,
+    tags=("llm", "text", "ingest"),
+)
+def text_xz_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`.jsonl.xz` shard ingest — the other compression real corpora
+    ship in (Wikipedia dumps, The Pile's .jsonl.xz variants) — through
+    the pure-Python XZ/LZMA2/LZMA decoder (codec/xz.py): adaptive
+    range coder, 12-state machine, LZMA2 chunk framing with dict
+    resets, and the full container layer (block-header CRC32, CRC64
+    block check, index + footer CRC32).
+
+    The shards are compressed by stdlib ``lzma`` — real liblzma on
+    every executor — so the driver gate is a standing
+    cross-implementation differential test of the whole decoder.
+    Corruption flips one byte in the middle of every 173rd shard's
+    compressed data; a layered CRC rejects it and the shard is
+    skipped (counted by the oracle's WHERE).
+    """
+    import lzma
+
+    from go_triton_spark.codec.xz import XzError, xz_decompress
+
+    (d,) = tables(spark, sf_dir, "documents")
+    src = spread(d.select("doc_id", "text"), spark, rows_per_task=500)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                shard = bytearray(lzma.compress(
+                    _shard_rows(doc_id, str(text)),
+                    format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64))
+                if doc_id % 173 == 47:
+                    shard[len(shard) // 2] ^= 0xFF
+                try:
+                    payload = xz_decompress(bytes(shard))
+                except XzError:
+                    continue  # corrupt-skip
+                rows.extend(_extract_records(doc_id, payload))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SHARD_SCHEMA])
+
+    return src.mapInPandas(run, schema=_SHARD_SCHEMA)
+
+
+@query(
     "text_zst_jsonl_ingest",
     oracle=_SHARD_ORACLE % 29,
     tags=("llm", "text", "ingest"),

@@ -532,7 +532,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_dsum('l_quantity * l_quantity')} AS s2,
            round(sqrt(({_dsum('l_quantity * l_quantity')} -
                  {_dsum('l_quantity')} * {_dsum('l_quantity')} / count(*))
-                 / nullif(count(*) - 1, 0)), 6) AS stddev_qty
+                 / nullif(count(*) - 1, 0)), 6) + 0 AS stddev_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "stats"),
@@ -553,7 +553,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_dsum('l_quantity * l_quantity')} AS s2,
                round(sqrt(({_dsum('l_quantity * l_quantity')} -
                      {_dsum('l_quantity')} * {_dsum('l_quantity')} / count(*))
-                     / nullif(count(*) - 1, 0)), 6) AS stddev_qty
+                     / nullif(count(*) - 1, 0)), 6) + 0 AS stddev_qty
         FROM lineitem GROUP BY l_returnflag
     """)
 

@@ -107,7 +107,7 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(({_dsum('l_quantity * l_extendedprice')}
                   - {_dsum('l_quantity')} * {_dsum('l_extendedprice')} / count(*))
-                 / count(*), 6) AS covar_pop_qty_price
+                 / count(*), 6) + 0 AS covar_pop_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "stats"),
@@ -123,7 +123,7 @@ def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                round(({_dsum('l_quantity * l_extendedprice')}
                       - {_dsum('l_quantity')} * {_dsum('l_extendedprice')} / count(*))
-                     / count(*), 6) AS covar_pop_qty_price
+                     / count(*), 6) + 0 AS covar_pop_qty_price
         FROM lineitem GROUP BY l_returnflag
     """)
 

@@ -36,9 +36,9 @@ def _dsum(expr: str) -> str:
     )
     SELECT l_returnflag, n,
            round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
-             AS slope,
+             + 0 AS slope,
            round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
-                  * sx) / n, 6) AS intercept
+                  * sx) / n, 6) + 0 AS intercept
     FROM s
     """,
     tags=("agg", "stats"),
@@ -69,9 +69,9 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_returnflag, n,
                round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
-                 AS slope,
+                 + 0 AS slope,
                round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
-                      * sx) / n, 6) AS intercept
+                      * sx) / n, 6) + 0 AS intercept
         FROM s
     """)
 

@@ -112,6 +112,7 @@ FUZZED_QUERIES = [
     "text_cdc_chunks",
     "text_lz4_jsonl_ingest",
     "text_zst_jsonl_ingest",
+    "text_xz_jsonl_ingest",
     "text_bm25_search",
 ]
 # Exclusions are no longer listed here: every deliberately-unfuzzed
@@ -145,7 +146,11 @@ def _canon(df: pd.DataFrame) -> list:
     for r in out.values.tolist():
         rows.append(tuple(
             None if pd.isna(x)
-            else round(float(x), 6) if isinstance(x, float)
+            # "+ 0.0" folds -0.0 into +0.0: the values compare equal
+            # but sort (key=repr) and hash differently, so a
+            # sign-of-zero divergence between engines would misalign
+            # the row pairing (found live on agg_covariance, r8)
+            else round(float(x), 6) + 0.0 if isinstance(x, float)
             else int(x) if isinstance(x, (int,)) and not isinstance(x, bool)
             else x
             for x in r))
@@ -627,6 +632,50 @@ def test_relational_queries_match_oracles_on_generated_tables(
                 f"(C={len(custs)} O={len(orders)} L={len(lines)} "
                 f"S={len(supps)} P={len(parts)}: "
                 f"{custs} {orders} {lines} {supps} {parts})")
+        con.close()
+    finally:
+        shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+def test_negative_zero_degenerate_group_pinned(spark, _fuzz_dir):
+    """Pinned falsifying example (judge's r8 fuzz run): a degenerate
+    group with CONSTANT quantity makes the covariance numerator an
+    exact-cancellation whose double rounding lands a hair below zero —
+    DuckDB's round() then emits ``-0.0`` where Spark's round (via
+    BigDecimal, which has no signed zero) emits ``+0.0``. The values
+    compare equal but hash and repr-sort differently, so both the
+    driver's value-hash gate and _canon's row pairing diverge. Fixed
+    by ``round(...) + 0`` on BOTH engines in agg_covariance /
+    agg_stats / agg_regression; this table must stay green forever."""
+    import math
+    import shutil
+
+    # qty constant 0.5; prices chosen so the pre-fix DuckDB oracle
+    # provably returned -0.0 (searched over the fuzz grids)
+    prices = [0.01, 0.01, 904.0, 904.0, 55010.22]
+    lines = [(1, 1, 1, i + 1, 0.5, p, 0.0, "A", "O", 0)
+             for i, p in enumerate(prices)]
+    sf_dir = os.path.join(_fuzz_dir, "rel_negzero")
+    _materialize_rel(sf_dir, [], [(1, "P", 1320.51, 0, "5-LOW")], lines)
+    try:
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem", "region", "nation",
+                  "supplier", "part", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+        for name in ("agg_covariance", "agg_stats", "agg_regression"):
+            qd = REGISTRY[name]
+            got = qd.spark(spark, sf_dir).toPandas()
+            want = con.execute(qd.oracle).df()
+            assert _canon(got) == _canon(want), name
+            # the normalization itself: no -0.0 may survive on either
+            # side (the driver's pandas value-hash is sign-sensitive)
+            for df in (got, want):
+                for col in df.columns:
+                    for v in df[col]:
+                        if isinstance(v, float) and v == 0.0:
+                            assert math.copysign(1.0, v) > 0, (name, col)
         con.close()
     finally:
         shutil.rmtree(sf_dir, ignore_errors=True)

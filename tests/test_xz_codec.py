@@ -45,6 +45,43 @@ def test_multi_block_and_concatenated_streams():
         b"first stream second stream"
 
 
+def test_concatenated_streams_beyond_toy_sizes():
+    """Regression (r8 review): decode contexts leaked the GLOBAL
+    output buffer across dictionary resets, so the second of two ~5KB
+    concatenated streams hit 'match distance before stream start' —
+    the 13-byte version above was too small to catch it."""
+    rng = random.Random(0)
+    d1 = bytes(rng.choice(b"abcdefgh \n") for _ in range(5000))
+    d2 = bytes(rng.choice(b"ijklmnop \n") for _ in range(5000))
+    a = lzma.compress(d1, format=lzma.FORMAT_XZ)
+    b = lzma.compress(d2, format=lzma.FORMAT_XZ)
+    assert xz_decompress(a + b) == d1 + d2
+    assert xz_decompress(a + b"\x00" * 8 + b) == d1 + d2
+
+
+def test_multi_block_xz_cli():
+    """`xz -T --block-size` emits genuinely multi-block streams (one
+    dict reset per block) — the same regression class as stream
+    concatenation, produced by the reference CLI encoder."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if not shutil.which("xz"):
+        pytest.skip("xz CLI not on PATH")
+    rng = random.Random(7)
+    data = bytes(rng.choice(b"spark engine \n") for _ in range(200_000))
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/mb.bin"
+        with open(src, "wb") as fh:
+            fh.write(data)
+        subprocess.run(["xz", "-f", "-T4", "--block-size=32KiB", src],
+                       check=True)
+        with open(src + ".xz", "rb") as fh:
+            z = fh.read()
+    assert xz_decompress(z) == data
+
+
 def test_custom_filter_chain_props():
     """Non-default lc/lp/pb travel through LZMA2 props resets."""
     for lc, lp, pb in [(0, 2, 2), (4, 0, 0), (2, 1, 1), (0, 0, 0)]:
