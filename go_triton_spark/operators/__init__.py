@@ -107,6 +107,11 @@ _PLAN_CHANGED = {
     "agg_covariance": 9,
     "agg_stats": 9,
     "agg_regression": 9,
+    # r9: per-operator spread recalibration (r8 verdict ask #4) —
+    # span explode now rows_per_task=2000; decontaminate rewritten to
+    # a one-row collect_set broadcast + arrays_overlap probe.
+    "dedup_span_exact": 9,
+    "curate_decontaminate": 9,
 }
 
 

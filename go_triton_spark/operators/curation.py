@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import contract, query, tables
 from go_triton_spark.operators.dedup import (_ORACLE_PAIR_CTES,
                                              _ORACLE_SHINGLES, _SHINGLES,
                                              _shingle_df)
@@ -67,27 +67,42 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-gram with the benchmark set (doc_id < 5 stands in for an
     eval suite).
 
-    Plan: the benchmark shingle set is tiny -> broadcast; the corpus
-    explodes its shingles only into a semi-join probe (flag), then a
-    left join back onto ids. The corpus text itself never shuffles.
+    Plan: the benchmark shingle set is tiny -> ONE broadcast row of
+    collect_set'd shingles; the corpus probes it with arrays_overlap
+    in a single JVM map (no corpus-side explode, no shuffle), then a
+    left join back onto ids restores too-short-to-shingle docs as
+    clean. The corpus text itself never shuffles.
     """
     (d,) = tables(spark, sf_dir, "documents")
-    # shared cached shingle DF (same cache entry the dedup family uses;
-    # also partition-spread so the HOF shingle transform parallelizes)
-    sh = _shingle_df(spark, sf_dir)
-    bench = (sh.where(F.col("doc_id") < 5)
-             .select(F.explode("shingles").alias("shingle")).distinct())
-    corpus = sh.where(F.col("doc_id") >= 5)
-    # SIZE CONTRACT for the broadcast: `bench` is the decontamination
-    # reference (eval-suite shingles), bounded by the benchmark corpus —
-    # thousands of docs -> at most a few million distinct shingles, tens
-    # of MB. It does NOT grow with the training corpus being scrubbed.
-    # If a deployment ever decontaminates against a corpus-sized
-    # blocklist, drop the hint and let AQE choose a shuffle semi-join.
-    flagged = (corpus.select("doc_id", F.explode("shingles").alias("shingle"))
-               .join(F.broadcast(bench), "shingle", "left_semi")
-               .select("doc_id").distinct()
-               .withColumn("contaminated", F.lit(True)))
+    # Benchmark side: 5 docs straight off the parquet scan (pushed
+    # doc_id filter), shingled inline and collapsed to ONE row holding
+    # the distinct shingle set — no pass over the corpus-sized cache.
+    bench_set = (d.where(F.col("doc_id") < 5)
+                 .select("doc_id", F.split("text", " ").alias("ws"))
+                 .select(F.explode(F.expr(_SHINGLES)).alias("shingle"))
+                 .agg(F.collect_set("shingle").alias("bench_shingles")))
+    # Corpus side: the shared cached shingle DF (same cache entry the
+    # dedup family uses), CONTRACTED to this query's own per-row cost —
+    # the cache is partitioned for ~1 ms/row Jaccard work, but this
+    # probe is an Arrow-speed map (r8 regression: inheriting the 32-way
+    # fanout cost 1.6x in task overhead alone).
+    sh = contract(_shingle_df(spark, sf_dir).where(F.col("doc_id") >= 5),
+                  spark, d, rows_per_task=2_000)
+    # SIZE CONTRACT for the broadcast: `bench_set` is the
+    # decontamination reference (eval-suite shingles), bounded by the
+    # benchmark corpus — thousands of docs -> at most a few million
+    # distinct shingles, tens of MB in one row. It does NOT grow with
+    # the training corpus being scrubbed. The corpus never explodes:
+    # arrays_overlap probes each doc's shingle array against the
+    # broadcast row in a single JVM map — no shuffle anywhere on the
+    # corpus side. If a deployment ever decontaminates against a
+    # corpus-sized blocklist, switch back to an exploded shuffle
+    # semi-join on shingle.
+    flagged = (sh.join(F.broadcast(bench_set))
+               .select("doc_id",
+                       F.arrays_overlap("shingles", "bench_shingles")
+                        .alias("contaminated"))
+               .where(F.col("contaminated")))
     return (d.where(F.col("doc_id") >= 5)
             .join(flagged, "doc_id", "left")
             .select("doc_id",

@@ -937,9 +937,13 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     (d,) = tables(spark, sf_dir, "documents")
     spans = (
-        # rows_per_task=150: per-row cost is a ~1/stride explode of
-        # md5'd word windows — decoder-class compute, like _shingle_df.
-        spread(d, spark, rows_per_task=150)
+        # rows_per_task=2000, measured PER-OPERATOR (r8 verdict: the
+        # family-wide 150 that fixed ngram_jaccard regressed this op
+        # 1.34x): the span explode is codegen'd split+md5, ~20x lighter
+        # per row than _shingle_df's interpreted HOF chain — isolated
+        # A/B at sf0.1 median-of-3: 150->1.01s, 500->0.66s, 1000->0.54s,
+        # 2000->0.52s, 5000->0.53s.
+        spread(d, spark, rows_per_task=2000)
         .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.expr(f"size(ws) >= {_SPAN_LEN}"))
         .select(

@@ -188,6 +188,31 @@ def spread(df: DataFrame, spark: SparkSession,
     return df.repartition(target)
 
 
+def contract(df: DataFrame, spark: SparkSession, est_from: DataFrame,
+             rows_per_task: int = 2_000) -> DataFrame:
+    """The inverse of spread(): COALESCE an over-partitioned input down
+    to its own per-row cost — for LIGHT consumers of a shared cache
+    whose partitioning was sized to a heavier sibling.
+
+    _shingle_df is cached at rows_per_task=150 because the n-gram
+    Jaccard family pays ~1 ms/row downstream; a consumer that only does
+    an Arrow-speed map over the same cache (e.g. decontaminate's
+    broadcast overlap probe) then inherits 32 near-empty tasks per
+    stage and pays pure scheduling overhead (r8 self-twin: 0.44 s ->
+    0.72 s). coalesce() is a NARROW dependency — no exchange — so
+    contracting costs nothing but undoes the fanout. ``est_from``
+    supplies the row estimate (the raw parquet scan, since the cached
+    plan has no inputFiles); when the estimate is unavailable the input
+    is returned unchanged — never guess a contraction. At cluster scale
+    est/rows_per_task exceeds the parent partition count and coalesce
+    is a no-op, so this is strictly small-input hygiene."""
+    est = _estimate_input_rows(est_from)
+    if est is None:
+        return df
+    target = max(1, -(-est // max(1, rows_per_task)))
+    return df.coalesce(target)
+
+
 def scaling_dim(df: DataFrame) -> DataFrame:
     """Join-side hint policy for dimensions whose row count scales WITH
     the data (TPC-H customer/supplier/part grow linearly with SF; at
