@@ -640,9 +640,11 @@ def parse_vp8l(payload: bytes) -> dict:
 
 
 def parse_webp(data: bytes) -> dict:
-    """Parse a WebP file (RIFF container): lossless VP8L decodes for
-    real; lossy VP8 and extended VP8X are NAMED loudly as the
-    remaining swap point rather than mis-decoded."""
+    """Parse a WebP file (RIFF container): lossless VP8L decodes via
+    this module; lossy VP8 key frames decode via codec/vp8.py (RFC
+    6386, bit-exact against libwebp — tests/test_vp8_codec.py).  Only
+    the extended VP8X container (animation/alpha-chunk layouts) stays
+    a named, loudly-raised swap point."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file (bad RIFF header)")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -656,12 +658,15 @@ def parse_webp(data: bytes) -> dict:
             raise ValueError("truncated WebP chunk")
         if ctype == b"VP8L":
             return parse_vp8l(data[body:body + csize])
-        if ctype in (b"VP8 ", b"VP8X"):
+        if ctype == b"VP8 ":
+            from go_triton_spark.codec.vp8 import parse_vp8
+            return parse_vp8(data[body:body + csize])
+        if ctype == b"VP8X":
             raise ValueError(
-                f"lossy/extended WebP ({ctype.decode().strip()}) "
-                "unsupported (VP8L lossless only)")
+                "extended WebP (VP8X) unsupported "
+                "(simple VP8/VP8L containers only)")
         pos = body + csize + (csize & 1)           # chunks are 2-aligned
-    raise ValueError("WebP missing VP8L chunk")
+    raise ValueError("WebP missing VP8/VP8L chunk")
 
 
 # --- encoder (gate-corpus / test producer) ------------------------------

@@ -36,10 +36,11 @@ def test_known_compressed_formats_named_in_error():
     idx = np.zeros((3, 3), np.uint8)
     assert np.array_equal(parse_image(build_gif(idx, pal))["pixels"],
                           pal[idx])
-    # WebP routes to the real VP8L decoder since round 8: a header-only
-    # RIFF is a corrupt-skip rejection, a lossless payload decodes,
-    # and LOSSY VP8 is still the one format NAMED as a swap point
-    with pytest.raises(ValueError, match="missing VP8L"):
+    # WebP routes to the real VP8L decoder since round 8 (and the real
+    # VP8 lossy decoder since round 9): a header-only RIFF is a
+    # corrupt-skip rejection, a lossless payload decodes, and a
+    # garbage lossy body is a corrupt-skip rejection from codec/vp8.py
+    with pytest.raises(ValueError, match="missing VP8"):
         parse_image(b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
                     + b"JUNK" + (8).to_bytes(4, "little") + b"\x00" * 8)
     from go_triton_spark.codec.vp8l import build_webp
@@ -48,7 +49,7 @@ def test_known_compressed_formats_named_in_error():
     assert np.array_equal(parse_image(build_webp(wpx))["pixels"], wpx)
     lossy = (b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
              + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with pytest.raises(ValueError, match="VP8"):
+    with pytest.raises(ValueError, match="frame header"):
         parse_image(lossy)
 
 

@@ -1,0 +1,346 @@
+"""codec/vp8.py: lossy VP8 key-frame decode, validated BIT-EXACT
+against the system libwebp (the reference implementation of the
+public spec, RFC 6386) across content types, sizes, qualities, loop
+filter modes (normal/simple/none), segment counts, and token
+partition counts.  The encoder side of the differential uses
+libwebp's advanced API (WebPConfig via ctypes) so the suite can pin
+decoder paths the simple API never emits (simple filter,
+multi-partition streams, filter-free streams).
+
+Also pins: bool-coder round-trip (the _BoolEnc writer used by the
+mm_webp_decode gate corpus), truncation corrupt-skip, and the RIFF
+dispatch through parse_webp.
+"""
+
+import ctypes
+import ctypes.util
+import random
+
+import numpy as np
+import pytest
+
+from go_triton_spark.codec.vp8 import (VP8Error, _Bool, _BoolEnc,
+                                       decode_vp8, parse_vp8)
+from go_triton_spark.codec.vp8l import parse_webp
+
+
+# --- libwebp via ctypes ---------------------------------------------------
+
+def _load_libwebp():
+    for name in ("libwebp.so.7", "libwebp.so",
+                 ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        try:
+            lib.WebPEncodeRGB.restype = ctypes.c_size_t
+            lib.WebPEncodeRGB.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))]
+            lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+            lib.WebPDecodeYUV.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            continue
+        return lib
+    return None
+
+
+_WEBP = _load_libwebp()
+_webp_only = pytest.mark.skipif(_WEBP is None,
+                                reason="libwebp not installed")
+
+
+class _WebPConfig(ctypes.Structure):
+    _fields_ = [(n, t) for n, t in (
+        ("lossless", ctypes.c_int), ("quality", ctypes.c_float),
+        ("method", ctypes.c_int), ("image_hint", ctypes.c_int),
+        ("target_size", ctypes.c_int), ("target_PSNR", ctypes.c_float),
+        ("segments", ctypes.c_int), ("sns_strength", ctypes.c_int),
+        ("filter_strength", ctypes.c_int),
+        ("filter_sharpness", ctypes.c_int),
+        ("filter_type", ctypes.c_int), ("autofilter", ctypes.c_int),
+        ("alpha_compression", ctypes.c_int),
+        ("alpha_filtering", ctypes.c_int), ("alpha_quality", ctypes.c_int),
+        ("pass_", ctypes.c_int), ("show_compressed", ctypes.c_int),
+        ("preprocessing", ctypes.c_int), ("partitions", ctypes.c_int),
+        ("partition_limit", ctypes.c_int),
+        ("emulate_jpeg_size", ctypes.c_int), ("thread_level", ctypes.c_int),
+        ("low_memory", ctypes.c_int), ("near_lossless", ctypes.c_int),
+        ("exact", ctypes.c_int), ("use_delta_palette", ctypes.c_int),
+        ("use_sharp_yuv", ctypes.c_int), ("qmin", ctypes.c_int),
+        ("qmax", ctypes.c_int))]
+
+
+class _WebPMemoryWriter(ctypes.Structure):
+    _fields_ = [("mem", ctypes.POINTER(ctypes.c_ubyte)),
+                ("size", ctypes.c_size_t), ("max_size", ctypes.c_size_t),
+                ("pad", ctypes.c_uint32 * 1)]
+
+
+class _WebPPicture(ctypes.Structure):
+    _fields_ = [
+        ("use_argb", ctypes.c_int), ("colorspace", ctypes.c_int),
+        ("width", ctypes.c_int), ("height", ctypes.c_int),
+        ("y", ctypes.POINTER(ctypes.c_ubyte)),
+        ("u", ctypes.POINTER(ctypes.c_ubyte)),
+        ("v", ctypes.POINTER(ctypes.c_ubyte)),
+        ("y_stride", ctypes.c_int), ("uv_stride", ctypes.c_int),
+        ("a", ctypes.POINTER(ctypes.c_ubyte)), ("a_stride", ctypes.c_int),
+        ("pad1", ctypes.c_uint32 * 2),
+        ("argb", ctypes.POINTER(ctypes.c_uint32)),
+        ("argb_stride", ctypes.c_int), ("pad2", ctypes.c_uint32 * 3),
+        ("writer", ctypes.c_void_p), ("custom_ptr", ctypes.c_void_p),
+        ("extra_info_type", ctypes.c_int),
+        ("extra_info", ctypes.POINTER(ctypes.c_ubyte)),
+        ("stats", ctypes.c_void_p), ("error_code", ctypes.c_int),
+        ("progress_hook", ctypes.c_void_p), ("user_data", ctypes.c_void_p),
+        ("pad3", ctypes.c_uint32 * 3),
+        ("pad4", ctypes.POINTER(ctypes.c_ubyte)),
+        ("pad5", ctypes.POINTER(ctypes.c_ubyte)),
+        ("pad6", ctypes.c_uint32 * 8),
+        ("memory_", ctypes.c_void_p), ("memory_argb_", ctypes.c_void_p),
+        ("pad7", ctypes.c_void_p * 2)]
+
+
+def _find_abi(lib):
+    lib.WebPConfigInitInternal.restype = ctypes.c_int
+    lib.WebPConfigInitInternal.argtypes = [
+        ctypes.POINTER(_WebPConfig), ctypes.c_int, ctypes.c_float,
+        ctypes.c_int]
+    for abi in (0x020f, 0x020e, 0x0210, 0x0211):
+        cfg = _WebPConfig()
+        if lib.WebPConfigInitInternal(ctypes.byref(cfg), 0,
+                                      ctypes.c_float(75.0), abi):
+            return abi
+    return None
+
+
+_ABI = _find_abi(_WEBP) if _WEBP is not None else None
+_adv_only = pytest.mark.skipif(
+    _ABI is None, reason="libwebp advanced-API ABI not matched")
+
+
+def _encode_adv(rgb, quality=75.0, **overrides):
+    h, w, _ = rgb.shape
+    lib = _WEBP
+    cfg = _WebPConfig()
+    assert lib.WebPConfigInitInternal(ctypes.byref(cfg), 0,
+                                      ctypes.c_float(quality), _ABI)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    lib.WebPPictureInitInternal.restype = ctypes.c_int
+    lib.WebPPictureInitInternal.argtypes = [ctypes.POINTER(_WebPPicture),
+                                            ctypes.c_int]
+    lib.WebPPictureImportRGB.restype = ctypes.c_int
+    lib.WebPPictureImportRGB.argtypes = [ctypes.POINTER(_WebPPicture),
+                                         ctypes.POINTER(ctypes.c_ubyte),
+                                         ctypes.c_int]
+    lib.WebPEncode.restype = ctypes.c_int
+    lib.WebPEncode.argtypes = [ctypes.POINTER(_WebPConfig),
+                               ctypes.POINTER(_WebPPicture)]
+    lib.WebPPictureFree.argtypes = [ctypes.POINTER(_WebPPicture)]
+    lib.WebPMemoryWriterInit.argtypes = [ctypes.POINTER(_WebPMemoryWriter)]
+    pic = _WebPPicture()
+    assert lib.WebPPictureInitInternal(ctypes.byref(pic), _ABI)
+    pic.width, pic.height = w, h
+    wr = _WebPMemoryWriter()
+    lib.WebPMemoryWriterInit(ctypes.byref(wr))
+    pic.writer = ctypes.cast(lib.WebPMemoryWrite, ctypes.c_void_p)
+    pic.custom_ptr = ctypes.cast(ctypes.byref(wr), ctypes.c_void_p)
+    buf = np.ascontiguousarray(rgb)
+    assert lib.WebPPictureImportRGB(
+        ctypes.byref(pic),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w * 3)
+    ok = lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+    lib.WebPPictureFree(ctypes.byref(pic))
+    assert ok, "WebPEncode failed"
+    data = bytes(bytearray(ctypes.cast(
+        wr.mem, ctypes.POINTER(ctypes.c_ubyte * wr.size)).contents))
+    _WEBP.WebPFree(wr.mem)
+    return data
+
+
+def _encode_simple(rgb, quality):
+    h, w, _ = rgb.shape
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    buf = np.ascontiguousarray(rgb)
+    n = _WEBP.WebPEncodeRGB(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        w, h, w * 3, ctypes.c_float(quality), ctypes.byref(out))
+    assert n > 0
+    data = bytes(bytearray(ctypes.cast(
+        out, ctypes.POINTER(ctypes.c_ubyte * n)).contents))
+    _WEBP.WebPFree(out)
+    return data
+
+
+def _libwebp_yuv(data):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_ubyte)()
+    v = ctypes.POINTER(ctypes.c_ubyte)()
+    stride = ctypes.c_int()
+    uvstride = ctypes.c_int()
+    y = _WEBP.WebPDecodeYUV(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_ubyte)),
+        len(data), ctypes.byref(w), ctypes.byref(h), ctypes.byref(u),
+        ctypes.byref(v), ctypes.byref(stride), ctypes.byref(uvstride))
+    assert y
+    W, H, S, US = w.value, h.value, stride.value, uvstride.value
+    UW, UH = (W + 1) // 2, (H + 1) // 2
+    ya = np.frombuffer(ctypes.cast(y, ctypes.POINTER(
+        ctypes.c_ubyte * (S * H))).contents,
+        dtype=np.uint8).reshape(H, S)[:, :W].copy()
+    ua = np.frombuffer(ctypes.cast(u, ctypes.POINTER(
+        ctypes.c_ubyte * (US * UH))).contents,
+        dtype=np.uint8).reshape(UH, US)[:, :UW].copy()
+    va = np.frombuffer(ctypes.cast(v, ctypes.POINTER(
+        ctypes.c_ubyte * (US * UH))).contents,
+        dtype=np.uint8).reshape(UH, US)[:, :UW].copy()
+    _WEBP.WebPFree(y)
+    return ya, ua, va
+
+
+def _vp8_chunk(webp):
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    pos = 12
+    while pos + 8 <= len(webp):
+        ctype = webp[pos:pos + 4]
+        csize = int.from_bytes(webp[pos + 4:pos + 8], "little")
+        if ctype == b"VP8 ":
+            return webp[pos + 8:pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def _image(kind, w, h, seed=0):
+    rng = np.random.RandomState(seed)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    if kind == "flat":
+        return np.full((h, w, 3), 130, np.uint8)
+    if kind == "grad":
+        return np.dstack([(x * 3 + y * 2) % 256, (x + y * 5) % 256,
+                          (x * 7 + y * 0) % 256]).astype(np.uint8)
+    if kind == "noise":
+        return rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, ::7] = 255
+    img[::5, :, 1] = 200
+    img[h // 3:, w // 3:] = (30, 200, 90)
+    return img
+
+
+def _assert_bitexact(webp):
+    ry, ru, rv = _libwebp_yuv(webp)
+    m = decode_vp8(_vp8_chunk(webp))
+    for name, mine, ref in (("y", m["y"], ry), ("u", m["u"], ru),
+                            ("v", m["v"], rv)):
+        assert np.array_equal(mine, ref), \
+            f"{name} plane differs from libwebp"
+
+
+# --- differential: simple API (what real-world encoders emit) -------------
+
+@_webp_only
+@pytest.mark.parametrize("kind", ["flat", "grad", "edges", "noise"])
+@pytest.mark.parametrize("size", [(16, 16), (33, 17), (64, 48)])
+@pytest.mark.parametrize("q", [10, 50, 90])
+def test_differential_simple_api(kind, size, q):
+    w, h = size
+    _assert_bitexact(_encode_simple(_image(kind, w, h, seed=w * h + q), q))
+
+
+# --- differential: decoder paths the simple API can't reach ---------------
+
+@_adv_only
+@pytest.mark.parametrize("kind", ["grad", "edges", "noise"])
+@pytest.mark.parametrize("cfg", [
+    dict(filter_strength=0, autofilter=0, segments=1),   # no loop filter
+    dict(filter_type=0, filter_strength=80, segments=1),  # simple filter
+    dict(partitions=2, segments=4),                       # 4 token parts
+    dict(filter_sharpness=5, filter_strength=90),         # sharpness path
+])
+def test_differential_advanced_paths(kind, cfg):
+    for (w, h, q) in ((32, 16, 20), (33, 17, 60), (64, 48, 85)):
+        _assert_bitexact(
+            _encode_adv(_image(kind, w, h, seed=w + h + q), float(q), **cfg))
+
+
+@_webp_only
+def test_differential_large_mixed_content():
+    img = _image("grad", 177, 133)
+    img[50:80, 30:120] = _image("noise", 90, 30, seed=3)
+    img[90:, :60] = _image("edges", 60, 43, seed=4)
+    _assert_bitexact(_encode_simple(img, 60.0))
+
+
+# --- corrupt-skip contract ------------------------------------------------
+
+@_webp_only
+def test_truncation_always_raises():
+    webp = _encode_simple(_image("noise", 48, 32, seed=9), 70.0)
+    chunk = _vp8_chunk(webp)
+    for cut in list(range(0, 24)) + list(range(24, len(chunk), 53)):
+        with pytest.raises(ValueError):
+            decode_vp8(chunk[:cut])
+
+
+def test_garbage_and_non_keyframe_rejected():
+    with pytest.raises(VP8Error):
+        decode_vp8(b"")
+    with pytest.raises(VP8Error):
+        decode_vp8(b"\x00" * 32)                   # bad start code
+    # frame tag with interframe bit set
+    tag = (1).to_bytes(3, "little")
+    with pytest.raises(VP8Error, match="key frame"):
+        decode_vp8(tag + b"\x9d\x01\x2a" + b"\x00" * 16)
+
+
+@_webp_only
+def test_parse_webp_dispatch_and_rgb_shape():
+    webp = _encode_simple(_image("grad", 20, 12), 75.0)
+    m = parse_webp(webp)
+    assert (m["width"], m["height"], m["n_pixels"]) == (20, 12, 240)
+    assert m["pixels"].shape == (12, 20, 3)
+    assert not m["has_alpha"]
+    assert m["y_plane"].shape == (12, 20)
+    assert m["u_plane"].shape == (6, 10)
+
+
+# --- bool coder round-trip (the gate writer's foundation) -----------------
+
+def test_bool_coder_roundtrip_fuzz():
+    rng = random.Random(1234)
+    for _ in range(40):
+        n = rng.randint(1, 4000)
+        seq = [(rng.randint(1, 255), rng.randint(0, 1)) for _ in range(n)]
+        enc = _BoolEnc()
+        for p, b in seq:
+            enc.put(p, b)
+        data = enc.flush()
+        bd = _Bool(data, 0, len(data))
+        for p, b in seq:
+            assert bd.bit(p) == b
+
+
+def test_bool_coder_extreme_probs():
+    for prob in (1, 2, 254, 255):
+        for pattern in ([0] * 500, [1] * 500, [0, 1] * 250):
+            enc = _BoolEnc()
+            for b in pattern:
+                enc.put(prob, b)
+            bd = _Bool(enc.flush(), 0, 10 ** 9)
+            bd.end = len(enc.flush())
+            got = [bd.bit(prob) for _ in pattern]
+            assert got == pattern

@@ -159,11 +159,19 @@ def test_corrupt_rejected_everywhere():
         parse_vp8l(b"\x30" + b"\x00" * 8)
 
 
-def test_lossy_vp8_named_as_swap_point():
+def test_lossy_vp8_routes_to_real_decoder():
+    """Since round 9, 'VP8 ' chunks dispatch to codec/vp8.py (RFC 6386
+    key-frame decode); a 4-byte garbage body is a corrupt-skip
+    rejection from THAT decoder, not a swap-point error."""
     lossy = (b"RIFF" + (16).to_bytes(4, "little") + b"WEBP"
              + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with pytest.raises(ValueError, match="lossy"):
+    with pytest.raises(ValueError, match="frame header"):
         parse_webp(lossy)
+    # the remaining named swap point is the extended VP8X container
+    vp8x = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
+            + b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10)
+    with pytest.raises(ValueError, match="VP8X"):
+        parse_webp(vp8x)
 
 
 def test_repeated_transform_rejected():
