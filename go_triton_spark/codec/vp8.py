@@ -996,6 +996,126 @@ class _BoolEnc:
         return data + b"\x00\x00"
 
 
+# --- deterministic gate writer (flat frames, closed-form decode) ----------
+
+_QIS = (0, 15, 31, 47, 63, 79, 95, 127)
+
+
+def _flat_factors(qi):
+    y2dcf = DC_QLOOKUP[qi] * 2
+    uvdcf = min(DC_QLOOKUP[qi], 132)
+    return y2dcf, uvdcf
+
+
+def vp8_flat_expected(qi, lvl_y, lvl_u, lvl_v):
+    """Closed-form decoded (Y, U, V) of a build_vp8_flat frame — the
+    exact integer chain the decoder performs: Y2 DC -> IWHT -> IDCT
+    DC add over a 128 DC prediction (levels are non-negative so the
+    arithmetic shifts are plain integer division, SQL-replicable)."""
+    y2dcf, uvdcf = _flat_factors(qi)
+    y_dc = (lvl_y * y2dcf + 3) >> 3
+    L = min(255, 128 + ((y_dc + 4) >> 3))
+    U = min(255, 128 + ((lvl_u * uvdcf + 4) >> 3))
+    V = min(255, 128 + ((lvl_v * uvdcf + 4) >> 3))
+    return L, U, V
+
+
+def _encode_dc_block(enc, plane, ctx, lvl, first):
+    """Encode one block carrying a single DC coefficient `lvl` in 0..4
+    (0 = empty block).  Returns the block's nz flag (eob > first)."""
+    n = first
+    p = plane[_BANDS[n]][ctx]
+    if lvl == 0:
+        enc.put(p[0], 0)                      # immediate EOB
+        return 0
+    enc.put(p[0], 1)                          # not EOB
+    enc.put(p[1], 1)                          # not zero
+    if lvl == 1:
+        enc.put(p[2], 0)
+        nctx = 1
+    else:
+        enc.put(p[2], 1)
+        enc.put(p[3], 0)                      # {2,3,4} branch
+        nctx = 2
+        if lvl == 2:
+            enc.put(p[4], 0)
+        else:
+            enc.put(p[4], 1)
+            enc.put(p[5], lvl - 3)
+    enc.put(128, 0)                           # sign: positive
+    p = plane[_BANDS[n + 1]][nctx]
+    enc.put(p[0], 0)                          # EOB
+    return 1
+
+
+def build_vp8_flat(width, height, qi, lvl_y, lvl_u=0, lvl_v=0):
+    """Deterministic single-row VP8 key frame (1-2 macroblock columns,
+    width<=32, height<=16): flat luma through the Y2/WHT DC path, flat
+    chroma through per-block DC coefficients, second macroblock (if
+    any) coded as SKIP so DC prediction propagates the flat value.
+    Loop filter level 0.  Decode is vp8_flat_expected() everywhere —
+    the mm_webp_decode gate's lossy corpus (tests cross-check the
+    stream in libwebp itself)."""
+    if not (4 <= width <= 32 and 4 <= height <= 16):
+        raise ValueError("flat writer supports 4..32 x 4..16")
+    if not (1 <= lvl_y <= 4 and 0 <= lvl_u <= 4 and 0 <= lvl_v <= 4):
+        raise ValueError("levels out of the DC-token range")
+    mb_cols = (width + 15) >> 4
+    probs = _DEFAULT_COEFF_PROBS
+
+    hdr = _BoolEnc()
+    hdr.put(128, 0)                            # color space
+    hdr.put(128, 0)                            # clamping
+    hdr.put(128, 0)                            # segmentation off
+    hdr.put(128, 0)                            # filter type normal
+    hdr.literal(6, 0)                          # filter level 0
+    hdr.literal(3, 0)                          # sharpness
+    hdr.put(128, 0)                            # no lf deltas
+    hdr.literal(2, 0)                          # one token partition
+    hdr.literal(7, qi)                         # y_ac_qi
+    for _ in range(5):                         # no quant deltas
+        hdr.put(128, 0)
+    hdr.put(128, 1)                            # refresh entropy
+    for i in range(4):                         # no coeff prob updates
+        for j in range(8):
+            for k in range(3):
+                for t in range(11):
+                    hdr.put(_UPDATE_PROBS[i][j][k][t], 0)
+    hdr.put(128, 1)                            # use skip flags
+    hdr.literal(8, 128)                        # skip prob
+    for mx in range(mb_cols):                  # mode records
+        hdr.put(128, 1 if mx > 0 else 0)       # skip: only MB0 has tokens
+        hdr.put(KF_YMODE_PROBS[0], 1)          # not B_PRED
+        hdr.put(KF_YMODE_PROBS[1], 0)
+        hdr.put(KF_YMODE_PROBS[2], 0)          # -> DC_PRED
+        hdr.put(KF_UV_MODE_PROBS[0], 0)        # uv DC_PRED
+    part0 = hdr.flush()
+
+    tok = _BoolEnc()
+    _encode_dc_block(tok, probs[1], 0, lvl_y, 0)       # Y2
+    for _ in range(16):                                # Y: all empty
+        tok.put(probs[0][_BANDS[1]][0][0], 0)
+    for lvl in (lvl_u, lvl_v):                         # U then V
+        tnz2 = [0, 0]
+        lnz2 = [0, 0]
+        for r in range(2):
+            l = lnz2[r]
+            for c in range(2):
+                l = _encode_dc_block(tok, probs[2], l + tnz2[c], lvl, 0)
+                tnz2[c] = l
+            lnz2[r] = l
+    part1 = tok.flush()
+
+    tag = (0 << 0) | (0 << 1) | (1 << 4) | (len(part0) << 5)
+    chunk = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+             + struct.pack("<HH", width, height) + part0 + part1)
+    payload = b"VP8 " + len(chunk).to_bytes(4, "little") + chunk
+    if len(chunk) & 1:
+        payload += b"\x00"
+    return (b"RIFF" + (4 + len(payload)).to_bytes(4, "little")
+            + b"WEBP" + payload)
+
+
 # --- YUV -> RGB (documented conversion; see parse docstring) --------------
 
 def yuv_to_rgb(y, u, v):

@@ -112,6 +112,9 @@ _PLAN_CHANGED = {
     # a one-row collect_set broadcast + arrays_overlap probe.
     "dedup_span_exact": 9,
     "curate_decontaminate": 9,
+    # r9: lossy VP8 wired in — odd docs now carry real VP8 key frames
+    # (codec/vp8.py) and the oracle gained the closed-form lossy branch.
+    "mm_webp_decode": 9,
 }
 
 

@@ -484,9 +484,58 @@ def _webp_gate_pixels(doc_id: int):
                       (2 * x + 3 * y + 7 * doc_id) % 256]).astype("uint8")
 
 
+# Lossy-gate dequant factors (RFC 6386 §14.1 chains the decoder
+# replays): the oracle SQL needs dc_q at the eight gate quantizer
+# indices, inlined as CASE arms from the normative table.
+from go_triton_spark.codec.vp8 import _QIS as _VP8_QIS  # noqa: E402
+from go_triton_spark.codec.vp8_tables import DC_QLOOKUP as _VP8_DCQ  # noqa: E402
+
+_VP8_Y2DCF_CASE = ("CASE d.doc_id % 8 " + " ".join(
+    f"WHEN {i} THEN {_VP8_DCQ[q] * 2}"
+    for i, q in enumerate(_VP8_QIS)) + " END")
+_VP8_UVDCF_CASE = ("CASE d.doc_id % 8 " + " ".join(
+    f"WHEN {i} THEN {min(_VP8_DCQ[q], 132)}"
+    for i, q in enumerate(_VP8_QIS)) + " END")
+
+
 @query(
     "mm_webp_decode",
-    oracle="""
+    oracle=f"""
+    WITH lossy AS (
+      SELECT d.doc_id,
+             4 + d.doc_id % 17 AS w, 4 + d.doc_id % 6 AS h,
+             {_VP8_Y2DCF_CASE} AS y2dcf,
+             {_VP8_UVDCF_CASE} AS uvdcf,
+             1 + d.doc_id % 4 AS ly,
+             d.doc_id % 5 AS lu,
+             (d.doc_id // 3) % 5 AS lv
+      FROM documents d
+      WHERE d.doc_id % 2 = 1 AND d.doc_id % 109 <> 13
+    ), lossy_yuv AS (
+      SELECT doc_id, w, h,
+             LEAST(255, 128 + (((ly * y2dcf + 3) // 8) + 4) // 8) AS yv,
+             LEAST(255, 128 + ((lu * uvdcf + 4) // 8)) AS uv,
+             LEAST(255, 128 + ((lv * uvdcf + 4) // 8)) AS vv
+      FROM lossy
+    ), lossy_rgb AS (
+      SELECT doc_id, w, h,
+        LEAST(255, GREATEST(0,
+          (298 * (yv - 16) + 409 * (vv - 128) + 128) // 256)) AS r,
+        LEAST(255, GREATEST(0,
+          (298 * (yv - 16) - 100 * (uv - 128) - 208 * (vv - 128) + 128)
+          // 256)) AS g,
+        LEAST(255, GREATEST(0,
+          (298 * (yv - 16) + 516 * (uv - 128) + 128) // 256)) AS b
+      FROM lossy_yuv
+    )
+    SELECT doc_id,
+           cast(w as bigint) AS width, cast(h as bigint) AS height,
+           cast(w * h as bigint) AS n_pixels,
+           cast(w * h * r as bigint) AS sum_r,
+           cast(w * h * g as bigint) AS sum_g,
+           cast(w * h * b as bigint) AS sum_b
+    FROM lossy_rgb
+    UNION ALL
     SELECT d.doc_id,
            cast(4 + d.doc_id % 17 as bigint) AS width,
            cast(4 + d.doc_id % 6 as bigint)  AS height,
@@ -501,33 +550,34 @@ def _webp_gate_pixels(doc_id: int):
     FROM documents d
     CROSS JOIN generate_series(0, 19) gx(x)
     CROSS JOIN generate_series(0, 8) gy(y)
-    WHERE d.doc_id % 109 <> 13
+    WHERE d.doc_id % 2 = 0 AND d.doc_id % 109 <> 13
       AND gx.x < 4 + d.doc_id % 17 AND gy.y < 4 + d.doc_id % 6
     GROUP BY d.doc_id
     """,
     tags=("llm", "multimodal", "image"),
 )
 def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WebP-lossless decode: each row carries a complete RIFF/WEBP
-    file whose VP8L stream codec/vp8l.py genuinely decodes — canonical
-    prefix codes (simple + code-length-coded), LZ77 backrefs through
-    the plane-code neighborhood map, color cache, and the spec's four
-    transforms. The gate CYCLES the transform by doc_id (none /
-    subtract-green / predictor mode doc_id//5 % 14 / color / palette)
-    and enables a 4-bit color cache on every third doc, so the driver
-    gate exercises every decode path; the encoder is lossless, so the
-    oracle recomputes pixel sums analytically. With PNG (DEFLATE),
-    JPEG (Huffman+DCT), GIF (LZW) and now VP8L (prefix codes + LZ77 +
-    spatial transforms), every lossless image family real columns
-    contain decodes with production parsers; only LOSSY VP8 keeps a
-    named swap point (codec/vp8l.py parse_webp).
+    """REAL WebP decode, BOTH flavors.  Even docs carry lossless VP8L
+    streams (codec/vp8l.py: canonical prefix codes, LZ77 through the
+    plane-code neighborhood map, color cache, all four transforms —
+    cycling transform/predictor/cache by doc_id), odd docs carry LOSSY
+    VP8 key frames (codec/vp8.py: RFC 6386 boolean decoder, mode
+    trees, token decode, dequant, WHT/DCT reconstruction, DC
+    prediction, SKIP macroblocks with context propagation on the
+    two-macroblock widths).  The lossy payloads are deterministic
+    flat frames from build_vp8_flat whose decode is a closed-form
+    integer chain (Y2-DC -> IWHT -> IDCT over a 128 DC prediction), so
+    the DuckDB oracle recomputes the exact pixels; general lossy
+    content is pinned bit-exact against libwebp in
+    tests/test_vp8_codec.py.  The remaining named swap point is the
+    VP8X extended container only.
 
     Corruption truncates 5 bytes off every 109th payload — the RIFF
-    chunk-size check (or the VP8L entropy reader) hits EOF and the
-    operator skips the doc. Production payloads come from
-    ``spark.read.format("binaryFile")``; only this synthesizing loop
-    is test scaffolding.
+    chunk-size check hits EOF and the operator skips the doc.
+    Production payloads come from ``spark.read.format("binaryFile")``;
+    only this synthesizing loop is test scaffolding.
     """
+    from go_triton_spark.codec.vp8 import build_vp8_flat
     from go_triton_spark.codec.vp8l import build_webp, parse_webp
 
     (d,) = tables(spark, sf_dir, "documents")
@@ -537,15 +587,23 @@ def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = ("none", "sub_green", "predictor", "color", "palette")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from go_triton_spark.codec.vp8 import _QIS
+
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                payload = build_webp(
-                    _webp_gate_pixels(doc_id),
-                    transform=variants[doc_id % 5],
-                    predictor_mode=(doc_id // 5) % 14,
-                    cache_bits=4 if doc_id % 3 == 0 else 0)
+                if doc_id % 2 == 0:
+                    payload = build_webp(
+                        _webp_gate_pixels(doc_id),
+                        transform=variants[doc_id % 5],
+                        predictor_mode=(doc_id // 5) % 14,
+                        cache_bits=4 if doc_id % 3 == 0 else 0)
+                else:
+                    payload = build_vp8_flat(
+                        4 + doc_id % 17, 4 + doc_id % 6,
+                        _QIS[doc_id % 8], 1 + doc_id % 4,
+                        doc_id % 5, (doc_id // 3) % 5)
                 if doc_id % 109 == 13:
                     payload = payload[:-5]  # corrupt: truncated stream
                 try:

@@ -334,6 +334,47 @@ def test_bool_coder_roundtrip_fuzz():
             assert bd.bit(p) == b
 
 
+# --- deterministic flat-frame writer (the mm_webp_decode lossy gate) ------
+
+def test_flat_writer_closed_form_all_params():
+    from go_triton_spark.codec.vp8 import (_QIS, build_vp8_flat,
+                                           vp8_flat_expected)
+    for doc in range(0, 240):
+        w, h = 4 + doc % 17, 4 + doc % 6
+        qi = _QIS[doc % 8]
+        ly, lu, lv = 1 + doc % 4, doc % 5, (doc // 3) % 5
+        m = parse_webp(build_vp8_flat(w, h, qi, ly, lu, lv))
+        L, U, V = vp8_flat_expected(qi, ly, lu, lv)
+        assert (m["width"], m["height"]) == (w, h)
+        assert (m["y_plane"] == L).all()
+        assert (m["u_plane"] == U).all()
+        assert (m["v_plane"] == V).all()
+
+
+@_webp_only
+def test_flat_writer_streams_decode_in_libwebp():
+    """Cross-implementation gate for the WRITER: libwebp (the spec's
+    reference decoder) must reproduce the closed-form pixels from our
+    synthesized streams — including the two-macroblock SKIP frames."""
+    from go_triton_spark.codec.vp8 import (_QIS, build_vp8_flat,
+                                           vp8_flat_expected)
+    for doc in range(0, 300, 11):
+        w, h = 4 + doc % 17, 4 + doc % 6
+        qi = _QIS[doc % 8]
+        ly, lu, lv = 1 + doc % 4, doc % 5, (doc // 3) % 5
+        ry, ru, rv = _libwebp_yuv(build_vp8_flat(w, h, qi, ly, lu, lv))
+        L, U, V = vp8_flat_expected(qi, ly, lu, lv)
+        assert ry.shape == (h, w) and (ry == L).all()
+        assert (ru == U).all() and (rv == V).all()
+
+
+def test_flat_writer_truncation_raises():
+    from go_triton_spark.codec.vp8 import build_vp8_flat
+    webp = build_vp8_flat(20, 9, 31, 3, 2, 1)
+    with pytest.raises(ValueError):
+        parse_webp(webp[:-5])      # the gate's corrupt transform
+
+
 def test_bool_coder_extreme_probs():
     for prob in (1, 2, 254, 255):
         for pattern in ([0] * 500, [1] * 500, [0, 1] * 250):
