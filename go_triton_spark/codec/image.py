@@ -6,12 +6,14 @@ decode must dispatch on the BYTES, not on a metadata column someone
 promised was accurate. ``parse_image`` sniffs the magic and routes to
 the real parser (BMP -> codec/bmp.py, PNG -> codec/png.py, baseline or
 progressive JPEG -> codec/jpeg.py, GIF -> codec/gif.py, lossless WebP
--> codec/vp8l.py), returning the shared contract all five emit:
-``pixels`` as (height, width, 3) RGB uint8 with row 0 = top, plus
-width/height metadata — so downstream pixel math is format-agnostic.
-The one remaining known-but-unsupported compressed format (LOSSY WebP,
-i.e. VP8/VP8X) is named in the error by parse_webp itself to keep the
-swap point discoverable; unknown bytes fail with the generic
+-> codec/vp8l.py, LOSSY WebP -> codec/vp8.py since round 9), returning
+the shared contract all emit: ``pixels`` as (height, width, 3) RGB
+uint8 with row 0 = top, plus width/height metadata — so downstream
+pixel math is format-agnostic.  VP8X extended
+containers (incl. ALPH alpha over lossy frames) decode too; the two
+remaining known-but-unsupported WebP features (animation, lossy
+level-reduced alpha) are named in the error by parse_webp itself to
+keep the swap points discoverable; unknown bytes fail with the generic
 corrupt-skip ValueError, same contract as every parser in the codec
 family.
 """
@@ -50,10 +52,12 @@ def parse_image(data: bytes) -> dict:
     width / height / n_pixels and ``pixels`` (h, w, 3) RGB uint8 —
     parse_bmp, parse_png, parse_jpeg, parse_gif, and parse_webp share
     that contract (baseline + progressive JPEG and LZW GIF decode for
-    real since round 7; VP8L lossless WebP since round 8). Lossy VP8
-    stays the one named swap point — parse_webp raises with the
-    format name; a library-backed branch slots in there without
-    touching any caller."""
+    real since round 7; VP8L lossless WebP since round 8; lossy VP8
+    key frames since round 9, bit-exact against libwebp). VP8X extended containers decode since round 9 too
+    (ALPH alpha composited over the lossy frame); WebP animation and
+    level-reduced alpha are the named swap points — parse_webp raises
+    with the feature name; a branch slots in there without touching
+    any caller."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png

@@ -23,9 +23,15 @@ canonical prefix codes, optional subtract-green / single-tile-predictor
 dictionary and transform paths are genuinely exercised — not an
 uncompressed shortcut.
 
-Lossy VP8 (the other WebP flavor) stays a documented swap point: its
-bool-arithmetic coder + loop filter is a codec family this engine does
-not reimplement; parse_webp names it loudly instead of mis-decoding.
+Lossy VP8 (the other WebP flavor) decodes for real since round 9 via
+codec/vp8.py (RFC 6386 key frames, bit-exact against libwebp);
+parse_webp dispatches 'VP8 ' chunks there.  The VP8X extended
+container also decodes: canvas/flags walk, ALPH alpha chunks (raw or
+header-less-VP8L-compressed with the horizontal/vertical/gradient
+prediction filters) composited over the lossy decode, metadata chunks
+skipped.  The remaining named swap points are WebP ANIMATION
+(ANIM/ANMF) and lossy level-reduced alpha (ALPH pre-processing=1) —
+both raise with the feature named.
 """
 
 from __future__ import annotations
@@ -581,7 +587,27 @@ def parse_vp8l(payload: bytes) -> dict:
     br.bits(1)                                     # alpha hint
     if br.bits(3) != 0:
         raise ValueError("unsupported VP8L version")
+    px = _decode_argb(br, width, height)
+    rgb = np.dstack([((px >> 16) & 0xFF).astype(np.uint8),
+                     ((px >> 8) & 0xFF).astype(np.uint8),
+                     (px & 0xFF).astype(np.uint8)])
+    alpha = ((px >> 24) & 0xFF).astype(np.uint8)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_pixels": int(width * height),
+        "pixels": rgb,
+        "alpha": alpha,
+        "has_alpha": bool((alpha != 255).any()),
+    }
 
+
+def _decode_argb(br: _Bits, width: int, height: int) -> np.ndarray:
+    """The transform + entropy body of a VP8L image stream, WITHOUT the
+    signature/dimension header — shared by parse_vp8l and the ALPH
+    alpha sub-stream of extended WebP (the container spec stores alpha
+    as a header-less VP8L stream with dimensions known from VP8X).
+    Returns the (height, width) uint32 ARGB array."""
     xsize = width
     transforms = []                                # (kind, data...) read order
     seen = set()
@@ -624,27 +650,117 @@ def parse_vp8l(payload: bytes) -> dict:
         else:                                      # palette
             px = _inv_palette(px, tf[3], height, tf[1], tf[2])
 
-    px = px.reshape(height, width)
-    rgb = np.dstack([((px >> 16) & 0xFF).astype(np.uint8),
-                     ((px >> 8) & 0xFF).astype(np.uint8),
-                     (px & 0xFF).astype(np.uint8)])
-    alpha = ((px >> 24) & 0xFF).astype(np.uint8)
-    return {
-        "width": int(width),
-        "height": int(height),
-        "n_pixels": int(width * height),
-        "pixels": rgb,
-        "alpha": alpha,
-        "has_alpha": bool((alpha != 255).any()),
-    }
+    return px.reshape(height, width)
+
+
+def _decode_alph(body: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an extended-WebP ALPH chunk to the (height, width) uint8
+    alpha plane (container spec 'Alpha' section): a method/filter/
+    pre-processing header byte, then either raw bytes or a header-less
+    VP8L stream carrying alpha in the green channel, then the inverse
+    of the per-pixel prediction filter."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    hdr = body[0]
+    method = hdr & 0x3
+    filt = (hdr >> 2) & 0x3
+    preproc = (hdr >> 4) & 0x3
+    if preproc == 1:
+        # libwebp emits level-reduced alpha only when alpha_quality<100;
+        # its decode-side smoothing reconstruction is out of scope —
+        # loud swap point, never a mis-decode.
+        raise ValueError(
+            "ALPH pre-processing=1 (lossy level-reduced alpha) "
+            "unsupported")
+    if method == 0:
+        if len(body) - 1 < width * height:
+            raise ValueError("raw ALPH chunk shorter than plane")
+        a = np.frombuffer(body, np.uint8, width * height, 1) \
+            .reshape(height, width).astype(np.int32)
+    elif method == 1:
+        px = _decode_argb(_Bits(body[1:]), width, height)
+        a = ((px >> 8) & 0xFF).astype(np.int32)    # alpha rides green
+    else:
+        raise ValueError(f"reserved ALPH compression method {method}")
+    if filt == 0:
+        return a.astype(np.uint8)
+    if filt == 1:
+        # horizontal: col 0 accumulates DOWN (pred = above), each row
+        # then accumulates ACROSS — both are mod-256 prefix sums
+        a[:, 0] = np.cumsum(a[:, 0]) & 0xFF
+        out = np.cumsum(a, axis=1, dtype=np.int64) & 0xFF
+        return out.astype(np.uint8)
+    if filt == 2:
+        # vertical: row 0 accumulates ACROSS, columns accumulate DOWN
+        a[0, :] = np.cumsum(a[0, :]) & 0xFF
+        out = np.cumsum(a, axis=0, dtype=np.int64) & 0xFF
+        return out.astype(np.uint8)
+    # gradient: pred depends on the just-reconstructed left pixel, so
+    # rows are sequential in x (alpha planes ride one doc per task in
+    # the pipeline — this loop is per-image small)
+    out = np.zeros_like(a)
+    out[0, :] = np.cumsum(a[0, :]) & 0xFF
+    for y in range(1, height):
+        out[y, 0] = (a[y, 0] + out[y - 1, 0]) & 0xFF
+        for x in range(1, width):
+            g = (int(out[y, x - 1]) + int(out[y - 1, x])
+                 - int(out[y - 1, x - 1]))
+            pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[y, x] = (a[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _parse_vp8x(data: bytes, body: bytes, end: int) -> dict:
+    """Extended WebP: VP8X flags + canvas size, optional ALPH, then the
+    VP8/VP8L image chunk.  Animation (ANIM/ANMF) raises loudly;
+    metadata chunks (ICCP/EXIF/XMP) are skipped."""
+    if len(body) < 10:
+        raise ValueError("short VP8X chunk")
+    flags = body[0]
+    if flags & 0x02:
+        raise ValueError("animated WebP (ANIM) unsupported")
+    cw = 1 + int.from_bytes(body[4:7], "little")
+    ch = 1 + int.from_bytes(body[7:10], "little")
+    alpha_body = None
+    image = None
+    pos = 12 + 8 + len(body) + (len(body) & 1)
+    while pos + 8 <= end:
+        ctype = data[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        cbody = pos + 8
+        if cbody + csize > end:
+            raise ValueError("truncated WebP chunk")
+        if ctype == b"ALPH":
+            alpha_body = data[cbody:cbody + csize]
+        elif ctype in (b"VP8 ", b"VP8L"):
+            image = (ctype, data[cbody:cbody + csize])
+            break                                  # image data is last
+        elif ctype in (b"ANIM", b"ANMF"):
+            raise ValueError("animated WebP (ANIM) unsupported")
+        # ICCP / EXIF / XMP: skip
+        pos = cbody + csize + (csize & 1)
+    if image is None:
+        raise ValueError("VP8X container missing image chunk")
+    if image[0] == b"VP8L":
+        meta = parse_vp8l(image[1])                # alpha lives in VP8L
+    else:
+        from go_triton_spark.codec.vp8 import parse_vp8
+        meta = parse_vp8(image[1])
+        if alpha_body is not None:
+            a = _decode_alph(alpha_body, meta["width"], meta["height"])
+            meta["alpha"] = a
+            meta["has_alpha"] = bool((a != 255).any())
+    if (meta["width"], meta["height"]) != (cw, ch):
+        raise ValueError("VP8X canvas size disagrees with image chunk")
+    return meta
 
 
 def parse_webp(data: bytes) -> dict:
     """Parse a WebP file (RIFF container): lossless VP8L decodes via
     this module; lossy VP8 key frames decode via codec/vp8.py (RFC
-    6386, bit-exact against libwebp — tests/test_vp8_codec.py).  Only
-    the extended VP8X container (animation/alpha-chunk layouts) stays
-    a named, loudly-raised swap point."""
+    6386, bit-exact against libwebp — tests/test_vp8_codec.py); VP8X
+    extended containers decode incl. ALPH alpha.  Animation and
+    level-reduced alpha raise loudly with the feature named."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file (bad RIFF header)")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -662,9 +778,7 @@ def parse_webp(data: bytes) -> dict:
             from go_triton_spark.codec.vp8 import parse_vp8
             return parse_vp8(data[body:body + csize])
         if ctype == b"VP8X":
-            raise ValueError(
-                "extended WebP (VP8X) unsupported "
-                "(simple VP8/VP8L containers only)")
+            return _parse_vp8x(data, data[body:body + csize], end)
         pos = body + csize + (csize & 1)           # chunks are 2-aligned
     raise ValueError("WebP missing VP8/VP8L chunk")
 

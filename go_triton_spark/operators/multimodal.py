@@ -28,14 +28,15 @@ tar and DEFLATE zip shards chained through the image dispatch), and
 ``mm_vtt_extract`` / ``mm_srt_extract`` (WebVTT + SubRip caption
 tracks through the parse_captions dispatch). All pure stdlib+numpy,
 golden-gated, skipping corrupt payloads with the engine's ValueError
-contract. Every lossless image family real columns use — DEFLATE
-(PNG), Huffman+DCT (JPEG), LZW (GIF), prefix-codes+LZ77+spatial
-transforms (WebP VP8L), byte-op chains (QOI) — now decodes with
-production parsers.
+contract. Every image family real columns use — DEFLATE (PNG),
+Huffman+DCT (JPEG), LZW (GIF), prefix-codes+LZ77+spatial transforms
+(WebP VP8L), byte-op chains (QOI), and since round 9 LOSSY VP8 key
+frames (codec/vp8.py, RFC 6386, bit-exact against libwebp) — now
+decodes with production parsers.
 
-H264 and LOSSY WebP (VP8) still need codecs this environment lacks;
-those parsers REJECT the fourcc loudly with the PIL/ffmpeg swap point
-named in the message.
+H264 video and the VP8X extended-WebP container still need codecs /
+container walks this engine lacks; those parsers REJECT the fourcc or
+chunk loudly with the swap point named in the message.
 """
 
 from __future__ import annotations
@@ -421,9 +422,9 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable-width LZW decompression (dynamic 5..12-bit codes, Clear /
     EOI, KwKwK case, table-reset), four-pass de-interlacing on odd
     doc_ids — and the operator aggregates the DECODED pixel array.
-    With PNG (DEFLATE), JPEG (Huffman+DCT), GIF (LZW), and WebP VP8L
-    (r8), every lossless image family of real image columns decodes
-    with production parsers; only lossy VP8 keeps a swap point.
+    With PNG (DEFLATE), JPEG (Huffman+DCT), GIF (LZW), WebP VP8L (r8),
+    and lossy VP8 (r9, codec/vp8.py), every image family of real image
+    columns decodes with production parsers.
 
     Corruption truncates 5 bytes off every 103rd payload — the LZW
     stream (or trailer walk) hits EOF and the operator skips the doc

@@ -14,6 +14,7 @@ through pyarrow in their own test files.
 
 import ctypes
 import ctypes.util
+import shutil
 
 import numpy as np
 import pytest
@@ -498,3 +499,46 @@ def test_tiff_encoder_output_decodes_in_libtiff(comp, big_endian):
         got = _libtiff_decode_rgb(d, w, h)
         assert got is not None, (comp, big_endian, trial)
         assert np.array_equal(got, rgb), (comp, big_endian, trial, h, w)
+
+
+# --- env-blocked differential legs (r8 verdict ask #7) --------------------
+#
+# The ask named FLAC-vs-libFLAC and G.711/ADPCM-vs-ffmpeg as candidate
+# cross-implementation suites.  Neither oracle exists in this container;
+# these loud skips document the block (and will light up automatically
+# if the environment ever gains the libraries).  The r9 round's new
+# cross-implementation suite is tests/test_vp8_codec.py (lossy VP8 vs
+# libwebp, both directions).  FLAC already has a differential of the
+# decode DIRECTION via the stdlib-wave goldens and the audioop G.711
+# reference (tests/test_g711_codec.py).
+
+def _have_lib(*names):
+    for n in names:
+        try:
+            ctypes.CDLL(n)
+            return True
+        except OSError:
+            continue
+    return False
+
+
+_HAVE_FLAC = _have_lib("libFLAC.so.12", "libFLAC.so.8", "libFLAC.so")
+_HAVE_FFMPEG = shutil.which("ffmpeg") is not None
+
+
+@pytest.mark.skipif(not _HAVE_FLAC,
+                    reason="libFLAC not installed in this container "
+                           "(env-blocked differential; r8 verdict ask #7)")
+def test_flac_differential_against_libflac():
+    raise AssertionError(
+        "libFLAC appeared in the environment — implement the ctypes "
+        "stream-decoder differential against codec/flac.py now")
+
+
+@pytest.mark.skipif(not _HAVE_FFMPEG,
+                    reason="ffmpeg not installed in this container "
+                           "(env-blocked differential; r8 verdict ask #7)")
+def test_g711_adpcm_differential_against_ffmpeg():
+    raise AssertionError(
+        "ffmpeg appeared in the environment — implement the mu-law/"
+        "A-law/IMA-ADPCM differential against codec/{g711,adpcm}.py now")

@@ -385,3 +385,113 @@ def test_bool_coder_extreme_probs():
             bd.end = len(enc.flush())
             got = [bd.bit(prob) for _ in pattern]
             assert got == pattern
+
+
+# --- extended container: VP8X + ALPH (alpha over lossy VP8) ---------------
+
+def _import_rgba_encoder():
+    lib = _WEBP
+    lib.WebPPictureImportRGBA.restype = ctypes.c_int
+    lib.WebPPictureImportRGBA.argtypes = [ctypes.POINTER(_WebPPicture),
+                                          ctypes.POINTER(ctypes.c_ubyte),
+                                          ctypes.c_int]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.WebPDecodeRGBA.argtypes = [ctypes.POINTER(ctypes.c_ubyte),
+                                   ctypes.c_size_t,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+
+
+def _encode_rgba_adv(rgba, quality=75.0, **overrides):
+    _import_rgba_encoder()
+    lib = _WEBP
+    h, w, _ = rgba.shape
+    cfg = _WebPConfig()
+    assert lib.WebPConfigInitInternal(ctypes.byref(cfg), 0,
+                                      ctypes.c_float(quality), _ABI)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    pic = _WebPPicture()
+    assert lib.WebPPictureInitInternal(ctypes.byref(pic), _ABI)
+    pic.width, pic.height = w, h
+    wr = _WebPMemoryWriter()
+    lib.WebPMemoryWriterInit(ctypes.byref(wr))
+    pic.writer = ctypes.cast(lib.WebPMemoryWrite, ctypes.c_void_p)
+    pic.custom_ptr = ctypes.cast(ctypes.byref(wr), ctypes.c_void_p)
+    buf = np.ascontiguousarray(rgba)
+    assert lib.WebPPictureImportRGBA(
+        ctypes.byref(pic),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w * 4)
+    ok = lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic))
+    lib.WebPPictureFree(ctypes.byref(pic))
+    assert ok
+    data = bytes(bytearray(ctypes.cast(
+        wr.mem, ctypes.POINTER(ctypes.c_ubyte * wr.size)).contents))
+    lib.WebPFree(wr.mem)
+    return data
+
+
+def _decode_rgba_ref(data):
+    lib = _WEBP
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_ubyte)),
+        len(data), ctypes.byref(w), ctypes.byref(h))
+    assert p
+    W, H = w.value, h.value
+    out = np.frombuffer(ctypes.cast(p, ctypes.POINTER(
+        ctypes.c_ubyte * (W * H * 4))).contents,
+        dtype=np.uint8).reshape(H, W, 4).copy()
+    lib.WebPFree(p)
+    return out
+
+
+def _alpha_patterns(h, w, rng):
+    return {
+        "grad2d": (np.add.outer(np.arange(h) * 3, np.arange(w) * 6)) % 256,
+        "noise": rng.randint(0, 256, (h, w)),
+        "vstripes": np.tile((np.arange(w) * 37) % 256, (h, 1)),
+        "hstripes": np.tile(((np.arange(h) * 53) % 256)[:, None], (1, w)),
+    }
+
+
+@_adv_only
+@pytest.mark.parametrize("cfg", [
+    dict(),                        # default: VP8L-compressed alpha
+    dict(alpha_compression=0),     # raw alpha plane
+    dict(alpha_filtering=0),       # force no prediction filter
+    dict(alpha_filtering=2),       # force the best-of filters path
+])
+def test_vp8x_alpha_bit_exact_against_libwebp(cfg):
+    """The ALPH chunk (header-less VP8L alpha sub-stream or raw plane,
+    plus the horizontal/vertical/gradient prediction filters) must
+    reproduce libwebp's decoded A channel exactly; the color planes
+    must still match WebPDecodeYUV on the same VP8X file."""
+    rng = np.random.RandomState(77)
+    for name, alpha in _alpha_patterns(24, 40, rng).items():
+        rgba = np.zeros((24, 40, 4), np.uint8)
+        rgba[..., :3] = rng.randint(0, 256, (24, 40, 3))
+        rgba[..., 3] = alpha
+        webp = _encode_rgba_adv(rgba, 70.0, **cfg)
+        ref = _decode_rgba_ref(webp)
+        m = parse_webp(webp)
+        assert np.array_equal(m["alpha"], ref[..., 3]), (name, cfg)
+        assert m["has_alpha"]
+        ry, ru, rv = _libwebp_yuv(webp)
+        assert np.array_equal(m["y_plane"], ry), (name, cfg)
+        assert np.array_equal(m["u_plane"], ru), (name, cfg)
+        assert np.array_equal(m["v_plane"], rv), (name, cfg)
+
+
+def test_vp8x_animation_and_lossy_alpha_preproc_raise():
+    from go_triton_spark.codec.vp8l import _decode_alph
+    vp8x_anim = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
+                 + b"VP8X" + (10).to_bytes(4, "little")
+                 + bytes([0x02]) + b"\x00" * 9)
+    with pytest.raises(ValueError, match="ANIM"):
+        parse_webp(vp8x_anim)
+    with pytest.raises(ValueError, match="pre-processing"):
+        _decode_alph(bytes([0x10]) + b"\x00" * 16, 4, 4)
+    with pytest.raises(ValueError, match="reserved"):
+        _decode_alph(bytes([0x03]) + b"\x00" * 16, 4, 4)
