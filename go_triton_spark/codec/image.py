@@ -10,10 +10,9 @@ progressive JPEG -> codec/jpeg.py, GIF -> codec/gif.py, lossless WebP
 the shared contract all emit: ``pixels`` as (height, width, 3) RGB
 uint8 with row 0 = top, plus width/height metadata — so downstream
 pixel math is format-agnostic.  VP8X extended
-containers (incl. ALPH alpha over lossy frames) decode too; the two
-remaining known-but-unsupported WebP features (animation, lossy
-level-reduced alpha) are named in the error by parse_webp itself to
-keep the swap points discoverable; unknown bytes fail with the generic
+containers (incl. ALPH alpha over lossy frames) decode too; the one
+remaining known-but-unsupported WebP feature (animation) is named in
+the error by parse_webp itself to keep the swap point discoverable; unknown bytes fail with the generic
 corrupt-skip ValueError, same contract as every parser in the codec
 family.
 """
@@ -54,10 +53,9 @@ def parse_image(data: bytes) -> dict:
     that contract (baseline + progressive JPEG and LZW GIF decode for
     real since round 7; VP8L lossless WebP since round 8; lossy VP8
     key frames since round 9, bit-exact against libwebp). VP8X extended containers decode since round 9 too
-    (ALPH alpha composited over the lossy frame); WebP animation and
-    level-reduced alpha are the named swap points — parse_webp raises
-    with the feature name; a branch slots in there without touching
-    any caller."""
+    (ALPH alpha composited over the lossy frame); WebP animation is the one named swap
+    point — parse_webp raises with the feature name; a branch slots
+    in there without touching any caller."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png

@@ -29,9 +29,10 @@ parse_webp dispatches 'VP8 ' chunks there.  The VP8X extended
 container also decodes: canvas/flags walk, ALPH alpha chunks (raw or
 header-less-VP8L-compressed with the horizontal/vertical/gradient
 prediction filters) composited over the lossy decode, metadata chunks
-skipped.  The remaining named swap points are WebP ANIMATION
-(ANIM/ANMF) and lossy level-reduced alpha (ALPH pre-processing=1) —
-both raise with the feature named.
+skipped.  Level-reduced alpha decodes to the bitstream values (the
+spec marks the pre-processing bits informative; libwebp's optional
+display-side smoothing is not replicated).  The single remaining
+named swap point is WebP ANIMATION (ANIM/ANMF), raised loudly.
 """
 
 from __future__ import annotations
@@ -664,14 +665,12 @@ def _decode_alph(body: bytes, width: int, height: int) -> np.ndarray:
     hdr = body[0]
     method = hdr & 0x3
     filt = (hdr >> 2) & 0x3
-    preproc = (hdr >> 4) & 0x3
-    if preproc == 1:
-        # libwebp emits level-reduced alpha only when alpha_quality<100;
-        # its decode-side smoothing reconstruction is out of scope —
-        # loud swap point, never a mis-decode.
-        raise ValueError(
-            "ALPH pre-processing=1 (lossy level-reduced alpha) "
-            "unsupported")
+    # bits 4-5 (pre-processing) are INFORMATIVE per the container spec
+    # ("the decoder can use this information to e.g. smooth gradients
+    # prior to display"): the decoded values below ARE the bitstream
+    # truth for level-reduced alpha too; libwebp's optional smoothing
+    # post-process is display-side and deliberately not replicated
+    # (the differential suite pins the pre-processing=0 paths).
     if method == 0:
         if len(body) - 1 < width * height:
             raise ValueError("raw ALPH chunk shorter than plane")
@@ -759,8 +758,8 @@ def parse_webp(data: bytes) -> dict:
     """Parse a WebP file (RIFF container): lossless VP8L decodes via
     this module; lossy VP8 key frames decode via codec/vp8.py (RFC
     6386, bit-exact against libwebp — tests/test_vp8_codec.py); VP8X
-    extended containers decode incl. ALPH alpha.  Animation and
-    level-reduced alpha raise loudly with the feature named."""
+    extended containers decode incl. ALPH alpha.  Animation is the
+    one remaining named swap point and raises loudly."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file (bad RIFF header)")
     (riff_size,) = struct.unpack_from("<I", data, 4)

@@ -484,14 +484,16 @@ def test_vp8x_alpha_bit_exact_against_libwebp(cfg):
         assert np.array_equal(m["v_plane"], rv), (name, cfg)
 
 
-def test_vp8x_animation_and_lossy_alpha_preproc_raise():
+def test_vp8x_animation_raises_and_preproc_is_informative():
     from go_triton_spark.codec.vp8l import _decode_alph
     vp8x_anim = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
                  + b"VP8X" + (10).to_bytes(4, "little")
                  + bytes([0x02]) + b"\x00" * 9)
     with pytest.raises(ValueError, match="ANIM"):
         parse_webp(vp8x_anim)
-    with pytest.raises(ValueError, match="pre-processing"):
-        _decode_alph(bytes([0x10]) + b"\x00" * 16, 4, 4)
     with pytest.raises(ValueError, match="reserved"):
         _decode_alph(bytes([0x03]) + b"\x00" * 16, 4, 4)
+    # pre-processing bits are informative (container spec): a raw
+    # level-reduced plane still decodes to the bitstream values
+    a = _decode_alph(bytes([0x10]) + bytes(range(16)), 4, 4)
+    assert a.tolist() == [list(range(i * 4, i * 4 + 4)) for i in range(4)]
