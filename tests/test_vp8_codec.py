@@ -277,6 +277,16 @@ def test_differential_advanced_paths(kind, cfg):
             _encode_adv(_image(kind, w, h, seed=w + h + q), float(q), **cfg))
 
 
+@_adv_only
+def test_differential_edge_dimensions():
+    """Tiny and exact-multiple frames: 1x1 through 48x48 including
+    single-pixel rows/columns and the 17x16 two-macroblock edge."""
+    for (w, h) in ((1, 1), (3, 2), (5, 3), (16, 1), (1, 16),
+                   (17, 16), (31, 33), (48, 48)):
+        for q in (25.0, 80.0):
+            _assert_bitexact(_encode_adv(_image("grad", w, h), q))
+
+
 @_webp_only
 def test_differential_large_mixed_content():
     img = _image("grad", 177, 133)
