@@ -53,9 +53,8 @@ def parse_image(data: bytes) -> dict:
     that contract (baseline + progressive JPEG and LZW GIF decode for
     real since round 7; VP8L lossless WebP since round 8; lossy VP8
     key frames since round 9, bit-exact against libwebp). VP8X extended containers decode since round 9 too
-    (ALPH alpha composited over the lossy frame); WebP animation is the one named swap
-    point — parse_webp raises with the feature name; a branch slots
-    in there without touching any caller."""
+    (ALPH alpha composited over the lossy frame, ANIM/ANMF animation
+    with parse_gif's frames contract)."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png

@@ -31,8 +31,14 @@ header-less-VP8L-compressed with the horizontal/vertical/gradient
 prediction filters) composited over the lossy decode, metadata chunks
 skipped.  Level-reduced alpha decodes to the bitstream values (the
 spec marks the pre-processing bits informative; libwebp's optional
-display-side smoothing is not replicated).  The single remaining
-named swap point is WebP ANIMATION (ANIM/ANMF), raised loudly.
+display-side smoothing is not replicated).  ANIMATED WebP decodes
+too: ANIM/ANMF walk with per-frame blending/disposal composited onto
+the canvas (parse_gif's frames contract).  Every per-frame payload
+goes through the bit-exact-oracle'd VP8/VP8L decoders; the
+COMPOSITING arithmetic is implemented from the container spec's
+formulas with the rounding documented at _blend_over (no demux
+library exists in this container to cross-check composited output —
+tests pin it against an independent in-test reference instead).
 """
 
 from __future__ import annotations
@@ -709,17 +715,145 @@ def _decode_alph(body: bytes, width: int, height: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _decode_frame_chunks(data: bytes, pos: int, end: int):
+    """Walk chunks for ONE still image (optional ALPH, then VP8/VP8L);
+    returns (rgb, alpha, width, height).  Shared by the still-VP8X
+    path and each ANMF animation frame."""
+    alpha_body = None
+    while pos + 8 <= end:
+        ctype = data[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        cbody = pos + 8
+        if cbody + csize > end:
+            raise ValueError("truncated WebP chunk")
+        if ctype == b"ALPH":
+            alpha_body = data[cbody:cbody + csize]
+        elif ctype == b"VP8L":
+            m = parse_vp8l(data[cbody:cbody + csize])
+            return m["pixels"], m["alpha"], m["width"], m["height"]
+        elif ctype == b"VP8 ":
+            from go_triton_spark.codec.vp8 import parse_vp8
+            m = parse_vp8(data[cbody:cbody + csize])
+            a = m["alpha"]
+            if alpha_body is not None:
+                a = _decode_alph(alpha_body, m["width"], m["height"])
+            return m["pixels"], a, m["width"], m["height"]
+        # ICCP / EXIF / XMP: skip
+        pos = cbody + csize + (csize & 1)
+    raise ValueError("WebP frame missing image chunk")
+
+
+def _blend_over(canvas: np.ndarray, frame_rgb: np.ndarray,
+                frame_a: np.ndarray, y: int, x: int) -> None:
+    """Container-spec alpha compositing of a frame rectangle onto the
+    RGBA canvas, in exact integer math: with alphas in 0..255,
+      A_out*255 = Sa*255 + Da*(255-Sa)
+      C_out     = round((Sc*Sa*255 + Dc*Da*(255-Sa)) / (A_out*255))
+    (round = nearest, half away from zero — documented here because
+    the spec writes the formula over reals and leaves rounding to the
+    implementation)."""
+    h, w = frame_a.shape
+    dst = canvas[y:y + h, x:x + w]
+    sa = frame_a.astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    sc = frame_rgb.astype(np.int64)
+    dc = dst[..., :3].astype(np.int64)
+    wa = da * (255 - sa)                       # dst weight (x255 scale)
+    ao255 = sa * 255 + wa
+    num = sc * (sa * 255)[..., None] + dc * wa[..., None]
+    safe = np.maximum(ao255, 1)
+    rgb = (2 * num + safe[..., None]) // (2 * safe[..., None])
+    rgb = np.where(ao255[..., None] == 0, 0, rgb)
+    dst[..., :3] = rgb.astype(np.uint8)
+    dst[..., 3] = ((2 * ao255 + 255) // 510).astype(np.uint8)
+
+
+def _parse_anim(data: bytes, pos: int, end: int, cw: int, ch: int) -> dict:
+    """Animated WebP: ANIM (background/loop) + ANMF frames, each a
+    still image composited onto the canvas per the container spec's
+    blending (B) and disposal (D) bits.  Mirrors parse_gif's contract:
+    ``pixels``/``alpha`` = first composited canvas frame, ``frames`` =
+    every composited canvas frame, ``frame_meta`` = offsets/durations/
+    flags.  The canvas starts fully transparent; disposal fills the
+    frame rectangle with the ANIM background color."""
+    bg = (0, 0, 0, 0)
+    loop = 0
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    frames = []
+    meta = []
+    while pos + 8 <= end:
+        ctype = data[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        cbody = pos + 8
+        if cbody + csize > end:
+            raise ValueError("truncated WebP chunk")
+        if ctype == b"ANIM":
+            if csize < 6:
+                raise ValueError("short ANIM chunk")
+            b_, g_, r_, a_ = data[cbody:cbody + 4]      # BGRA on the wire
+            bg = (r_, g_, b_, a_)
+            loop = int.from_bytes(data[cbody + 4:cbody + 6], "little")
+        elif ctype == b"ANMF":
+            if csize < 16:
+                raise ValueError("short ANMF header")
+            fx = 2 * int.from_bytes(data[cbody:cbody + 3], "little")
+            fy = 2 * int.from_bytes(data[cbody + 3:cbody + 6], "little")
+            fw = 1 + int.from_bytes(data[cbody + 6:cbody + 9], "little")
+            fh = 1 + int.from_bytes(data[cbody + 9:cbody + 12], "little")
+            dur = int.from_bytes(data[cbody + 12:cbody + 15], "little")
+            flags = data[cbody + 15]
+            no_blend = bool(flags & 0x02)
+            dispose = bool(flags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF frame exceeds canvas")
+            rgb, a, w, h = _decode_frame_chunks(data, cbody + 16,
+                                                cbody + csize)
+            if (w, h) != (fw, fh):
+                raise ValueError("ANMF size disagrees with image chunk")
+            if no_blend:
+                canvas[fy:fy + fh, fx:fx + fw, :3] = rgb
+                canvas[fy:fy + fh, fx:fx + fw, 3] = a
+            else:
+                _blend_over(canvas, rgb, a, fy, fx)
+            frames.append(canvas.copy())
+            meta.append({"x": fx, "y": fy, "w": fw, "h": fh,
+                         "duration_ms": dur, "no_blend": no_blend,
+                         "dispose": dispose})
+            if dispose:
+                canvas[fy:fy + fh, fx:fx + fw] = bg
+        pos = cbody + csize + (csize & 1)
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    first = frames[0]
+    return {
+        "width": cw,
+        "height": ch,
+        "n_pixels": cw * ch,
+        "pixels": first[..., :3].copy(),
+        "alpha": first[..., 3].copy(),
+        "has_alpha": bool((first[..., 3] != 255).any()),
+        "n_frames": len(frames),
+        "frames": [f[..., :3].copy() for f in frames],
+        "frame_alphas": [f[..., 3].copy() for f in frames],
+        "frame_meta": meta,
+        "loop_count": loop,
+        "background": bg,
+    }
+
+
 def _parse_vp8x(data: bytes, body: bytes, end: int) -> dict:
-    """Extended WebP: VP8X flags + canvas size, optional ALPH, then the
-    VP8/VP8L image chunk.  Animation (ANIM/ANMF) raises loudly;
-    metadata chunks (ICCP/EXIF/XMP) are skipped."""
+    """Extended WebP: VP8X flags + canvas size, then either an
+    animation (ANIM/ANMF frames, composited) or a still image
+    (optional ALPH + VP8/VP8L); metadata chunks (ICCP/EXIF/XMP) are
+    skipped."""
     if len(body) < 10:
         raise ValueError("short VP8X chunk")
     flags = body[0]
-    if flags & 0x02:
-        raise ValueError("animated WebP (ANIM) unsupported")
     cw = 1 + int.from_bytes(body[4:7], "little")
     ch = 1 + int.from_bytes(body[7:10], "little")
+    if flags & 0x02:
+        return _parse_anim(data, 12 + 8 + len(body) + (len(body) & 1),
+                           end, cw, ch)
     alpha_body = None
     image = None
     pos = 12 + 8 + len(body) + (len(body) & 1)
@@ -758,8 +892,8 @@ def parse_webp(data: bytes) -> dict:
     """Parse a WebP file (RIFF container): lossless VP8L decodes via
     this module; lossy VP8 key frames decode via codec/vp8.py (RFC
     6386, bit-exact against libwebp — tests/test_vp8_codec.py); VP8X
-    extended containers decode incl. ALPH alpha.  Animation is the
-    one remaining named swap point and raises loudly."""
+    extended containers decode incl. ALPH alpha and ANIM/ANMF
+    animation frames."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file (bad RIFF header)")
     (riff_size,) = struct.unpack_from("<I", data, 4)
@@ -1255,3 +1389,45 @@ def build_webp(pixels: np.ndarray, alpha: np.ndarray | None = None,
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def build_webp_anim(frames, canvas_w: int, canvas_h: int,
+                    background=(0, 0, 0, 0), loop: int = 0) -> bytes:
+    """Assemble an ANIMATED WebP (VP8X + ANIM + ANMF chunks) from
+    lossless frames — the test/gate producer for _parse_anim.  Each
+    frame is a dict: rgb (h,w,3), optional alpha (h,w), x, y (even),
+    duration_ms, no_blend, dispose.  Frames are encoded with
+    build_vp8l, so decode round-trips exactly and the compositing
+    math is checkable against an independent reference."""
+    body = bytearray()
+    has_alpha = any(f.get("alpha") is not None for f in frames)
+    vp8x = bytes([(0x10 if has_alpha else 0) | 0x02]) + b"\x00" * 3 \
+        + (canvas_w - 1).to_bytes(3, "little") \
+        + (canvas_h - 1).to_bytes(3, "little") + b"\x00"
+    body += b"VP8X" + struct.pack("<I", 10) + vp8x[:10]
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + loop.to_bytes(2, "little") \
+        + b"\x00" * 0
+    body += b"ANIM" + struct.pack("<I", 6) + anim
+    for f in frames:
+        rgb = f["rgb"]
+        h, w = rgb.shape[:2]
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        payload = build_vp8l(rgb, f.get("alpha"))
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        hdr = (x // 2).to_bytes(3, "little") \
+            + (y // 2).to_bytes(3, "little") \
+            + (w - 1).to_bytes(3, "little") \
+            + (h - 1).to_bytes(3, "little") \
+            + int(f.get("duration_ms", 40)).to_bytes(3, "little") \
+            + bytes([(0x02 if f.get("no_blend") else 0)
+                     | (0x01 if f.get("dispose") else 0)])
+        anmf = hdr + sub
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)

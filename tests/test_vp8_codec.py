@@ -494,16 +494,114 @@ def test_vp8x_alpha_bit_exact_against_libwebp(cfg):
         assert np.array_equal(m["v_plane"], rv), (name, cfg)
 
 
-def test_vp8x_animation_raises_and_preproc_is_informative():
+def test_alph_reserved_method_raises_and_preproc_is_informative():
     from go_triton_spark.codec.vp8l import _decode_alph
-    vp8x_anim = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
-                 + b"VP8X" + (10).to_bytes(4, "little")
-                 + bytes([0x02]) + b"\x00" * 9)
-    with pytest.raises(ValueError, match="ANIM"):
-        parse_webp(vp8x_anim)
     with pytest.raises(ValueError, match="reserved"):
         _decode_alph(bytes([0x03]) + b"\x00" * 16, 4, 4)
     # pre-processing bits are informative (container spec): a raw
     # level-reduced plane still decodes to the bitstream values
     a = _decode_alph(bytes([0x10]) + bytes(range(16)), 4, 4)
     assert a.tolist() == [list(range(i * 4, i * 4 + 4)) for i in range(4)]
+
+
+# --- animated WebP (ANIM/ANMF) --------------------------------------------
+
+def _anim_reference_blend(canvas, rgb, a, y, x):
+    """Independent integer transcription of the container spec's
+    compositing formulas (kept deliberately separate from the codec's
+    _blend_over so the test is not a tautology)."""
+    h, w = a.shape
+    out = canvas.copy()
+    for r in range(h):
+        for c in range(w):
+            sa = int(a[r, c]); da = int(canvas[y + r, x + c, 3])
+            ao255 = sa * 255 + da * (255 - sa)
+            if ao255 == 0:
+                out[y + r, x + c] = (0, 0, 0, 0)
+                continue
+            px = []
+            for ch in range(3):
+                n = (int(rgb[r, c, ch]) * sa * 255
+                     + int(canvas[y + r, x + c, ch]) * da * (255 - sa))
+                px.append((2 * n + ao255) // (2 * ao255))
+            out[y + r, x + c, :3] = px
+            out[y + r, x + c, 3] = (2 * ao255 + 255) // 510
+    return out
+
+
+def test_animated_webp_composites_per_spec():
+    from go_triton_spark.codec.vp8l import build_webp_anim
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, (16, 20, 3)).astype(np.uint8)
+    patch = rng.randint(0, 256, (8, 10, 3)).astype(np.uint8)
+    pa = rng.randint(0, 256, (8, 10)).astype(np.uint8)
+    webp = build_webp_anim([
+        dict(rgb=base, duration_ms=100, no_blend=True),
+        dict(rgb=patch, alpha=pa, x=4, y=2, duration_ms=50),
+        dict(rgb=patch, alpha=pa, x=10, y=8, no_blend=True,
+             dispose=True),
+        dict(rgb=patch, x=0, y=0),
+    ], 20, 16, background=(9, 8, 7, 255), loop=3)
+    m = parse_webp(webp)
+    assert m["n_frames"] == 4 and (m["width"], m["height"]) == (20, 16)
+    assert m["loop_count"] == 3 and m["background"] == (9, 8, 7, 255)
+    # frame 0: full-canvas overwrite
+    assert np.array_equal(m["frames"][0], base)
+    # frame 1: alpha blend against the independent reference
+    canvas = np.zeros((16, 20, 4), np.uint8)
+    canvas[..., :3] = base
+    canvas[..., 3] = 255
+    ref = _anim_reference_blend(canvas, patch, pa, 2, 4)
+    assert np.array_equal(m["frames"][1], ref[..., :3])
+    assert np.array_equal(m["frame_alphas"][1], ref[..., 3])
+    # frame 2: no_blend overwrites its rectangle on the blended canvas
+    assert np.array_equal(m["frames"][2][8:16, 10:20], patch)
+    assert np.array_equal(m["frame_alphas"][2][8:16, 10:20], pa)
+    # frame 3 starts from the DISPOSED canvas: frame 2 rect = background
+    f3 = m["frames"][3]
+    assert np.array_equal(f3[8:16, 12:20],
+                          np.broadcast_to((9, 8, 7), (8, 8, 3)))
+    assert (m["frame_alphas"][3][8:16, 12:20] == 255).all()
+    assert m["frame_meta"][1]["duration_ms"] == 50
+    # parse_gif-style first-frame contract at the top level
+    assert np.array_equal(m["pixels"], m["frames"][0])
+
+
+def test_animated_webp_corrupt_paths():
+    from go_triton_spark.codec.vp8l import build_webp_anim
+    base = np.full((8, 8, 3), 50, np.uint8)
+    webp = build_webp_anim([dict(rgb=base, no_blend=True)], 8, 8)
+    with pytest.raises(ValueError):
+        parse_webp(webp[:-5])                  # truncated ANMF payload
+    # frame rectangle exceeding the canvas is rejected
+    bad = build_webp_anim([dict(rgb=base, x=4, y=0, no_blend=True)],
+                          8, 8)
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        parse_webp(bad)
+    # an animation with no frames is rejected
+    hdr = (b"VP8X" + (10).to_bytes(4, "little")
+           + bytes([0x02]) + b"\x00" * 3
+           + (7).to_bytes(3, "little") + (7).to_bytes(3, "little"))
+    empty = b"RIFF" + (4 + len(hdr)).to_bytes(4, "little") + b"WEBP" + hdr
+    with pytest.raises(ValueError, match="no ANMF"):
+        parse_webp(empty)
+
+
+@_webp_only
+def test_byte_flip_never_crashes():
+    """VP8 has no payload checksum, so most flips legally decode to
+    different pixels — the contract is bounded behavior: every mutant
+    either returns planes of the header's dimensions or raises
+    ValueError; no hang, no unbounded allocation, no other exception."""
+    chunk = _vp8_chunk(_encode_simple(_image("noise", 32, 32, seed=2),
+                                      60.0))
+    rng = random.Random(99)
+    for _ in range(150):
+        i = rng.randrange(len(chunk))
+        mut = bytearray(chunk)
+        mut[i] ^= 1 << rng.randrange(8)
+        try:
+            m = decode_vp8(bytes(mut))
+        except ValueError:
+            continue
+        assert m["y"].shape == (m["height"], m["width"])
