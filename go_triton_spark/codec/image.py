@@ -9,12 +9,11 @@ progressive JPEG -> codec/jpeg.py, GIF -> codec/gif.py, lossless WebP
 -> codec/vp8l.py, LOSSY WebP -> codec/vp8.py since round 9), returning
 the shared contract all emit: ``pixels`` as (height, width, 3) RGB
 uint8 with row 0 = top, plus width/height metadata — so downstream
-pixel math is format-agnostic.  VP8X extended
-containers (incl. ALPH alpha over lossy frames) decode too; the one
-remaining known-but-unsupported WebP feature (animation) is named in
-the error by parse_webp itself to keep the swap point discoverable; unknown bytes fail with the generic
-corrupt-skip ValueError, same contract as every parser in the codec
-family.
+pixel math is format-agnostic.  VP8X extended containers (incl.
+ALPH alpha over lossy frames, and ANIM/ANMF animation composited per
+the container spec) decode too — every WebP feature the pipeline can
+meet now parses; unknown bytes fail with the generic corrupt-skip
+ValueError, same contract as every parser in the codec family.
 """
 
 from __future__ import annotations

@@ -34,9 +34,10 @@ Huffman+DCT (JPEG), LZW (GIF), prefix-codes+LZ77+spatial transforms
 frames (codec/vp8.py, RFC 6386, bit-exact against libwebp) — now
 decodes with production parsers.
 
-H264 video and the VP8X extended-WebP container still need codecs /
-container walks this engine lacks; those parsers REJECT the fourcc or
-chunk loudly with the swap point named in the message.
+H264 video is the one remaining fourcc that needs a codec this
+engine lacks; the AVI parser REJECTS it loudly with the swap point
+named in the message.  (WebP is fully covered as of round 9: VP8L,
+lossy VP8, VP8X+ALPH alpha, and ANIM/ANMF animation.)
 """
 
 from __future__ import annotations
@@ -570,8 +571,8 @@ def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer chain (Y2-DC -> IWHT -> IDCT over a 128 DC prediction), so
     the DuckDB oracle recomputes the exact pixels; general lossy
     content is pinned bit-exact against libwebp in
-    tests/test_vp8_codec.py.  The remaining named swap point is the
-    VP8X extended container only.
+    tests/test_vp8_codec.py.  VP8X extended containers (ALPH alpha,
+    ANIM/ANMF animation) decode too — no WebP swap points remain.
 
     Corruption truncates 5 bytes off every 109th payload — the RIFF
     chunk-size check hits EOF and the operator skips the doc.

@@ -605,3 +605,27 @@ def test_byte_flip_never_crashes():
         except ValueError:
             continue
         assert m["y"].shape == (m["height"], m["width"])
+
+
+# --- property fuzz: random images stay bit-exact ---------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:                                # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    @_webp_only
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.integers(1, 40), st.integers(1, 28),
+           st.integers(0, 2 ** 32 - 1), st.sampled_from([12, 55, 88]))
+    def test_random_images_bit_exact(w, h, seed, q):
+        """Hypothesis sweep over dimensions x content x quality: every
+        libwebp-encoded stream must decode to libwebp's own YUV planes
+        bit-for-bit (found counterexamples persist in .hypothesis/)."""
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        _assert_bitexact(_encode_simple(img, float(q)))
