@@ -247,6 +247,43 @@ class ArchiveStore:
                         if (dname.startswith("date=")
                                 and dname[len("date="):] in wanted):
                             pruned.append(os.path.join(cpath, dname))
+            if pruned and not is_uri:
+                # LOCAL PATHS: hand Spark explicit FILE paths, not the
+                # date dirs. The local filesystem's listStatus is
+                # list-then-stat (readdir, then a getFileStatus per
+                # name) — NOT atomic against compact's
+                # RENAME_EXCHANGE swap — and Spark's listLeafFiles
+                # SWALLOWS the mid-listing FileNotFoundException,
+                # returning an empty hour: a concurrent cat silently
+                # LOST the whole partition's rows (caught by the
+                # four-way soak at full-suite load, reproduced 1-in-
+                # ~300 swaps by tools/stress — see test). With
+                # explicit files, a stale name fails the read LOUDLY
+                # (FILE_NOT_EXIST) and the documented single retry
+                # heals it; nothing is ever silently dropped. One
+                # os.scandir per hour dir, driver-side — the same
+                # cost Spark's own listing pays.
+                files: list[str] = []
+                for ddir in pruned:
+                    try:
+                        hours = sorted(os.listdir(ddir))
+                    except FileNotFoundError:
+                        continue        # expire won; outside kept range
+                    for hname in hours:
+                        if hname.startswith((".", "_")):
+                            continue
+                        hdir = os.path.join(ddir, hname)
+                        try:
+                            names = sorted(os.listdir(hdir))
+                        except (FileNotFoundError, NotADirectoryError):
+                            continue    # swapped/removed mid-walk: the
+                                        # planner retry re-lists fresh
+                        files.extend(
+                            os.path.join(hdir, n) for n in names
+                            if n.endswith(".parquet")
+                            and not n.startswith((".", "_")))
+                if files:
+                    return files, exists
             return pruned, exists
 
         pruned, stream_exists = _prune()
@@ -286,9 +323,17 @@ class ArchiveStore:
                     break
                 except Exception as exc:  # noqa: BLE001
                     msg = str(exc)
+                    # UNABLE_TO_INFER_SCHEMA joins the retryable set:
+                    # on a live archive it means the plan's listing
+                    # raced a compact swap / ingest commit into seeing
+                    # zero readable footers — the same transient class
+                    # as a vanished path, healed by a fresh re-list.
+                    # A genuinely empty stream still errors after the
+                    # attempts are exhausted, exactly as before.
                     if ("FileNotFound" not in msg
                             and "FILE_NOT_EXIST" not in msg
-                            and "PATH_NOT_FOUND" not in msg):
+                            and "PATH_NOT_FOUND" not in msg
+                            and "UNABLE_TO_INFER_SCHEMA" not in msg):
                         raise
                     last = exc
             if last is not None:

@@ -510,7 +510,11 @@ def test_store_compact_expire_cat_four_way_concurrency(engine, tmp_path, spark):
                 counts.append(one_cat())
             except Exception as exc:  # noqa: BLE001
                 msg = str(exc)
-                if "FILE_NOT_EXIST" in msg or "FileNotFound" in msg:
+                # FAILED_READ_FILE covers the NO_HINT spelling: the
+                # FileNotFoundException cause can sit past py4j's
+                # message window when DSv2 wraps the task failure
+                if ("FILE_NOT_EXIST" in msg or "FileNotFound" in msg
+                        or "FAILED_READ_FILE" in msg):
                     try:
                         counts.append(one_cat())  # documented single retry
                     except Exception as exc2:  # noqa: BLE001
