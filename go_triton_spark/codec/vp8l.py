@@ -715,10 +715,11 @@ def _decode_alph(body: bytes, width: int, height: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _decode_frame_chunks(data: bytes, pos: int, end: int):
+def _decode_frame_chunks(data: bytes, pos: int, end: int) -> dict:
     """Walk chunks for ONE still image (optional ALPH, then VP8/VP8L);
-    returns (rgb, alpha, width, height).  Shared by the still-VP8X
-    path and each ANMF animation frame."""
+    returns the full parse dict with any ALPH alpha already
+    composited.  Shared by the still-VP8X path and each ANMF
+    animation frame."""
     alpha_body = None
     while pos + 8 <= end:
         ctype = data[pos:pos + 4]
@@ -729,15 +730,21 @@ def _decode_frame_chunks(data: bytes, pos: int, end: int):
         if ctype == b"ALPH":
             alpha_body = data[cbody:cbody + csize]
         elif ctype == b"VP8L":
-            m = parse_vp8l(data[cbody:cbody + csize])
-            return m["pixels"], m["alpha"], m["width"], m["height"]
+            return parse_vp8l(data[cbody:cbody + csize])
         elif ctype == b"VP8 ":
             from go_triton_spark.codec.vp8 import parse_vp8
             m = parse_vp8(data[cbody:cbody + csize])
-            a = m["alpha"]
             if alpha_body is not None:
                 a = _decode_alph(alpha_body, m["width"], m["height"])
-            return m["pixels"], a, m["width"], m["height"]
+                m["alpha"] = a
+                m["has_alpha"] = bool((a != 255).any())
+            return m
+        elif ctype in (b"ANIM", b"ANMF"):
+            # only reachable from the still-image path (ANMF bodies
+            # never nest animation chunks): the VP8X flags promised a
+            # still image — decoding around the frames would be a
+            # silent mis-decode
+            raise ValueError("animation chunk in still WebP container")
         # ICCP / EXIF / XMP: skip
         pos = cbody + csize + (csize & 1)
     raise ValueError("WebP frame missing image chunk")
@@ -806,9 +813,9 @@ def _parse_anim(data: bytes, pos: int, end: int, cw: int, ch: int) -> dict:
             dispose = bool(flags & 0x01)
             if fx + fw > cw or fy + fh > ch:
                 raise ValueError("ANMF frame exceeds canvas")
-            rgb, a, w, h = _decode_frame_chunks(data, cbody + 16,
-                                                cbody + csize)
-            if (w, h) != (fw, fh):
+            fm = _decode_frame_chunks(data, cbody + 16, cbody + csize)
+            rgb, a = fm["pixels"], fm["alpha"]
+            if (fm["width"], fm["height"]) != (fw, fh):
                 raise ValueError("ANMF size disagrees with image chunk")
             if no_blend:
                 canvas[fy:fy + fh, fx:fx + fw, :3] = rgb
@@ -841,48 +848,22 @@ def _parse_anim(data: bytes, pos: int, end: int, cw: int, ch: int) -> dict:
     }
 
 
-def _parse_vp8x(data: bytes, body: bytes, end: int) -> dict:
+def _parse_vp8x(data: bytes, body: bytes, after: int, end: int) -> dict:
     """Extended WebP: VP8X flags + canvas size, then either an
     animation (ANIM/ANMF frames, composited) or a still image
-    (optional ALPH + VP8/VP8L); metadata chunks (ICCP/EXIF/XMP) are
-    skipped."""
+    (optional ALPH + VP8/VP8L, via the same chunk walk every ANMF
+    frame uses); metadata chunks (ICCP/EXIF/XMP) are skipped.
+    ``after`` is the offset just past the VP8X chunk as located by
+    parse_webp's walk — NOT assumed to be a fixed header offset, so a
+    container with leading metadata chunks still parses."""
     if len(body) < 10:
         raise ValueError("short VP8X chunk")
     flags = body[0]
     cw = 1 + int.from_bytes(body[4:7], "little")
     ch = 1 + int.from_bytes(body[7:10], "little")
     if flags & 0x02:
-        return _parse_anim(data, 12 + 8 + len(body) + (len(body) & 1),
-                           end, cw, ch)
-    alpha_body = None
-    image = None
-    pos = 12 + 8 + len(body) + (len(body) & 1)
-    while pos + 8 <= end:
-        ctype = data[pos:pos + 4]
-        (csize,) = struct.unpack_from("<I", data, pos + 4)
-        cbody = pos + 8
-        if cbody + csize > end:
-            raise ValueError("truncated WebP chunk")
-        if ctype == b"ALPH":
-            alpha_body = data[cbody:cbody + csize]
-        elif ctype in (b"VP8 ", b"VP8L"):
-            image = (ctype, data[cbody:cbody + csize])
-            break                                  # image data is last
-        elif ctype in (b"ANIM", b"ANMF"):
-            raise ValueError("animated WebP (ANIM) unsupported")
-        # ICCP / EXIF / XMP: skip
-        pos = cbody + csize + (csize & 1)
-    if image is None:
-        raise ValueError("VP8X container missing image chunk")
-    if image[0] == b"VP8L":
-        meta = parse_vp8l(image[1])                # alpha lives in VP8L
-    else:
-        from go_triton_spark.codec.vp8 import parse_vp8
-        meta = parse_vp8(image[1])
-        if alpha_body is not None:
-            a = _decode_alph(alpha_body, meta["width"], meta["height"])
-            meta["alpha"] = a
-            meta["has_alpha"] = bool((a != 255).any())
+        return _parse_anim(data, after, end, cw, ch)
+    meta = _decode_frame_chunks(data, after, end)
     if (meta["width"], meta["height"]) != (cw, ch):
         raise ValueError("VP8X canvas size disagrees with image chunk")
     return meta
@@ -911,7 +892,8 @@ def parse_webp(data: bytes) -> dict:
             from go_triton_spark.codec.vp8 import parse_vp8
             return parse_vp8(data[body:body + csize])
         if ctype == b"VP8X":
-            return _parse_vp8x(data, data[body:body + csize], end)
+            after = body + csize + (csize & 1)
+            return _parse_vp8x(data, data[body:body + csize], after, end)
         pos = body + csize + (csize & 1)           # chunks are 2-aligned
     raise ValueError("WebP missing VP8/VP8L chunk")
 

@@ -490,13 +490,13 @@ def _webp_gate_pixels(doc_id: int):
 # replays): the oracle SQL needs dc_q at the eight gate quantizer
 # indices, inlined as CASE arms from the normative table.
 from go_triton_spark.codec.vp8 import _QIS as _VP8_QIS  # noqa: E402
-from go_triton_spark.codec.vp8_tables import DC_QLOOKUP as _VP8_DCQ  # noqa: E402
+from go_triton_spark.codec.vp8 import _flat_factors as _vp8_flat_factors  # noqa: E402
 
 _VP8_Y2DCF_CASE = ("CASE d.doc_id % 8 " + " ".join(
-    f"WHEN {i} THEN {_VP8_DCQ[q] * 2}"
+    f"WHEN {i} THEN {_vp8_flat_factors(q)[0]}"
     for i, q in enumerate(_VP8_QIS)) + " END")
 _VP8_UVDCF_CASE = ("CASE d.doc_id % 8 " + " ".join(
-    f"WHEN {i} THEN {min(_VP8_DCQ[q], 132)}"
+    f"WHEN {i} THEN {_vp8_flat_factors(q)[1]}"
     for i, q in enumerate(_VP8_QIS)) + " END")
 
 

@@ -167,11 +167,30 @@ def test_lossy_vp8_routes_to_real_decoder():
              + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
     with pytest.raises(ValueError, match="frame header"):
         parse_webp(lossy)
-    # the remaining named swap point is the extended VP8X container
+    # VP8X decodes for real since r9; a container with no image chunk
+    # is a corrupt-skip rejection from the shared frame-chunk walk
     vp8x = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
             + b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10)
-    with pytest.raises(ValueError, match="VP8X"):
+    with pytest.raises(ValueError, match="missing image chunk"):
         parse_webp(vp8x)
+
+
+def test_vp8x_after_leading_metadata_chunk():
+    """The VP8X resume offset must come from WHERE the walk found the
+    chunk, not a hardcoded header position (review-found bug: a
+    leading unknown chunk shifted the whole container walk)."""
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    inner = build_webp(px)
+    vp8l_chunk = inner[12:]                     # "VP8L" + size + body
+    vp8x = (b"VP8X" + (10).to_bytes(4, "little")
+            + bytes([0]) + b"\x00" * 3
+            + (2).to_bytes(3, "little") + (2).to_bytes(3, "little"))
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"\x00" * 6
+    body = junk + vp8x + vp8l_chunk
+    data = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    m = parse_webp(data)
+    assert (m["width"], m["height"]) == (3, 3)
+    assert np.array_equal(m["pixels"], px)
 
 
 def test_repeated_transform_rejected():
