@@ -43,7 +43,7 @@ def sniff_image_format(data: bytes) -> str:
     raise ValueError("unknown image format (no recognized magic)")
 
 
-def parse_image(data: bytes) -> dict:
+def parse_image(data: bytes, prefer_native: "bool | None" = None) -> dict:
     """Decode one image payload of any supported format.
 
     Dispatches on sniffed magic; the returned dict always carries
@@ -53,25 +53,31 @@ def parse_image(data: bytes) -> dict:
     real since round 7; VP8L lossless WebP since round 8; lossy VP8
     key frames since round 9, bit-exact against libwebp). VP8X extended containers decode since round 9 too
     (ALPH alpha composited over the lossy frame, ANIM/ANMF animation
-    with parse_gif's frames contract)."""
+    with parse_gif's frames contract).
+
+    ``prefer_native`` (or TRITON_NATIVE_DECODE=1) opts into the
+    system-library fast path (codec/native.py) for PNG/JPEG/WebP/TIFF;
+    BMP/QOI are already plain numpy slicing and GIF stays pure. Native
+    misses always fall back to the clean-room decoders, which own the
+    loud corrupt-skip ValueError contract."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png
-        return parse_png(data)
+        return parse_png(data, prefer_native)
     if fmt == "bmp":
         from go_triton_spark.codec.bmp import parse_bmp
         return parse_bmp(data)
     if fmt == "jpeg":
         from go_triton_spark.codec.jpeg import parse_jpeg
-        return parse_jpeg(data)
+        return parse_jpeg(data, prefer_native)
     if fmt == "gif":
         from go_triton_spark.codec.gif import parse_gif
         return parse_gif(data)
     if fmt == "tiff":
         from go_triton_spark.codec.tiff import parse_tiff
-        return parse_tiff(data)
+        return parse_tiff(data, prefer_native)
     if fmt == "qoi":
         from go_triton_spark.codec.qoi import parse_qoi
         return parse_qoi(data)
     from go_triton_spark.codec.vp8l import parse_webp
-    return parse_webp(data)
+    return parse_webp(data, prefer_native)

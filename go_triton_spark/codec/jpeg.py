@@ -863,7 +863,7 @@ def _finish(frame, qt) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def parse_jpeg(data: bytes) -> dict:
+def parse_jpeg(data: bytes, prefer_native: "bool | None" = None) -> dict:
     """Decode one complete JPEG — baseline sequential (SOF0) or
     progressive (SOF2, spectral selection + successive approximation,
     round 7) — and return pixels + metadata.
@@ -874,7 +874,20 @@ def parse_jpeg(data: bytes) -> dict:
     replicated to 3 channels). Fails loudly (ValueError) on
     truncation, missing tables, invalid Huffman codes, or unsupported
     modes (arithmetic, lossless, hierarchical, 12-bit).
+
+    With ``prefer_native=True`` (or TRITON_NATIVE_DECODE=1) decode
+    routes through the system libjpeg via the compiled shim (codec/
+    native.py). NOTE: conforming but NOT bit-identical — T.81 leaves
+    IDCT precision implementation-defined (this decoder: exact float
+    IDCT + round-half-even; libjpeg: islow integer IDCT); measured
+    per-channel delta is within +-2, pinned by
+    tests/test_native_fastpath.py. Misses fall back here.
     """
+    from go_triton_spark.codec import native as _native
+
+    m = _native.maybe_image("jpeg", data, prefer_native)
+    if m is not None:
+        return m
     if len(data) < 4 or data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG file (bad SOI)")
     pos = 2
@@ -988,6 +1001,9 @@ def parse_jpeg(data: bytes) -> dict:
         elif marker == 0xDA:               # SOS: one scan
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:                   # a flipped length field can
+                # leave a zero-byte segment body (fuzz-found)
+                raise ValueError("truncated SOS header")
             ns = body[0]
             if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated SOS header")

@@ -1,0 +1,864 @@
+"""Opt-in native decode fast path (r9 verdict Next #2).
+
+The clean-room pure-Python codecs (vp8/vp8l/png/jpeg/tiff/zstd/lz4/xz)
+are the correctness story: differentially validated, fuzz-batched, and
+the thing the driver gates pin. They are also the honest throughput
+floor — measured ~4 ms/kilopixel for VP8 (SCALE.md), 2-3 orders of
+magnitude off native code. At a real 100 TB corpus with megapixel
+images that floor dominates the pipeline, and the container DOES ship
+the system libraries (libwebp.so.7, libpng16, libtiff.so.6, libjpeg.so.62,
+libzstd.so.1, liblz4.so.1, liblzma via stdlib lzma). This module binds
+them with ctypes and routes the HOT decode loops through C while
+keeping the engine's output contracts:
+
+- **bit-identical to the pure path** for WebP (lossy VP8 via
+  WebPDecodeYUV + this engine's own integer yuv_to_rgb — the YUV
+  planes are already proven bit-exact against libwebp by
+  tests/test_vp8_codec.py; lossless VP8L via WebPDecodeRGBA), PNG
+  (libpng RGBA read, alpha dropped exactly like parse_png), TIFF
+  (TIFFReadRGBAImage), and byte-identical for zstd / lz4 / xz
+  decompression. Asserted over the generator corpora by
+  tests/test_native_fastpath.py.
+- **conforming-but-not-bit-identical for JPEG**: ITU-T T.81 leaves
+  IDCT precision implementation-defined; the pure decoder uses the
+  exact float IDCT with round-half-even while libjpeg uses the islow
+  integer IDCT, so outputs legitimately differ by a bounded +-2 per
+  channel (measured; pinned by the test). The shim disables fancy
+  upsampling so chroma replication matches the pure decoder.
+
+Routing policy (see parse_image / parse_webp / parse_png / ...):
+the native attempt is OPT-IN (``TRITON_NATIVE_DECODE=1`` or
+``prefer_native=True``), and ANY native failure — library missing,
+unsupported feature, rejected bytes — falls back to the pure decoder,
+which keeps the loud corrupt-skip ValueError contract byte-for-byte
+identical to the default path. The driver gates and the differential
+suites run with the flag OFF so the clean-room decoders stay
+continuously exercised.
+
+Cluster note: ctypes binds per-process, so executors resolve the
+libraries locally; a heterogeneous cluster where some hosts lack a
+library degrades per-host to the pure path instead of failing the
+stage. The JPEG shim is compiled once per host (gcc, cached in the
+temp dir, content-hashed) and is likewise optional.
+
+Reference parity note: the reference engine links the native codec
+libraries directly (it is C++/Go); this module is the Spark-side
+equivalent lever, not a semantic change — decode semantics stay
+pinned by the pure decoders' gates.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+_ENV_FLAG = "TRITON_NATIVE_DECODE"
+
+
+def native_enabled(prefer_native: "bool | None" = None) -> bool:
+    """Resolve the opt-in: an explicit kwarg wins; otherwise the
+    TRITON_NATIVE_DECODE env var (read per call so executors forked
+    after a conf change still honor it)."""
+    if prefer_native is not None:
+        return bool(prefer_native)
+    return os.environ.get(_ENV_FLAG, "").strip() in ("1", "true", "yes")
+
+
+def _try_cdll(*names):
+    for name in names:
+        if not name:
+            continue
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+# --------------------------------------------------------------- libwebp
+
+_webp_lib = None
+_webp_tried = False
+
+
+def _webp():
+    global _webp_lib, _webp_tried
+    if _webp_tried:
+        return _webp_lib
+    _webp_tried = True
+    lib = _try_cdll("libwebp.so.7", "libwebp.so",
+                    ctypes.util.find_library("webp"))
+    if lib is None:
+        return None
+    try:
+        lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.WebPFree.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        return None
+    _webp_lib = lib
+    return lib
+
+
+def decode_webp_native(data: bytes) -> Optional[dict]:
+    """Bare 'VP8 ' (lossy) and 'VP8L' (lossless) containers only;
+    VP8X extended containers (ALPH / ANIM / metadata) return None —
+    the pure chunk walk handles those (libwebp.so alone cannot:
+    animation needs the absent libwebpdemux, and ALPH-over-lossy RGB
+    would go through libwebp's OWN YUV->RGB, breaking bit-equality
+    with the engine's documented conversion)."""
+    lib = _webp()
+    if lib is None or len(data) < 16 or data[:4] != b"RIFF" \
+            or data[8:12] != b"WEBP":
+        return None
+    kind = data[12:16]
+    if kind == b"VP8L":
+        w, h = ctypes.c_int(), ctypes.c_int()
+        p = lib.WebPDecodeRGBA(data, len(data),
+                               ctypes.byref(w), ctypes.byref(h))
+        if not p:
+            return None
+        n = w.value * h.value * 4
+        rgba = np.ctypeslib.as_array(p, shape=(n,)).copy() \
+            .reshape(h.value, w.value, 4)
+        lib.WebPFree(p)
+        alpha = rgba[:, :, 3].copy()
+        return {
+            "width": w.value,
+            "height": h.value,
+            "n_pixels": w.value * h.value,
+            "pixels": rgba[:, :, :3].copy(),
+            "alpha": alpha,
+            "has_alpha": bool((alpha != 255).any()),
+        }
+    if kind == b"VP8 ":
+        # decode to the raw Y/U/V planes (bit-exact vs the pure
+        # decoder — the differential suite proves it), then apply the
+        # ENGINE'S documented integer YUV->RGB so the RGB output is
+        # bit-identical to parse_vp8, not libwebp's display conversion
+        from go_triton_spark.codec.vp8 import yuv_to_rgb
+
+        w, h = ctypes.c_int(), ctypes.c_int()
+        up = ctypes.POINTER(ctypes.c_ubyte)()
+        vp = ctypes.POINTER(ctypes.c_ubyte)()
+        stride, uv_stride = ctypes.c_int(), ctypes.c_int()
+        yp = lib.WebPDecodeYUV(data, len(data),
+                               ctypes.byref(w), ctypes.byref(h),
+                               ctypes.byref(up), ctypes.byref(vp),
+                               ctypes.byref(stride),
+                               ctypes.byref(uv_stride))
+        if not yp:
+            return None
+        W, H = w.value, h.value
+        uvw, uvh = (W + 1) >> 1, (H + 1) >> 1
+        y = np.ctypeslib.as_array(yp, shape=(H * stride.value,)) \
+            .reshape(H, stride.value)[:, :W].copy()
+        u = np.ctypeslib.as_array(up, shape=(uvh * uv_stride.value,)) \
+            .reshape(uvh, uv_stride.value)[:, :uvw].copy()
+        v = np.ctypeslib.as_array(vp, shape=(uvh * uv_stride.value,)) \
+            .reshape(uvh, uv_stride.value)[:, :uvw].copy()
+        lib.WebPFree(yp)
+        return {
+            "width": W,
+            "height": H,
+            "n_pixels": W * H,
+            "pixels": yuv_to_rgb(y, u, v),
+            "alpha": np.full((H, W), 255, dtype=np.uint8),
+            "has_alpha": False,
+            "y_plane": y,
+            "u_plane": u,
+            "v_plane": v,
+        }
+    return None
+
+
+# --------------------------------------------------------------- libpng
+
+class _PngImage(ctypes.Structure):
+    # png_image, the libpng "simplified API" control struct (public
+    # ABI, png.h) — the same layout the differential tests bind
+    _fields_ = [("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+                ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+                ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+                ("colormap_entries", ctypes.c_uint32),
+                ("warning_or_error", ctypes.c_uint32),
+                ("message", ctypes.c_char * 64)]
+
+
+_PNG_FORMAT_RGBA = 3  # PNG_FORMAT_FLAG_ALPHA | PNG_FORMAT_FLAG_COLOR
+
+_png_lib = None
+_png_tried = False
+
+
+def _png():
+    global _png_lib, _png_tried
+    if _png_tried:
+        return _png_lib
+    _png_tried = True
+    lib = _try_cdll("libpng16.so.16", "libpng16.so",
+                    ctypes.util.find_library("png16"))
+    if lib is None:
+        return None
+    try:
+        lib.png_image_begin_read_from_memory.restype = ctypes.c_int
+        lib.png_image_begin_read_from_memory.argtypes = [
+            ctypes.POINTER(_PngImage), ctypes.c_char_p, ctypes.c_size_t]
+        lib.png_image_finish_read.restype = ctypes.c_int
+        lib.png_image_finish_read.argtypes = [
+            ctypes.POINTER(_PngImage), ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p]
+    except AttributeError:
+        return None
+    _png_lib = lib
+    return lib
+
+
+def decode_png_native(data: bytes) -> Optional[dict]:
+    """8-bit-depth PNGs only: libpng's RGBA read, alpha then DROPPED
+    exactly like parse_png (requesting RGB from libpng would instead
+    COMPOSITE alpha onto a background — different pixels). 16-bit
+    files return None: libpng's 16->8 scaling differs from the pure
+    decoder's documented truncation, so they take the pure path."""
+    lib = _png()
+    if lib is None or len(data) < 26 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    # IHDR is always first: width/height/bit_depth/color_type at 16..
+    bit_depth = data[24]
+    color_type = data[25]
+    if bit_depth > 8:
+        return None
+    img = _PngImage()
+    img.version = 1
+    if not lib.png_image_begin_read_from_memory(ctypes.byref(img), data,
+                                                len(data)):
+        return None
+    if img.width * img.height > 1 << 28:   # decompression-bomb guard,
+        return None                        # same bound as the tiff path
+    img.format = _PNG_FORMAT_RGBA
+    buf = (ctypes.c_ubyte * (img.width * img.height * 4))()
+    if not lib.png_image_finish_read(ctypes.byref(img), None, buf, 0,
+                                     None):
+        return None
+    rgba = np.frombuffer(bytes(buf), np.uint8) \
+        .reshape(img.height, img.width, 4)
+    return {
+        "width": int(img.width),
+        "height": int(img.height),
+        "bit_depth": int(bit_depth),
+        "color_type": int(color_type),
+        "n_pixels": int(img.width * img.height),
+        "pixels": rgba[:, :, :3].copy(),
+    }
+
+
+# --------------------------------------------------------------- libtiff
+
+_tiff_lib = None
+_tiff_tried = False
+
+
+def _tiff():
+    global _tiff_lib, _tiff_tried
+    if _tiff_tried:
+        return _tiff_lib
+    _tiff_tried = True
+    lib = _try_cdll("libtiff.so.6", "libtiff.so",
+                    ctypes.util.find_library("tiff"))
+    if lib is None:
+        return None
+    try:
+        _bind_tiff(lib)
+    except AttributeError:
+        return None
+    _tiff_lib = lib
+    return lib
+
+
+# TIFFClientOpen callback types (public ABI, tiffio.h)
+_TIFF_READ = ctypes.CFUNCTYPE(ctypes.c_ssize_t, ctypes.c_void_p,
+                              ctypes.c_void_p, ctypes.c_ssize_t)
+_TIFF_WRITE = _TIFF_READ
+_TIFF_SEEK = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_void_p,
+                              ctypes.c_uint64, ctypes.c_int)
+_TIFF_CLOSE = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p)
+_TIFF_SIZE = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_void_p)
+_TIFF_MAP = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_void_p),
+                             ctypes.POINTER(ctypes.c_uint64))
+_TIFF_UNMAP = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_uint64)
+
+
+def _bind_tiff(lib):
+    lib.TIFFClientOpen.restype = ctypes.c_void_p
+    lib.TIFFClientOpen.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p,
+        _TIFF_READ, _TIFF_WRITE, _TIFF_SEEK, _TIFF_CLOSE, _TIFF_SIZE,
+        _TIFF_MAP, _TIFF_UNMAP]
+    lib.TIFFGetField.restype = ctypes.c_int
+    # variadic: typing the fixed prefix keeps the 64-bit handle from
+    # being truncated to c_int (segfault); the tag-value pointers get
+    # ctypes' default conversion, which is correct for byref()
+    lib.TIFFGetField.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+    lib.TIFFReadRGBAImageOriented.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    lib.TIFFSetErrorHandler.restype = ctypes.c_void_p
+    lib.TIFFSetWarningHandler.restype = ctypes.c_void_p
+
+
+_ORIENTATION_TOPLEFT = 1
+
+
+def decode_tiff_native(data: bytes) -> Optional[dict]:
+    """First IFD via TIFFReadRGBAImageOriented (top-left origin, so no
+    flip) over an in-memory TIFFClientOpen stream."""
+    lib = _tiff()
+    if lib is None:
+        return None
+    # silence libtiff's default stderr handlers once per process
+    lib.TIFFSetErrorHandler(None)
+    lib.TIFFSetWarningHandler(None)
+    state = {"pos": 0}
+    buf = data  # closed over by the callbacks
+
+    def _read(_h, dst, n):
+        n = min(int(n), len(buf) - state["pos"])
+        if n <= 0:
+            return 0
+        ctypes.memmove(dst, buf[state["pos"]:state["pos"] + n], n)
+        state["pos"] += n
+        return n
+
+    def _write(_h, _src, _n):
+        return 0
+
+    def _seek(_h, off, whence):
+        off = int(off)
+        if off >= 1 << 63:                 # toff_t is unsigned on the
+            off -= 1 << 64                 # wire; END seeks are negative
+        if whence == 0:
+            state["pos"] = off
+        elif whence == 1:
+            state["pos"] += off
+        else:
+            state["pos"] = len(buf) + off
+        return state["pos"]
+
+    def _close(_h):
+        return 0
+
+    def _size(_h):
+        return len(buf)
+
+    cbs = (_TIFF_READ(_read), _TIFF_WRITE(_write), _TIFF_SEEK(_seek),
+           _TIFF_CLOSE(_close), _TIFF_SIZE(_size),
+           _TIFF_MAP(lambda *_: 0), _TIFF_UNMAP(lambda *_: None))
+    tf = lib.TIFFClientOpen(b"mem", b"rm", None, *cbs)
+    if not tf:
+        return None
+    try:
+        w, h = ctypes.c_uint32(), ctypes.c_uint32()
+        # TIFFTAG_IMAGEWIDTH=256, TIFFTAG_IMAGELENGTH=257
+        if not lib.TIFFGetField(tf, 256, ctypes.byref(w)) \
+                or not lib.TIFFGetField(tf, 257, ctypes.byref(h)):
+            return None
+        W, H = w.value, h.value
+        if not W or not H or W * H > 1 << 28:
+            return None
+        raster = (ctypes.c_uint32 * (W * H))()
+        ok = lib.TIFFReadRGBAImageOriented(tf, W, H, raster,
+                                           _ORIENTATION_TOPLEFT, 1)
+        if not ok:
+            return None
+    finally:
+        lib.TIFFClose(tf)
+    abgr = np.frombuffer(bytes(raster), np.uint8).reshape(H, W, 4)
+    return {
+        "width": int(W),
+        "height": int(H),
+        "n_pixels": int(W * H),
+        "pixels": abgr[:, :, :3].copy(),   # packed R,G,B,A little-endian
+    }
+
+
+# --------------------------------------------------------------- libjpeg
+#
+# libjpeg's public entry (jpeg_CreateDecompress) validates
+# sizeof(struct jpeg_decompress_struct) against the caller's compile-
+# time value and aborts through the error manager on mismatch — a raw
+# ctypes caller cannot know that size portably, and the abort path
+# needs setjmp/longjmp. So the binding goes through a ~60-line C shim
+# compiled ONCE per host against the system jpeglib.h (gcc is in the
+# container), cached content-hashed in the temp dir. No compiler or
+# no headers -> shim unavailable -> pure path.
+
+_JPEG_SHIM_SRC = r"""
+#include <stddef.h>
+#include <stdio.h>
+#include <string.h>
+#include <setjmp.h>
+#include <stdlib.h>
+#include <jpeglib.h>
+
+struct shim_err { struct jpeg_error_mgr pub; jmp_buf jb; char msg[JMSG_LENGTH_MAX]; };
+
+static void shim_error_exit(j_common_ptr cinfo) {
+    struct shim_err *e = (struct shim_err *)cinfo->err;
+    (*cinfo->err->format_message)(cinfo, e->msg);
+    longjmp(e->jb, 1);
+}
+
+/* libjpeg RECOVERS from corrupt scan data (pads + warning); the pure
+ * decoder fails loudly, and the engine's corrupt-skip contract keys
+ * on that strictness — so corrupt-data warnings (level -1) become
+ * hard errors here, keeping accept/reject parity between the paths. */
+static void shim_emit_message(j_common_ptr cinfo, int msg_level) {
+    if (msg_level < 0) {
+        struct shim_err *e = (struct shim_err *)cinfo->err;
+        (*cinfo->err->format_message)(cinfo, e->msg);
+        longjmp(e->jb, 1);
+    }
+}
+
+/* Decode to packed 8-bit RGB. Returns 1 on success (caller frees *out
+ * with triton_shim_free); 0 on failure with errbuf (>=256) filled.
+ * fancy upsampling OFF: chroma replication, matching the pure decoder. */
+int triton_jpeg_decode_rgb(const unsigned char *data, size_t len,
+                           unsigned char **out, int *w, int *h,
+                           int *ncomp, int *progressive, int *hv,
+                           char *errbuf) {
+    struct jpeg_decompress_struct cinfo;
+    struct shim_err jerr;
+    unsigned char *buf = NULL;
+    memset(&cinfo, 0, sizeof cinfo);
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = shim_error_exit;
+    jerr.pub.emit_message = shim_emit_message;
+    jerr.msg[0] = 0;
+    if (setjmp(jerr.jb)) {
+        if (errbuf) { strncpy(errbuf, jerr.msg, 255); errbuf[255] = 0; }
+        jpeg_destroy_decompress(&cinfo);
+        free(buf);
+        return 0;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, (unsigned char *)data, (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = cinfo.num_components == 1 ? JCS_GRAYSCALE
+                                                      : JCS_RGB;
+    cinfo.do_fancy_upsampling = FALSE;
+    *ncomp = cinfo.num_components;
+    *progressive = cinfo.progressive_mode;
+    *hv = cinfo.num_components > 1
+        ? (cinfo.comp_info[0].h_samp_factor << 4)
+          | cinfo.comp_info[0].v_samp_factor
+        : 0x11;
+    jpeg_start_decompress(&cinfo);
+    *w = (int)cinfo.output_width;
+    *h = (int)cinfo.output_height;
+    {
+        size_t stride = (size_t)cinfo.output_width
+                        * cinfo.output_components;
+        buf = (unsigned char *)malloc(stride * cinfo.output_height + 1);
+        if (!buf) { strcpy(jerr.msg, "malloc failed"); longjmp(jerr.jb, 1); }
+        while (cinfo.output_scanline < cinfo.output_height) {
+            unsigned char *row = buf + stride * cinfo.output_scanline;
+            jpeg_read_scanlines(&cinfo, &row, 1);
+        }
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    *out = buf;
+    return 1;
+}
+
+void triton_shim_free(void *p) { free(p); }
+"""
+
+_jpeg_shim = None
+_jpeg_tried = False
+
+
+def _jpeg_shim_lib():
+    """Compile (once, cached by source hash) and load the shim."""
+    global _jpeg_shim, _jpeg_tried
+    if _jpeg_tried:
+        return _jpeg_shim
+    _jpeg_tried = True
+    import hashlib
+    import subprocess
+    import tempfile
+
+    tag = hashlib.sha256(_JPEG_SHIM_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(),
+                           f"triton_jpeg_shim_{tag}.so")
+    if not os.path.exists(so_path):
+        cdir = tempfile.mkdtemp(prefix="triton_jpeg_shim_")
+        csrc = os.path.join(cdir, "shim.c")
+        with open(csrc, "w") as fh:
+            fh.write(_JPEG_SHIM_SRC)
+        tmp_so = os.path.join(cdir, "shim.so")
+        try:
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", csrc, "-o", tmp_so,
+                 "-ljpeg"],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, so_path)    # atomic vs concurrent compiles
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        lib.triton_jpeg_decode_rgb.restype = ctypes.c_int
+        lib.triton_jpeg_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p]
+        lib.triton_shim_free.argtypes = [ctypes.c_void_p]
+    except (OSError, AttributeError):
+        return None
+    _jpeg_shim = lib
+    return lib
+
+
+_SUBSAMPLING = {0x11: "4:4:4", 0x21: "4:2:2", 0x22: "4:2:0"}
+
+
+def decode_jpeg_native(data: bytes) -> Optional[dict]:
+    """libjpeg decode via the compiled shim. NOTE: conforming but not
+    bit-identical to parse_jpeg — T.81 leaves IDCT precision to the
+    implementation (pure path: exact float IDCT + round-half-even;
+    libjpeg: islow integer IDCT) — measured per-channel delta is
+    within +-2 (tests/test_native_fastpath.py pins it)."""
+    lib = _jpeg_shim_lib()
+    if lib is None or data[:3] != b"\xff\xd8\xff":
+        return None
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    ncomp, prog, hv = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    err = ctypes.create_string_buffer(256)
+    ok = lib.triton_jpeg_decode_rgb(
+        data, len(data), ctypes.byref(out), ctypes.byref(w),
+        ctypes.byref(h), ctypes.byref(ncomp), ctypes.byref(prog),
+        ctypes.byref(hv), err)
+    if not ok:
+        return None
+    W, H, nc = w.value, h.value, ncomp.value
+    chans = 1 if nc == 1 else 3
+    flat = np.ctypeslib.as_array(out, shape=(H * W * chans,)).copy()
+    lib.triton_shim_free(out)
+    px = flat.reshape(H, W, chans)
+    if chans == 1:
+        px = np.repeat(px, 3, axis=2)      # grayscale replicated, like
+        # parse_jpeg's contract
+    return {
+        "width": W,
+        "height": H,
+        "n_pixels": W * H,
+        "n_components": nc,
+        "progressive": bool(prog.value),
+        "subsampling": _SUBSAMPLING.get(hv.value, "other"),
+        "pixels": px,
+    }
+
+
+# ------------------------------------------------- zstd / lz4 / xz
+
+_zstd_lib = None
+_zstd_tried = False
+
+
+def _zstd():
+    global _zstd_lib, _zstd_tried
+    if _zstd_tried:
+        return _zstd_lib
+    _zstd_tried = True
+    lib = _try_cdll("libzstd.so.1", "libzstd.so",
+                    ctypes.util.find_library("zstd"))
+    if lib is None:
+        return None
+    try:
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_char_p,
+                                                 ctypes.c_size_t]
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_createDStream.restype = ctypes.c_void_p
+        lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+        lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+    except AttributeError:
+        return None
+    _zstd_lib = lib
+    return lib
+
+
+_ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1
+_ZSTD_CONTENTSIZE_ERROR = 2**64 - 2
+
+
+class _ZstdInBuffer(ctypes.Structure):
+    _fields_ = [("src", ctypes.c_char_p), ("size", ctypes.c_size_t),
+                ("pos", ctypes.c_size_t)]
+
+
+class _ZstdOutBuffer(ctypes.Structure):
+    _fields_ = [("dst", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                ("pos", ctypes.c_size_t)]
+
+
+def zstd_decompress_native(data: bytes) -> Optional[bytes]:
+    """One-shot when the frame header carries the content size (what
+    libzstd's simple compress API writes), streaming otherwise.
+    Returns None when the library is absent or rejects the bytes —
+    the caller falls back to the pure decoder, whose typed ZstdError
+    keeps the ingest corrupt-skip contract."""
+    lib = _zstd()
+    if lib is None:
+        return None
+    csize = lib.ZSTD_getFrameContentSize(data, len(data))
+    if csize == 0:
+        return b"" if lib.ZSTD_decompress(None, 0, data, len(data)) == 0 \
+            else None
+    if csize not in (_ZSTD_CONTENTSIZE_UNKNOWN, _ZSTD_CONTENTSIZE_ERROR) \
+            and csize <= 1 << 31:
+        out = ctypes.create_string_buffer(int(csize))
+        got = lib.ZSTD_decompress(out, int(csize), data, len(data))
+        if lib.ZSTD_isError(got):
+            return None
+        return out.raw[:got]
+    if csize == _ZSTD_CONTENTSIZE_ERROR:
+        return None
+    # streaming: unknown content size (or implausibly large header)
+    ds = lib.ZSTD_createDStream()
+    if not ds:
+        return None
+    try:
+        chunks = []
+        inb = _ZstdInBuffer(data, len(data), 0)
+        buf = ctypes.create_string_buffer(1 << 17)
+        while True:
+            outb = _ZstdOutBuffer(
+                ctypes.cast(buf, ctypes.c_void_p), len(buf), 0)
+            ret = lib.ZSTD_decompressStream(
+                ds, ctypes.byref(outb), ctypes.byref(inb))
+            if lib.ZSTD_isError(ret):
+                return None
+            if outb.pos:
+                chunks.append(buf.raw[:outb.pos])
+            if ret == 0 and inb.pos >= inb.size:
+                return b"".join(chunks)
+            if outb.pos == 0 and inb.pos >= inb.size:
+                return None                # truncated frame
+            if sum(map(len, chunks)) > 1 << 33:
+                return None                # runaway output guard
+    finally:
+        lib.ZSTD_freeDStream(ds)
+
+
+_lz4_lib = None
+_lz4_tried = False
+
+
+class _Lz4FDecompressOptions(ctypes.Structure):
+    _fields_ = [("stableDst", ctypes.c_uint),
+                ("skipChecksums", ctypes.c_uint),
+                ("reserved1", ctypes.c_uint), ("reserved0", ctypes.c_uint)]
+
+
+def _lz4():
+    global _lz4_lib, _lz4_tried
+    if _lz4_tried:
+        return _lz4_lib
+    _lz4_tried = True
+    lib = _try_cdll("liblz4.so.1", "liblz4.so",
+                    ctypes.util.find_library("lz4"))
+    if lib is None:
+        return None
+    try:
+        lib.LZ4F_createDecompressionContext.restype = ctypes.c_size_t
+        lib.LZ4F_createDecompressionContext.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_uint]
+        lib.LZ4F_freeDecompressionContext.argtypes = [ctypes.c_void_p]
+        lib.LZ4F_decompress.restype = ctypes.c_size_t
+        lib.LZ4F_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(_Lz4FDecompressOptions)]
+        lib.LZ4F_isError.restype = ctypes.c_uint
+        lib.LZ4F_isError.argtypes = [ctypes.c_size_t]
+    except AttributeError:
+        return None
+    _lz4_lib = lib
+    return lib
+
+
+_LZ4F_VERSION = 100
+
+
+def lz4_frame_decompress_native(data: bytes) -> Optional[bytes]:
+    """LZ4 frame-format decompress via LZ4F streaming (frame content
+    size is optional in the format, so no one-shot exists)."""
+    lib = _lz4()
+    if lib is None:
+        return None
+    ctx = ctypes.c_void_p()
+    err = lib.LZ4F_createDecompressionContext(ctypes.byref(ctx),
+                                              _LZ4F_VERSION)
+    if lib.LZ4F_isError(err):
+        return None
+    try:
+        chunks = []
+        pos = 0
+        buf = ctypes.create_string_buffer(1 << 17)
+        while pos < len(data):
+            src_size = ctypes.c_size_t(len(data) - pos)
+            dst_size = ctypes.c_size_t(len(buf))
+            ret = lib.LZ4F_decompress(
+                ctx, buf, ctypes.byref(dst_size), data[pos:],
+                ctypes.byref(src_size), None)
+            if lib.LZ4F_isError(ret):
+                return None
+            if dst_size.value:
+                chunks.append(buf.raw[:dst_size.value])
+            if src_size.value == 0 and dst_size.value == 0:
+                return None                # no progress: truncated
+            pos += src_size.value
+            if ret == 0 and pos >= len(data):
+                break
+            if sum(map(len, chunks)) > 1 << 33:
+                return None
+        return b"".join(chunks)
+    finally:
+        lib.LZ4F_freeDecompressionContext(ctx)
+
+
+def xz_decompress_native(data: bytes) -> Optional[bytes]:
+    """stdlib lzma IS the native path (CPython's _lzma links the
+    system liblzma); present everywhere this container runs but
+    guarded anyway for minimal builds."""
+    try:
+        import lzma
+        return lzma.decompress(data, format=lzma.FORMAT_XZ)
+    except ImportError:
+        return None
+    except Exception:
+        return None                        # rejected bytes -> pure path
+
+
+# ------------------------------------------------------------ dispatch
+
+_IMAGE_DECODERS = {}
+
+
+def maybe_image(fmt: str, data: bytes,
+                prefer_native: "bool | None" = None) -> Optional[dict]:
+    """Opt-in gate + never-raises wrapper the parsers call first:
+    returns the native decode dict, or None (flag off, library
+    absent, unsupported feature, rejected/corrupt bytes, any native
+    error) — in which case the caller runs its pure path, preserving
+    the loud ValueError contract for genuinely corrupt bytes."""
+    if not native_enabled(prefer_native):
+        return None
+    fn = _IMAGE_DECODERS.get(fmt)
+    if fn is None:
+        return None
+    try:
+        return fn(data)
+    except Exception:
+        return None
+
+
+def decompress_with_fallback(kind: str, data: bytes, pure_fn,
+                             prefer_native: "bool | None" = None) -> bytes:
+    """Ingest-side twin of maybe_image: native decompress when opted
+    in and accepted, else the pure decoder — whose TYPED error
+    (ZstdError / Lz4Error / XzError) the ingest corrupt-skip relies
+    on, so native rejections are re-judged by the pure path rather
+    than raised here."""
+    if native_enabled(prefer_native):
+        fn = {"zstd": zstd_decompress_native,
+              "lz4": lz4_frame_decompress_native,
+              "xz": xz_decompress_native}.get(kind)
+        if fn is not None:
+            try:
+                out = fn(data)
+            except Exception:
+                out = None
+            if out is not None:
+                return out
+    return pure_fn(data)
+
+
+def decode_image_native(data: bytes) -> Optional[dict]:
+    """Sniff + route to the per-format native decoder. None whenever
+    no native path applies — callers MUST fall back to the pure
+    decoder (which also owns the loud corrupt-skip ValueError)."""
+    if len(data) < 12:
+        return None
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_native(data)
+        if data[:3] == b"\xff\xd8\xff":
+            return decode_jpeg_native(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return decode_webp_native(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff_native(data)
+    except Exception:
+        return None    # any native hiccup degrades to the pure path
+    return None         # bmp/qoi are already plain numpy; gif: pure
+
+
+_IMAGE_DECODERS.update({
+    "image": decode_image_native,
+    "webp": decode_webp_native,
+    "png": decode_png_native,
+    "jpeg": decode_jpeg_native,
+    "tiff": decode_tiff_native,
+})
+
+
+def native_status() -> dict:
+    """Observability: which native paths this process can use."""
+    return {
+        "enabled_by_env": native_enabled(),
+        "webp": _webp() is not None,
+        "png": _png() is not None,
+        "tiff": _tiff() is not None,
+        "jpeg_shim": _jpeg_shim_lib() is not None,
+        "zstd": _zstd() is not None,
+        "lz4": _lz4() is not None,
+        "xz": _have_lzma(),
+    }
+
+
+def _have_lzma() -> bool:
+    try:
+        import lzma  # noqa: F401
+        return True
+    except ImportError:
+        return False

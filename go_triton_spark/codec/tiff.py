@@ -239,9 +239,18 @@ def _read_entries(data: bytes, ifd_off: int, bo: str) -> dict:
     return entries
 
 
-def parse_tiff(data: bytes) -> dict:
+def parse_tiff(data: bytes, prefer_native: "bool | None" = None) -> dict:
     """Decode the FIRST image of a TIFF file; returns the shared image
-    contract (width/height/n_pixels + (h, w, 3) RGB uint8 pixels)."""
+    contract (width/height/n_pixels + (h, w, 3) RGB uint8 pixels).
+
+    With ``prefer_native=True`` (or TRITON_NATIVE_DECODE=1) decode
+    routes through the system libtiff (codec/native.py) with
+    bit-identical output; misses fall back here."""
+    from go_triton_spark.codec import native as _native
+
+    m = _native.maybe_image("tiff", data, prefer_native)
+    if m is not None:
+        return m
     if len(data) < 8:
         raise ValueError("not a TIFF file (too short)")
     if data[:4] == b"II*\x00":

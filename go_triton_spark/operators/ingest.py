@@ -109,7 +109,13 @@ def text_lz4_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if doc_id % 173 == 11:
                     shard[min(22, len(shard) - 6)] ^= 0xFF
                 try:
-                    payload = frame_decompress(bytes(shard))
+                    # opt-in native fast path (TRITON_NATIVE_DECODE=1):
+                    # liblz4 when it accepts the frame, else the pure
+                    # decoder — which keeps the typed corrupt-skip
+                    from go_triton_spark.codec.native import \
+                        decompress_with_fallback
+                    payload = decompress_with_fallback(
+                        "lz4", bytes(shard), frame_decompress)
                 except Lz4Error:
                     continue  # corrupt-skip
                 rows.extend(_extract_records(doc_id, payload))
@@ -157,7 +163,10 @@ def text_xz_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if doc_id % 173 == 47:
                     shard[len(shard) // 2] ^= 0xFF
                 try:
-                    payload = xz_decompress(bytes(shard))
+                    from go_triton_spark.codec.native import \
+                        decompress_with_fallback
+                    payload = decompress_with_fallback(
+                        "xz", bytes(shard), xz_decompress)
                 except XzError:
                     continue  # corrupt-skip
                 rows.extend(_extract_records(doc_id, payload))
@@ -206,7 +215,10 @@ def text_zst_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if doc_id % 173 == 29:
                     shard = shard[:-1]
                 try:
-                    payload = decompress(shard)
+                    from go_triton_spark.codec.native import \
+                        decompress_with_fallback
+                    payload = decompress_with_fallback(
+                        "zstd", shard, decompress)
                 except ZstdError:
                     continue  # corrupt-skip
                 rows.extend(_extract_records(doc_id, payload))

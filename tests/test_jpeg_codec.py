@@ -20,7 +20,7 @@ import struct
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from go_triton_spark.codec.jpeg import (QUANT_LUMA_K1, ZIGZAG, build_jpeg,
@@ -318,6 +318,8 @@ def test_progressive_grayscale_and_truncation():
 
 @given(st.integers(0, 2000), st.integers(0, 255))
 @settings(max_examples=60, deadline=None)
+@example(pos=633, val=2)  # r10 find: flip empties the SOS body ->
+# IndexError instead of the contract ValueError (fixed in parse_jpeg)
 def test_progressive_byte_flip_fuzz(pos, val):
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
