@@ -100,21 +100,14 @@ def _driver_green_rounds() -> dict:
 # driver-green round reaches the noted round, the entry is ignored
 # (safe to leave behind; prune opportunistically).
 _PLAN_CHANGED = {
-    # r9: sign-of-zero normalization — `round(...) + 0` appended to
-    # the covariance/stddev/slope/intercept outputs on BOTH engines
-    # (judge-found -0.0 divergence on degenerate groups) — a real
-    # expression change after these queries' last greens.
-    "agg_covariance": 9,
-    "agg_stats": 9,
-    "agg_regression": 9,
-    # r9: per-operator spread recalibration (r8 verdict ask #4) —
-    # span explode now rows_per_task=2000; decontaminate rewritten to
-    # a one-row collect_set broadcast + arrays_overlap probe.
-    "dedup_span_exact": 9,
-    "curate_decontaminate": 9,
-    # r9: lossy VP8 wired in — odd docs now carry real VP8 key frames
-    # (codec/vp8.py) and the oracle gained the closed-form lossy branch.
-    "mm_webp_decode": 9,
+    # (r9 entries pruned in r10: every one re-greened in
+    # CORRECTNESS_r09, making them self-cleared no-ops.)
+    #
+    # r10: no registry query's physical plan changed — the native
+    # decode fast path (codec/native.py) is env-gated OFF for the
+    # driver gate and adds only a per-row Python branch inside the
+    # same mapInPandas stages; the archive race fixes live in cat/
+    # compact, which the oracle gate does not execute.
 }
 
 

@@ -109,7 +109,32 @@ class _VanishedMidWalk(FileNotFoundError):
     the file-level races."""
 
 
-def _prune_retrying(prune, attempts: int = 5):
+def _stable_listdir(path: str) -> list[str]:
+    """``os.listdir`` with a TORN-ENUMERATION guard.
+
+    A directory enumeration is not atomic against a concurrent
+    RENAME_EXCHANGE + rmtree: the walker can opendir the PRE-swap
+    inode, compact swaps the name and rmtrees the old contents, and
+    the in-flight getdents returns an EMPTY (or partial) view — with
+    no error. Empty is the silent-loss case: the hour contributes
+    zero files and the cat simply misses its rows (r10 matrix soak,
+    sink-compact pair: reproduced ~1 per 20 commits; partial views
+    are already loud because the vanished files 404 at read time).
+    Guard: snapshot (st_ino, st_mtime_ns) before and after the
+    listdir — any change means the name was swapped or an entry
+    landed/left mid-enumeration, so the walk must re-list fresh."""
+    before = os.stat(path)
+    names = sorted(os.listdir(path))
+    after = os.stat(path)
+    if (before.st_ino, before.st_mtime_ns) \
+            != (after.st_ino, after.st_mtime_ns):
+        raise _VanishedMidWalk(
+            f"{path} changed during enumeration (swap/ingest raced the "
+            f"walk); re-listing")
+    return names
+
+
+def _prune_retrying(prune, attempts: int = 8):
     """Run a pruning walk, re-listing from scratch when it observes a
     mid-walk removal. Bounded: a pathological expire loop still ends
     in a loud error, never a silent partial listing."""
@@ -255,7 +280,16 @@ class ArchiveStore:
                 return _hadoop_subdirs(self.spark, p)
         else:
             def _subdirs(p):
-                return (sorted(os.listdir(p)) if os.path.isdir(p) else [])
+                # torn-enumeration guard here too: expire/compact churn
+                # dentries in these dirs, and a torn client/date listing
+                # silently drops a whole date (same class as the hour
+                # walk — see _stable_listdir)
+                try:
+                    return _stable_listdir(p)
+                except _VanishedMidWalk:
+                    raise
+                except FileNotFoundError:
+                    return []
         def _prune() -> tuple[list[str], bool]:
             pruned: list[str] = []
             exists = (bool(_subdirs(stream_dir)) if is_uri
@@ -278,18 +312,25 @@ class ArchiveStore:
                 # RENAME_EXCHANGE swap — and Spark's listLeafFiles
                 # SWALLOWS the mid-listing FileNotFoundException,
                 # returning an empty hour: a concurrent cat silently
-                # LOST the whole partition's rows (caught by the
+                # LOST the whole partition's rows (caught by the r9
                 # four-way soak at full-suite load, reproduced 1-in-
-                # ~300 swaps by tools/stress — see test). With
-                # explicit files, a stale name fails the read LOUDLY
-                # (FILE_NOT_EXIST) and the documented single retry
-                # heals it; nothing is ever silently dropped. One
-                # os.scandir per hour dir, driver-side — the same
-                # cost Spark's own listing pays.
+                # ~300 swaps by tools/stress — see test). Explicit
+                # files close that hole only PARTIALLY: r10's matrix
+                # soak found the same swallow one level deeper
+                # (InMemoryFileIndex drops a vanished explicit path at
+                # planning — see the post-plan verification below) and
+                # a torn readdir that enumerates a swapped-out hour as
+                # EMPTY (see _stable_listdir). With all three guards,
+                # a racing swap either heals via a fresh re-list or
+                # fails LOUDLY (FILE_NOT_EXIST / FAILED_READ_FILE at
+                # execution, the documented one-retry class); nothing
+                # is ever silently dropped. One os.scandir per hour
+                # dir, driver-side — the same cost Spark's own
+                # listing pays.
                 files: list[str] = []
                 for ddir in pruned:
                     try:
-                        hours = sorted(os.listdir(ddir))
+                        hours = _stable_listdir(ddir)
                     except FileNotFoundError as exc:
                         # ddir is IN the requested range by construction
                         # (wanted is the prune condition), so the only
@@ -307,7 +348,7 @@ class ArchiveStore:
                             continue
                         hdir = os.path.join(ddir, hname)
                         try:
-                            names = sorted(os.listdir(hdir))
+                            names = _stable_listdir(hdir)
                         except (FileNotFoundError, NotADirectoryError) \
                                 as exc:
                             # same contract as the date dir above:
@@ -356,6 +397,30 @@ class ArchiveStore:
                     src = (self.spark.read
                            .option("basePath", self.root)
                            .parquet(*(pruned or [stream_dir])))
+                    if pruned and pruned[0].endswith(".parquet"):
+                        # POST-PLAN VERIFICATION (r10 matrix soak,
+                        # sink-compact pair): handing Spark explicit
+                        # file paths is NOT enough — InMemoryFileIndex
+                        # stats each path at planning and SILENTLY
+                        # DROPS ones a compact swap deleted in the
+                        # listdir-to-plan window (it swallows the
+                        # FileNotFoundException with a log warning, the
+                        # same swallow class the r9 fix closed one
+                        # level up). Reproduced: a cat lost an entire
+                        # hour with zero errors ~1 per 30 swaps. The
+                        # planned set must equal the handed set; any
+                        # shortfall re-lists fresh. After planning,
+                        # execution-time vanishes stay LOUD
+                        # (ignoreMissingFiles=false default).
+                        want = {os.path.basename(p) for p in pruned}
+                        got = {os.path.basename(p)
+                               for p in src.inputFiles()}
+                        if got != want:
+                            last = FileNotFoundError(
+                                "FileNotFound: planning dropped "
+                                f"{sorted(want - got)[:3]} (compact/"
+                                "expire raced the plan); re-listing")
+                            continue
                     last = None
                     break
                 except Exception as exc:  # noqa: BLE001
@@ -495,6 +560,19 @@ class ArchiveStore:
         n = 0
         for d in dirs:
             for base, _dirs, files in os.walk(d):
+                # NEVER descend into hidden/underscore dirs (r10 matrix
+                # soak find, sink-compact pair): os.walk was entering a
+                # concurrent compact's dot-prefixed staging and its
+                # _temporary task dirs, whose in-flight part files are
+                # trailer-less + unmanifested BY DESIGN — the sweep
+                # renamed them to .crash, compact's commit then staged
+                # an empty-looking dir, the exchange put it live, and
+                # the post-swap rmtree DESTROYED the hour's rows
+                # (permanent loss, reproduced ~1 in 20 commits). Files
+                # under hidden dirs are invisible to cat anyway, so
+                # they can never poison a replay — out of scope here.
+                _dirs[:] = [sub for sub in _dirs
+                            if not sub.startswith((".", "_"))]
                 for fn in files:
                     if fn.startswith(".") or not fn.endswith(".parquet"):
                         continue
@@ -615,6 +693,7 @@ class ArchiveStore:
         hot_cutoff = (_dt.datetime.now(tz=_dt.timezone.utc)
                       - _dt.timedelta(hours=min_age_hours))
         stats = {"hours": 0, "hours_skipped": 0, "hours_vanished": 0,
+                 "hours_contended": 0,
                  "files_before": 0, "files_after": 0, "bytes": 0}
         for hour_name in sorted(os.listdir(slice_dir)):
             hour_dir = os.path.join(slice_dir, hour_name)
@@ -647,10 +726,16 @@ class ArchiveStore:
                     # have RESURRECTED the date path after the rmtree,
                     # and retention's delete must stick
                     parent, base = os.path.split(hour_dir)
-                    for leftover in (f".{base}._compact_tmp",
-                                     f".{base}._compact_old"):
-                        shutil.rmtree(os.path.join(parent, leftover),
-                                      ignore_errors=True)
+                    try:
+                        names = os.listdir(parent)
+                    except FileNotFoundError:
+                        names = []
+                    for leftover in names:
+                        # unique-suffixed staging (r10): sweep every
+                        # attempt's dirs, not one fixed name
+                        if leftover.startswith(f".{base}._compact_"):
+                            shutil.rmtree(os.path.join(parent, leftover),
+                                          ignore_errors=True)
                     try:
                         if not os.listdir(parent):
                             os.rmdir(parent)
@@ -658,8 +743,44 @@ class ArchiveStore:
                         pass  # repopulated concurrently: leave it
                     stats["hours_vanished"] += 1
                     continue
+                if vanished_exc and os.path.isdir(hour_dir):
+                    # the hour is still THERE but a listed file is
+                    # gone: a concurrent compact won the swap while
+                    # this one was reading (crons racing the same
+                    # slice). The winner rewrote the same logical
+                    # rows, so skipping is lossless — count it so
+                    # operators see the contention (r10 matrix soak)
+                    stats["hours_contended"] += 1
+                    continue
                 raise
         return stats
+
+    @staticmethod
+    def _sweep_stale_staging(parent: str, base: str,
+                             max_age_s: float = 3600.0) -> None:
+        """Remove CRASH leftovers of compact staging (unique-suffixed
+        hidden dirs) older than ``max_age_s``. Fresh staging belongs
+        to a live concurrent compact and must not be touched — the
+        old unconditional rmtree of the fixed staging name was
+        exactly the cross-process corruption (see _compact_hour)."""
+        import shutil
+        import time as _time
+
+        prefix = f".{base}._compact_"
+        try:
+            names = os.listdir(parent)
+        except FileNotFoundError:
+            return
+        now = _time.time()
+        for name in names:
+            if not name.startswith(prefix):
+                continue
+            path = os.path.join(parent, name)
+            try:
+                if now - os.path.getmtime(path) > max_age_s:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue    # vanished / being swapped: not ours to clean
 
     def _compact_hour(self, hour_dir: str, target_file_mb: int,
                       stats: dict) -> None:
@@ -683,19 +804,45 @@ class ArchiveStore:
         # parsed as BOGUS PARTITION VALUES — a reader overlapping
         # the post-commit-pre-swap (or pre-rmtree) window counted
         # the hour twice (measured: 20 rows from a 10-row hour).
+        # UNIQUE-PER-ATTEMPT suffix (r10): two compact crons racing
+        # the same hour used to share ONE fixed staging name — B's
+        # entry rmtree deleted A's staged output mid-write, and A's
+        # exchange could put B's HALF-WRITTEN tmp live: silent row
+        # loss (reproduced by tools/stress_race_matrix.py before the
+        # fix). With unique names each attempt stages privately; the
+        # loser of the swap race just rewrites rows the winner
+        # already compacted (same logical content) and any mid-swap
+        # read fails LOUDLY and retries, never silently thinner.
+        import uuid
         parent, base = os.path.split(hour_dir)
-        tmp_dir = os.path.join(parent, f".{base}._compact_tmp")
-        old_dir = os.path.join(parent, f".{base}._compact_old")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        token = f"{os.getpid():x}_{uuid.uuid4().hex[:8]}"
+        tmp_dir = os.path.join(parent, f".{base}._compact_tmp.{token}")
+        old_dir = os.path.join(parent, f".{base}._compact_old.{token}")
+        self._sweep_stale_staging(parent, base)
+        import time as _t
+        def _audit(msg):
+            if os.environ.get("TRITON_COMPACT_AUDIT"):
+                try:
+                    ino_h = os.stat(hour_dir).st_ino
+                except OSError:
+                    ino_h = -1
+                try:
+                    ino_t = os.stat(tmp_dir).st_ino
+                except OSError:
+                    ino_t = -1
+                print(f"AUDIT t={_t.monotonic():.6f} {msg} hour_ino={ino_h} tmp_ino={ino_t}", flush=True)
+        _audit("pre-write")
         (self.spark.read.parquet(hour_dir)
              .repartitionByRange(n_out, "_archive_sort")
              .write.parquet(tmp_dir))
+        _audit("post-write")
         if _exchange_dirs(tmp_dir, hour_dir):
             # atomic exchange: the partition is NEVER absent; the
             # old files (now under the hidden tmp name) vanish only
             # from readers' pre-swap path lists — one retry heals
+            _audit("post-exchange pre-rmtree")
             shutil.rmtree(tmp_dir)
+            _audit("post-rmtree")
         else:
             # fallback pair of renames: a listing in the gap can
             # see the hour briefly absent

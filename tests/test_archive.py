@@ -428,3 +428,120 @@ def test_quarantine_selection_property(spark, tmp_path, files):
     assert left == expect_kept
     crashed = {f for f in os.listdir(hour) if f.startswith(".")}
     assert crashed == {f".{name}.crash" for name in expect_quarantined}
+
+
+# --- r10 matrix-soak race fixes -------------------------------------------
+
+def test_stable_listdir_detects_concurrent_change(tmp_path, monkeypatch):
+    """_stable_listdir must refuse an enumeration that interleaved with
+    a directory mutation (torn readdir against a compact swap+rmtree
+    returns an EMPTY view with no error — the r10 sink-compact find)."""
+    import go_triton_spark.plans.archive_store as A
+
+    d = tmp_path / "hour=05"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    assert A._stable_listdir(str(d)) == ["a.parquet"]
+
+    real_listdir = os.listdir
+
+    def mutating_listdir(path):
+        names = real_listdir(path)
+        (d / "landed-mid-walk.parquet").write_bytes(b"y")  # mtime bump
+        return names
+
+    monkeypatch.setattr(os, "listdir", mutating_listdir)
+    with pytest.raises(FileNotFoundError):   # _VanishedMidWalk subclass
+        A._stable_listdir(str(d))
+    monkeypatch.undo()
+    # and a name SWAP (new inode) is likewise refused
+    other = tmp_path / "other"
+    other.mkdir()
+
+    def swapping_listdir(path):
+        names = real_listdir(path)
+        os.rename(str(d), str(tmp_path / "gone"))
+        os.rename(str(other), str(d))
+        return names
+
+    monkeypatch.setattr(os, "listdir", swapping_listdir)
+    with pytest.raises(FileNotFoundError):
+        A._stable_listdir(str(d))
+
+
+def test_cat_survives_compact_between_listing_and_plan(
+        spark, store, sf_dir, monkeypatch):
+    """A compact swap landing in the listdir-to-plan window must not
+    silently thin the cat: Spark's InMemoryFileIndex DROPS explicit
+    file paths that vanished before its planning stat (swallowed
+    FileNotFoundException), so cat verifies the planned file set
+    against the handed set and re-lists on any shortfall (r10
+    sink-compact soak find — an entire hour vanished with zero
+    errors ~1 per 30 swaps before the check)."""
+    import go_triton_spark.plans.archive_store as A
+
+    ev = _events(spark, sf_dir).limit(20)
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=3)
+    for i in range(6):   # 6 small files -> compact rewrites to 1
+        store.ingest_dataframe(
+            ev.where(F.col("event_id") % 6 == i), "events", "archive",
+            when=when + dt.timedelta(seconds=i))
+    expected = store.cat("events", when.date()).count()
+    assert expected == 20
+
+    real = A._prune_retrying
+    state = {"raced": False}
+
+    def racy(prune, attempts=8):
+        res = real(prune, attempts)
+        if not state["raced"]:
+            state["raced"] = True
+            # the race: compact swaps the hour AFTER the listing was
+            # taken but BEFORE Spark plans the read
+            store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+        return res
+
+    monkeypatch.setattr(A, "_prune_retrying", racy)
+    out = store.cat("events", when.date()).count()
+    assert state["raced"], "race hook never fired"
+    assert out == expected, "cat silently lost rows to the plan race"
+
+
+def test_quarantine_never_descends_into_hidden_staging(
+        spark, store, sf_dir):
+    """The crash-residue sweep must skip hidden/underscore dirs: a
+    concurrent compact's staging holds trailer-less, unmanifested
+    in-flight files BY DESIGN, and quarantining them destroyed the
+    compacted hour (r10 matrix soak, sink-compact pair — permanent
+    row loss via an empty-staged swap). Files under hidden dirs are
+    invisible to cat, so they are out of the sweep's scope."""
+    ev = _events(spark, sf_dir).limit(5)
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=3)
+    store.ingest_dataframe(ev, "events", "archive", when=when)
+    ddir = os.path.join(
+        store.root, "stream=events", "client=archive",
+        f"date={when.strftime('%Y%m%d')}")
+    # a compact-staging twin mid-write: trailer-less part at its final
+    # name inside a hidden dir + a _temporary task dir
+    stage = os.path.join(ddir, f".hour={when.strftime('%H')}"
+                               "._compact_tmp.deadbeef")
+    task = os.path.join(stage, "_temporary", "0", "task_x")
+    os.makedirs(task)
+    inflight1 = os.path.join(stage, "part-00000-x.c000.snappy.parquet")
+    inflight2 = os.path.join(task, "part-00001-y.c000.snappy.parquet")
+    for p in (inflight1, inflight2):
+        with open(p, "wb") as fh:
+            fh.write(b"\x00" * 64)        # no PAR1 trailer
+    # and one REAL residue file in the visible hour dir
+    hour_dir = os.path.join(ddir, f"hour={when.strftime('%H')}")
+    residue = os.path.join(hour_dir, "part-00009-crash.c000.snappy.parquet")
+    with open(residue, "wb") as fh:
+        fh.write(b"\x00" * 64)
+    n = store.quarantine_crash_residue("events")
+    assert n == 1, "exactly the visible residue is swept"
+    assert os.path.exists(inflight1) and os.path.exists(inflight2), \
+        "staging files must never be touched"
+    assert not os.path.exists(residue)
+    assert os.path.exists(os.path.join(
+        hour_dir, ".part-00009-crash.c000.snappy.parquet.crash"))

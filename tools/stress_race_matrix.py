@@ -1,0 +1,283 @@
+"""Operation-pair race soak matrix (r9 verdict Next #5).
+
+Generalizes tools/stress_cat_compact.py (which reproduced + verified
+the r9 cat-vs-compact silent-row-loss fix) to EVERY maintenance pair
+that can race on a live archive:
+
+    cat-compact      readers vs fragmenting compact loop (r9 pair)
+    cat-expire       readers vs an ingest/expire retention churn
+    compact-compact  two compact crons racing the same slice
+                     (+ a fragmenter so real swaps keep happening)
+    sink-compact     streaming store micro-batch commits vs compact
+
+Invariant, every pair: a reader must FAIL LOUDLY (documented retry
+classes only) or HEAL — never return fewer rows than the stable set,
+and grow-only counters never go backwards. Writer-side transients are
+tolerated only in their documented classes (compact hours_vanished /
+hours_contended, expire-vs-staging).
+
+Before the r10 compact fix this harness's compact-compact leg could
+corrupt: both crons shared one FIXED staging name, so B's entry
+rmtree deleted A's staged output mid-write and A's RENAME_EXCHANGE
+could put B's half-written tmp live. Unique-per-attempt staging names
++ stale-only sweeping closed it (plans/archive_store.py).
+
+    python tools/stress_race_matrix.py [pair|all] [seconds-per-pair]
+"""
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_triton_spark.session import get_spark  # noqa: E402
+from go_triton_spark.engine import TritonEngine  # noqa: E402
+from go_triton_spark.config import load_config  # noqa: E402
+from go_triton_spark.types import EVENTS_SCHEMA  # noqa: E402
+
+UTC = dt.timezone.utc
+ROOT = "/tmp/stress_race_matrix"
+
+_RETRYABLE = ("FILE_NOT_EXIST", "FileNotFound", "PATH_NOT_FOUND",
+              "UNABLE_TO_INFER_SCHEMA",
+              # execution-time vanish of a planned file (compact swap
+              # between plan and open) — the archive's DOCUMENTED loud
+              # one-retry class (plans/archive_store.py compact
+              # docstring); loud-then-heal satisfies the invariant
+              "FAILED_READ_FILE")
+
+
+class Harness:
+    """One fresh archive per pair run."""
+
+    def __init__(self, spark):
+        shutil.rmtree(ROOT, ignore_errors=True)
+        os.makedirs(ROOT)
+        self.spark = spark
+        cfg = load_config(f"""events:
+  name: events
+  source: file
+  format: json
+  path: {ROOT}/incoming/events
+""")
+        self.eng = TritonEngine(spark, ROOT, config=cfg, client="archive")
+        self.now = dt.datetime.now(tz=UTC)
+        self.cold = self.now - dt.timedelta(hours=3)
+        self.old_date = (self.now - dt.timedelta(days=5))
+        self.stop = threading.Event()
+        self.problems: list[str] = []
+        self.ops = {"swaps": 0, "expires": 0, "commits": 0,
+                    "contended": 0}
+
+    def seed(self, when, start, n, files):
+        rows = [(i, dt.datetime(2020, 1, 1, tzinfo=UTC), i % 7, "click",
+                 float(i), {"k": "v"}) for i in range(start, start + n)]
+        df = self.spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+        for i in range(files):
+            self.eng.archive.ingest_dataframe(
+                df.where(f"event_id % {files} = {i}"), "events",
+                "archive", when=when + dt.timedelta(seconds=i))
+
+    # ---------------------------------------------------- writers
+
+    def compactor(self, id_base: int):
+        k = 0
+        while not self.stop.is_set():
+            try:
+                k += 1
+                self.seed(self.cold, id_base + k, 1, 1)  # fragment
+                st = self.eng.archive.compact(
+                    "events", self.cold.date(), "archive",
+                    min_age_hours=1.0)
+                self.ops["swaps"] += 1
+                self.ops["contended"] += st.get("hours_contended", 0)
+            except FileNotFoundError:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                if any(t in msg for t in _RETRYABLE):
+                    continue   # loud, documented, retried next loop
+                self.problems.append(
+                    f"compact: {type(exc).__name__}: {msg[:300]}")
+            time.sleep(0.02)
+
+    def expirer(self):
+        while not self.stop.is_set():
+            try:
+                self.seed(self.old_date, 50_000, 20, 2)
+                st = self.eng.archive.expire(
+                    "events", "archive",
+                    keep_after=(self.old_date
+                                + dt.timedelta(days=1)).date())
+                if st["dropped"]:
+                    self.ops["expires"] += 1
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                if any(t in msg for t in _RETRYABLE):
+                    continue
+                self.problems.append(
+                    f"expire: {type(exc).__name__}: {msg[:300]}")
+            time.sleep(0.01)
+
+    def sink(self):
+        """Repeated once-triggered store runs: each await_once lands a
+        micro-batch file + manifest commit that compact/cat race."""
+        k = 0
+        prod = self.eng.producer(batch_size=5)
+        while not self.stop.is_set():
+            try:
+                for i in range(5):
+                    prod.put("events", f"k{i}",
+                             {"event_id": 90_000 + 5 * k + i,
+                              "user_id": "u", "event_type": "click",
+                              "ts": dt.datetime.now(tz=UTC).isoformat(),
+                              "amount": 1.0})
+                prod.flush()
+                pipe = self.eng.store("events", schema=EVENTS_SCHEMA,
+                                      once=True)
+                pipe.await_once()
+                pipe.stop()
+                k += 1
+                self.ops["commits"] += 1
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                if any(t in msg for t in _RETRYABLE):
+                    continue
+                self.problems.append(
+                    f"sink: {type(exc).__name__}: {msg[:300]}")
+
+    # ---------------------------------------------------- readers
+
+    def reader(self, include_old: bool, watch_sink: bool):
+        lo = (self.old_date.date() if include_old
+              else self.cold.date())
+        hi = self.now.date()
+        prev_extra = 0
+        prev_sink = 0
+        while not self.stop.is_set():
+            try:
+                df = self.eng.cat("events", lo, hi, client="archive",
+                                  ordered=False)
+                row = (df.agg(
+                    F.count(F.when((F.col("event_id") >= 1000)
+                                   & (F.col("event_id") < 1120), 1))
+                     .alias("cold"),
+                    F.count(F.when((F.col("event_id") >= 5000)
+                                   & (F.col("event_id") < 50_000), 1))
+                     .alias("extra"),
+                    F.count(F.when(F.col("event_id") >= 90_000, 1))
+                     .alias("sunk")).collect()[0])
+            except Exception as exc:  # noqa: BLE001
+                msg = str(exc)
+                if any(t in msg for t in _RETRYABLE):
+                    continue   # documented loud retry class
+                self.problems.append(
+                    f"cat: {type(exc).__name__}: {msg[:2000]}")
+                continue
+            if row["cold"] != 120:
+                try:
+                    hours_seen = sorted(
+                        {os.path.basename(os.path.dirname(p))
+                         for p in df.inputFiles()})
+                except Exception:  # noqa: BLE001
+                    hours_seen = ["<inputFiles failed>"]
+                # snapshot disk truth at the loss instant
+                ddir = os.path.join(
+                    ROOT, "archive", "stream=events", "client=archive",
+                    f"date={self.cold.strftime('%Y%m%d')}")
+                disk = {}
+                try:
+                    for hn in sorted(os.listdir(ddir)):
+                        hp = os.path.join(ddir, hn)
+                        try:
+                            disk[hn] = len([x for x in os.listdir(hp)
+                                            if x.endswith(".parquet")
+                                            and not x.startswith(".")])
+                        except OSError as e:
+                            disk[hn] = f"<{type(e).__name__}>"
+                except OSError as e:
+                    disk = {"<ddir>": type(e).__name__}
+                # does a fresh cat heal?
+                try:
+                    heal = (self.eng.cat(
+                        "events", self.cold.date(), self.now.date(),
+                        client="archive", ordered=False)
+                        .where((F.col("event_id") >= 1000)
+                               & (F.col("event_id") < 1120)).count())
+                except Exception as e:  # noqa: BLE001
+                    heal = f"<{type(e).__name__}>"
+                self.problems.append(
+                    f"LOSS: stable cold window {row['cold']} != 120 "
+                    f"(extra={row['extra']} sunk={row['sunk']}) "
+                    f"plan_hours={hours_seen} disk={disk} reheal={heal}")
+            if row["extra"] < prev_extra:
+                self.problems.append(
+                    f"LOSS: fragment counter went {prev_extra} -> "
+                    f"{row['extra']}")
+            prev_extra = max(prev_extra, row["extra"])
+            if watch_sink:
+                if row["sunk"] < prev_sink:
+                    self.problems.append(
+                        f"LOSS: sink counter went {prev_sink} -> "
+                        f"{row['sunk']}")
+                prev_sink = max(prev_sink, row["sunk"])
+
+    # ------------------------------------------------------ pairs
+
+    def run_pair(self, pair: str, seconds: float) -> dict:
+        self.seed(self.cold, 1000, 120, 6)
+        if pair == "cat-compact":
+            writers = [lambda: self.compactor(5000)]
+            readers = [lambda: self.reader(False, False)] * 2
+        elif pair == "cat-expire":
+            writers = [self.expirer]
+            readers = [lambda: self.reader(False, False),
+                       lambda: self.reader(True, False)]
+        elif pair == "compact-compact":
+            writers = [lambda: self.compactor(5000),
+                       lambda: self.compactor(20_000)]
+            readers = [lambda: self.reader(False, False)] * 2
+        elif pair == "sink-compact":
+            writers = [self.sink, lambda: self.compactor(5000)]
+            readers = [lambda: self.reader(False, True)]
+        else:
+            raise SystemExit(f"unknown pair {pair!r}")
+        threads = [threading.Thread(target=f, daemon=True)
+                   for f in writers + readers]
+        for t in threads:
+            t.start()
+        deadline = time.time() + seconds
+        while time.time() < deadline and not self.problems:
+            time.sleep(0.5)
+        self.stop.set()
+        for t in threads:
+            t.join(30)
+        return {"pair": pair, **self.ops,
+                "problems": self.problems[:5]}
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
+    pairs = (["cat-compact", "cat-expire", "compact-compact",
+              "sink-compact"] if which == "all" else [which])
+    spark = get_spark("stress-race-matrix")
+    spark.sparkContext.setLogLevel("ERROR")
+    ok = True
+    for pair in pairs:
+        res = Harness(spark).run_pair(pair, seconds)
+        print("MATRIX", res, flush=True)
+        ok = ok and not res["problems"]
+    spark.stop()
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
