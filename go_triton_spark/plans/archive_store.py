@@ -819,18 +819,26 @@ class ArchiveStore:
         tmp_dir = os.path.join(parent, f".{base}._compact_tmp.{token}")
         old_dir = os.path.join(parent, f".{base}._compact_old.{token}")
         self._sweep_stale_staging(parent, base)
-        import time as _t
+
         def _audit(msg):
-            if os.environ.get("TRITON_COMPACT_AUDIT"):
+            # TRITON_COMPACT_AUDIT=1 traces the swap sequence with
+            # monotonic timestamps + inodes — the instrument that
+            # localized the r10 torn-enumeration race when correlated
+            # against tools/stress_race_matrix.py's watcher timeline.
+            # Off (the default) it is a single env check per call.
+            if not os.environ.get("TRITON_COMPACT_AUDIT"):
+                return
+            import time as _t
+
+            def _ino(p):
                 try:
-                    ino_h = os.stat(hour_dir).st_ino
+                    return os.stat(p).st_ino
                 except OSError:
-                    ino_h = -1
-                try:
-                    ino_t = os.stat(tmp_dir).st_ino
-                except OSError:
-                    ino_t = -1
-                print(f"AUDIT t={_t.monotonic():.6f} {msg} hour_ino={ino_h} tmp_ino={ino_t}", flush=True)
+                    return -1
+            print(f"AUDIT t={_t.monotonic():.6f} {msg} "
+                  f"hour_ino={_ino(hour_dir)} tmp_ino={_ino(tmp_dir)}",
+                  flush=True)
+
         _audit("pre-write")
         (self.spark.read.parquet(hour_dir)
              .repartitionByRange(n_out, "_archive_sort")
