@@ -264,15 +264,50 @@ def frame_compress(data: bytes, block_max_id: int = 4,
     return bytes(out)
 
 
+_SKIP_MAGIC_LO = 0x184D2A50     # skippable frames: 0x184D2A50..5F
+_SKIP_MAGIC_HI = 0x184D2A5F
+
+
 def frame_decompress(buf: bytes) -> bytes:
-    """Decode one LZ4 frame; verifies every checksum that is present."""
+    """Decode an LZ4 frame STREAM — one or more concatenated frames,
+    with skippable frames passed over — to the concatenated content,
+    verifying every checksum that is present. liblz4 semantics (r10):
+    the old single-frame decode silently IGNORED everything after the
+    first EndMark, so a concatenated shard lost its tail with no
+    error AND diverged from the native liblz4 fast path, which
+    decodes all frames. Trailing garbage now fails loudly."""
     if len(buf) < 7:
         raise Lz4Error("truncated LZ4 frame header")
-    (magic,) = struct.unpack_from("<I", buf, 0)
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if pos + 4 > len(buf):
+            raise Lz4Error("trailing garbage after LZ4 frame")
+        (magic,) = struct.unpack_from("<I", buf, pos)
+        if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+            if pos + 8 > len(buf):
+                raise Lz4Error("truncated LZ4 skippable frame header")
+            (sk,) = struct.unpack_from("<I", buf, pos + 4)
+            pos += 8 + sk
+            if pos > len(buf):
+                raise Lz4Error("truncated LZ4 skippable frame body")
+            continue
+        chunk, pos = _decode_one_frame(buf, pos)
+        out += chunk
+    return bytes(out)
+
+
+def _decode_one_frame(buf: bytes, start: int) -> "tuple[bytes, int]":
+    """Decode the single LZ4 frame at ``start``; returns (content,
+    offset just past the frame). Linked-block history is per-frame by
+    spec — it never crosses a frame boundary."""
+    if start + 7 > len(buf):
+        raise Lz4Error("truncated LZ4 frame header")
+    (magic,) = struct.unpack_from("<I", buf, start)
     if magic != _MAGIC:
         raise Lz4Error(f"bad LZ4 magic 0x{magic:08x}")
-    flg = buf[4]
-    bd = buf[5]
+    flg = buf[start + 4]
+    bd = buf[start + 5]
     if (flg >> 6) != 0x01:
         raise Lz4Error(f"unsupported LZ4 frame version {flg >> 6}")
     linked = not (flg >> 5) & 1   # liblz4's default mode
@@ -285,7 +320,7 @@ def frame_decompress(buf: bytes) -> bytes:
     bmax_id = (bd >> 4) & 0x07
     if bmax_id not in _BLOCK_MAX:
         raise Lz4Error(f"illegal block-max id {bmax_id}")
-    pos = 6
+    pos = start + 6
     declared = None
     if has_size:
         if pos + 8 > len(buf):
@@ -298,7 +333,7 @@ def frame_decompress(buf: bytes) -> bytes:
         raise Lz4Error("truncated LZ4 frame descriptor")
     hc = buf[pos]
     pos += 1
-    if hc != (xxh32(buf[4:pos - 1]) >> 8) & 0xFF:
+    if hc != (xxh32(buf[start + 4:pos - 1]) >> 8) & 0xFF:
         raise Lz4Error("LZ4 frame header checksum mismatch")
     out = bytearray()
     bmax = _BLOCK_MAX[bmax_id]
@@ -339,4 +374,4 @@ def frame_decompress(buf: bytes) -> bytes:
     if declared is not None and declared != len(out):
         raise Lz4Error("content size mismatch "
                        f"(declared {declared}, decoded {len(out)})")
-    return bytes(out)
+    return bytes(out), pos

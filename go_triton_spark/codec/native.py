@@ -609,6 +609,11 @@ def _zstd():
         lib.ZSTD_createDStream.restype = ctypes.c_void_p
         lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
         lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+        # argtypes REQUIRED: without them ctypes passes the 64-bit
+        # DStream handle as c_int — truncation segfault (same class
+        # as the TIFFGetField fix)
+        lib.ZSTD_decompressStream.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     except AttributeError:
         return None
     _zstd_lib = lib
@@ -639,19 +644,19 @@ def zstd_decompress_native(data: bytes) -> Optional[bytes]:
     if lib is None:
         return None
     csize = lib.ZSTD_getFrameContentSize(data, len(data))
-    if csize == 0:
-        return b"" if lib.ZSTD_decompress(None, 0, data, len(data)) == 0 \
-            else None
     if csize not in (_ZSTD_CONTENTSIZE_UNKNOWN, _ZSTD_CONTENTSIZE_ERROR) \
-            and csize <= 1 << 31:
+            and 0 < csize <= 1 << 31:
         out = ctypes.create_string_buffer(int(csize))
         got = lib.ZSTD_decompress(out, int(csize), data, len(data))
-        if lib.ZSTD_isError(got):
-            return None
-        return out.raw[:got]
+        if not lib.ZSTD_isError(got):
+            return out.raw[:got]
+        # fall through: e.g. CONCATENATED frames (header names only the
+        # first frame's size, so the one-shot dst is too small) — the
+        # streaming loop below decodes multi-frame streams correctly
     if csize == _ZSTD_CONTENTSIZE_ERROR:
         return None
-    # streaming: unknown content size (or implausibly large header)
+    # streaming: unknown/zero content size, implausibly large header,
+    # or a failed one-shot (multi-frame input)
     ds = lib.ZSTD_createDStream()
     if not ds:
         return None

@@ -327,3 +327,36 @@ def test_native_status_shape():
     st = native.native_status()
     assert set(st) == {"enabled_by_env", "webp", "png", "tiff",
                        "jpeg_shim", "zstd", "lz4", "xz"}
+
+
+@_lz4
+def test_lz4_concatenated_frames_agree_across_paths():
+    """r10 find: the pure decoder used to stop at the first EndMark,
+    silently dropping the tail of a concatenated shard AND diverging
+    from liblz4 (which decodes all frames). Both paths now decode the
+    whole stream, skip skippable frames, and reject trailing junk."""
+    import struct as _s
+    a, b = b"A" * 300, b"B" * 300
+    two = frame_compress(a) + frame_compress(b)
+    assert frame_decompress(two) == a + b
+    assert native.lz4_frame_decompress_native(two) == a + b
+    skip = _s.pack("<I", 0x184D2A50) + _s.pack("<I", 4) + b"meta"
+    mix = frame_compress(a) + skip + frame_compress(b)
+    assert frame_decompress(mix) == a + b
+    assert native.lz4_frame_decompress_native(mix) == a + b
+    from go_triton_spark.codec.lz4 import Lz4Error
+    with pytest.raises(Lz4Error):
+        frame_decompress(frame_compress(a) + b"junk")
+
+
+@_zstd
+def test_zstd_concatenated_frames_agree_across_paths():
+    """Concatenated zstd frames: the native one-shot (sized for the
+    FIRST frame only) must fall through to the streaming loop, not
+    give up — output equal to the pure decoder."""
+    import pyarrow as pa
+    codec = pa.Codec("zstd")
+    a, b = b"A" * 300, b"B" * 300
+    two = bytes(codec.compress(a)) + bytes(codec.compress(b))
+    assert zstd_decompress(two) == a + b
+    assert native.zstd_decompress_native(two) == a + b
