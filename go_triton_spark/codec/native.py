@@ -493,6 +493,38 @@ int triton_jpeg_decode_rgb(const unsigned char *data, size_t len,
 void triton_shim_free(void *p) { free(p); }
 """
 
+def _compile_shim(name: str, src: str, ldflags: "list[str]"):
+    """Compile a tiny C shim once per host (cached in the temp dir,
+    content-hashed, atomic against concurrent compiles) and load it.
+    None when gcc / headers / libs are unavailable — callers fall back
+    to the pure path."""
+    import hashlib
+    import subprocess
+    import tempfile
+
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(),
+                           f"triton_{name}_shim_{tag}.so")
+    if not os.path.exists(so_path):
+        cdir = tempfile.mkdtemp(prefix=f"triton_{name}_shim_")
+        csrc = os.path.join(cdir, "shim.c")
+        with open(csrc, "w") as fh:
+            fh.write(src)
+        tmp_so = os.path.join(cdir, "shim.so")
+        try:
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", csrc, "-o", tmp_so]
+                + ldflags,
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, so_path)    # atomic vs concurrent compiles
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        return ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+
 _jpeg_shim = None
 _jpeg_tried = False
 
@@ -503,29 +535,10 @@ def _jpeg_shim_lib():
     if _jpeg_tried:
         return _jpeg_shim
     _jpeg_tried = True
-    import hashlib
-    import subprocess
-    import tempfile
-
-    tag = hashlib.sha256(_JPEG_SHIM_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(),
-                           f"triton_jpeg_shim_{tag}.so")
-    if not os.path.exists(so_path):
-        cdir = tempfile.mkdtemp(prefix="triton_jpeg_shim_")
-        csrc = os.path.join(cdir, "shim.c")
-        with open(csrc, "w") as fh:
-            fh.write(_JPEG_SHIM_SRC)
-        tmp_so = os.path.join(cdir, "shim.so")
-        try:
-            subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", csrc, "-o", tmp_so,
-                 "-ljpeg"],
-                check=True, capture_output=True, timeout=120)
-            os.replace(tmp_so, so_path)    # atomic vs concurrent compiles
-        except (OSError, subprocess.SubprocessError):
-            return None
+    lib = _compile_shim("jpeg", _JPEG_SHIM_SRC, ["-ljpeg"])
+    if lib is None:
+        return None
     try:
-        lib = ctypes.CDLL(so_path)
         lib.triton_jpeg_decode_rgb.restype = ctypes.c_int
         lib.triton_jpeg_decode_rgb.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -579,6 +592,89 @@ def decode_jpeg_native(data: bytes) -> Optional[dict]:
         "subsampling": _SUBSAMPLING.get(hv.value, "other"),
         "pixels": px,
     }
+
+
+# ---------------------------------------------------------- crc32c
+#
+# The snappy FRAMING format (.tri archive bodies) checksums every
+# chunk with masked CRC32C; measured at the r10 HEAD the pure
+# table-driven CRC is ~99% of frame_decompress wall (167 of 175 ms on
+# a 1.8 MB payload — the numpy block decode itself is 1.7 ms). No
+# system library in this container exposes CRC32C (zlib's crc32 is
+# the wrong polynomial), so it gets the same treatment as libjpeg's
+# struct handshake: a tiny compiled shim — slice-by-8, table built at
+# load, ~1 GB/s, bit-identical to the pure implementation by
+# construction (same polynomial, pinned by tests).
+
+_CRC_SHIM_SRC = r"""
+#include <stddef.h>
+#include <stdint.h>
+
+static uint32_t T[8][256];
+static int ready = 0;
+
+static void crc_init(void) {
+    for (int i = 0; i < 256; i++) {
+        uint32_t c = (uint32_t)i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : (c >> 1);
+        T[0][i] = c;
+    }
+    for (int i = 0; i < 256; i++)
+        for (int s = 1; s < 8; s++)
+            T[s][i] = (T[s-1][i] >> 8) ^ T[0][T[s-1][i] & 0xFF];
+    ready = 1;
+}
+
+uint32_t triton_crc32c(const uint8_t *p, size_t n, uint32_t crc) {
+    if (!ready) crc_init();
+    crc = ~crc;
+    while (n && ((uintptr_t)p & 7)) { /* align to 8 */
+        crc = (crc >> 8) ^ T[0][(crc ^ *p++) & 0xFF];
+        n--;
+    }
+    while (n >= 8) {
+        uint64_t w = *(const uint64_t *)p ^ (uint64_t)crc;
+        crc = T[7][w & 0xFF] ^ T[6][(w >> 8) & 0xFF]
+            ^ T[5][(w >> 16) & 0xFF] ^ T[4][(w >> 24) & 0xFF]
+            ^ T[3][(w >> 32) & 0xFF] ^ T[2][(w >> 40) & 0xFF]
+            ^ T[1][(w >> 48) & 0xFF] ^ T[0][(w >> 56) & 0xFF];
+        p += 8;
+        n -= 8;
+    }
+    while (n--) crc = (crc >> 8) ^ T[0][(crc ^ *p++) & 0xFF];
+    return ~crc;
+}
+"""
+
+_crc_shim = None
+_crc_tried = False
+
+
+def _crc_shim_lib():
+    global _crc_shim, _crc_tried
+    if _crc_tried:
+        return _crc_shim
+    _crc_tried = True
+    lib = _compile_shim("crc32c", _CRC_SHIM_SRC, [])
+    if lib is None:
+        return None
+    try:
+        lib.triton_crc32c.restype = ctypes.c_uint32
+        lib.triton_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                      ctypes.c_uint32]
+    except AttributeError:
+        return None
+    _crc_shim = lib
+    return lib
+
+
+def crc32c_native(data: bytes, crc: int = 0) -> "Optional[int]":
+    """CRC32C via the compiled shim; None when unavailable."""
+    lib = _crc_shim_lib()
+    if lib is None:
+        return None
+    return int(lib.triton_crc32c(data, len(data), crc & 0xFFFFFFFF))
 
 
 # ------------------------------------------------- zstd / lz4 / xz
@@ -855,6 +951,7 @@ def native_status() -> dict:
         "png": _png() is not None,
         "tiff": _tiff() is not None,
         "jpeg_shim": _jpeg_shim_lib() is not None,
+        "crc32c_shim": _crc_shim_lib() is not None,
         "zstd": _zstd() is not None,
         "lz4": _lz4() is not None,
         "xz": _have_lzma(),

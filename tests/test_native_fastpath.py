@@ -326,7 +326,48 @@ def test_flag_off_never_touches_native(monkeypatch):
 def test_native_status_shape():
     st = native.native_status()
     assert set(st) == {"enabled_by_env", "webp", "png", "tiff",
-                       "jpeg_shim", "zstd", "lz4", "xz"}
+                       "jpeg_shim", "crc32c_shim", "zstd", "lz4", "xz"}
+
+
+# ------------------------------------------------------------ crc32c
+
+_crc = pytest.mark.skipif(not _ST.get("crc32c_shim"),
+                          reason="crc shim unavailable (no gcc?)")
+
+
+@_crc
+def test_crc32c_shim_bit_identical():
+    """The compiled slice-by-8 CRC32C (the .tri framing hot loop —
+    measured ~99% of frame_decompress wall in pure Python) must match
+    the table-driven pure implementation on every size class,
+    including the unaligned-head and sub-8-byte tails."""
+    from go_triton_spark.codec.snappy_codec import crc32c
+
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 7, 8, 9, 15, 63, 255, 4096, 99991):
+        d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert native.crc32c_native(d) == crc32c(d), n
+        # and on a misaligned view of the same buffer
+        assert native.crc32c_native(d[1:]) == crc32c(d[1:]), n
+
+
+@_crc
+def test_tri_snappy_framing_native_crc_equal(monkeypatch):
+    """frame_decompress output (and its loud checksum rejection) is
+    identical with the native CRC engaged."""
+    from go_triton_spark.codec.snappy_codec import SnappyError, \
+        frame_compress, frame_decompress
+
+    raw = b'{"doc": 1, "text": "quick brown fox"}\n' * 5000
+    fr = frame_compress(raw)
+    monkeypatch.setenv("TRITON_NATIVE_DECODE", "1")
+    assert frame_decompress(fr) == raw
+    bad = bytearray(fr)
+    bad[-10] ^= 0xFF                       # flip inside the last chunk
+    with pytest.raises(SnappyError):
+        frame_decompress(bytes(bad))
+    monkeypatch.delenv("TRITON_NATIVE_DECODE")
+    assert frame_decompress(fr) == raw
 
 
 @_lz4
