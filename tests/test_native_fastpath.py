@@ -401,3 +401,61 @@ def test_zstd_concatenated_frames_agree_across_paths():
     two = bytes(codec.compress(a)) + bytes(codec.compress(b))
     assert zstd_decompress(two) == a + b
     assert native.zstd_decompress_native(two) == a + b
+
+
+# ------------------------------------------------ property fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@_png
+@_webp
+@_tiff
+@given(st.integers(1, 48), st.integers(1, 48), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_image_native_equality(h, w, seed):
+    """Random planes through every bit-identical format: the native
+    path must agree with the pure decoders on pixels AND metadata for
+    arbitrary content/dimensions, not just the fixture shapes."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for data, parse in ((build_png(img), parse_png),
+                        (build_webp(img), parse_webp),
+                        (build_tiff(img, compression="lzw"), parse_tiff)):
+        _same_dict(parse(data), parse(data, prefer_native=True))
+
+
+@_zstd
+@_lz4
+@given(st.binary(max_size=5000), st.integers(0, 3))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_decompress_native_equality(payload, mode):
+    """Arbitrary payloads through zstd/lz4/xz: native decompress of a
+    valid frame equals the pure decoder byte-for-byte."""
+    import pyarrow as pa
+    if mode == 0:
+        comp = bytes(pa.Codec("zstd").compress(payload))
+        assert native.zstd_decompress_native(comp) == payload \
+            == zstd_decompress(comp)
+    elif mode == 1:
+        comp = frame_compress(payload)
+        assert native.lz4_frame_decompress_native(comp) == payload \
+            == frame_decompress(comp)
+    elif mode == 2:
+        comp = bytes(pa.Codec("lz4").compress(payload))
+        assert native.lz4_frame_decompress_native(comp) == payload \
+            == frame_decompress(comp)
+    else:
+        comp = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        assert native.xz_decompress_native(comp) == payload \
+            == xz_decompress(comp)
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_fuzz_crc32c_native_equality(data):
+    from go_triton_spark.codec.snappy_codec import crc32c
+    if native.crc32c_native(b"") is None:
+        pytest.skip("crc shim unavailable")
+    assert native.crc32c_native(data) == crc32c(data)
