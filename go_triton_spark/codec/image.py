@@ -72,7 +72,7 @@ def parse_image(data: bytes, prefer_native: "bool | None" = None) -> dict:
         return parse_jpeg(data, prefer_native)
     if fmt == "gif":
         from go_triton_spark.codec.gif import parse_gif
-        return parse_gif(data)
+        return parse_gif(data, prefer_native)
     if fmt == "tiff":
         from go_triton_spark.codec.tiff import parse_tiff
         return parse_tiff(data, prefer_native)

@@ -645,6 +645,73 @@ uint32_t triton_crc32c(const uint8_t *p, size_t n, uint32_t crc) {
     while (n--) crc = (crc >> 8) ^ T[0][(crc ^ *p++) & 0xFF];
     return ~crc;
 }
+
+/* GIF LZW decode — the one hot loop of parse_gif (everything else is
+ * numpy). Exact transcription of codec/gif.py's lzw_decode semantics:
+ * deferred clear (table freezes at 4096 entries), KwKwK, LSB-first
+ * packing, loud on over/underrun. Returns 1 on success filling
+ * out[0..expected); 0 on ANY deviation — the caller falls back to the
+ * pure decoder, which owns the typed error message. */
+int triton_gif_lzw_decode(const uint8_t *data, size_t dlen,
+                          int min_code_size, uint8_t *out,
+                          size_t expected) {
+    if (min_code_size < 2 || min_code_size > 8) return 0;
+    int clear = 1 << min_code_size, eoi = clear + 1;
+    uint16_t pfx[4097];
+    uint8_t sfx[4097], fst[4097], stack[4100];
+    for (int i = 0; i < clear; i++) {
+        pfx[i] = 0xFFFF; sfx[i] = (uint8_t)i; fst[i] = (uint8_t)i;
+    }
+    int next = clear + 2, width = min_code_size + 1, prev = -1;
+    uint32_t acc = 0; int nbits = 0;
+    size_t pos = 0, opos = 0;
+    for (;;) {
+        while (nbits < width) {
+            if (pos >= dlen) return 0;          /* truncated */
+            acc |= (uint32_t)data[pos++] << nbits;
+            nbits += 8;
+        }
+        int code = (int)(acc & ((1u << width) - 1u));
+        acc >>= width; nbits -= width;
+        if (code == clear) {
+            next = clear + 2; width = min_code_size + 1; prev = -1;
+            continue;
+        }
+        if (code == eoi) break;
+        if (prev < 0) {
+            if (code >= clear) return 0;        /* code before literal */
+            if (opos + 1 > expected) return 0;
+            out[opos++] = (uint8_t)code;
+            prev = code;
+        } else if (code < next && code != clear && code != eoi
+                   && (code < clear || code >= clear + 2)) {
+            int cur = code, sp = 0;
+            while (pfx[cur] != 0xFFFF) { stack[sp++] = sfx[cur]; cur = pfx[cur]; }
+            stack[sp++] = sfx[cur];
+            if (opos + (size_t)sp > expected) return 0;
+            for (int i = sp - 1; i >= 0; i--) out[opos++] = stack[i];
+            if (next <= 4095) {
+                pfx[next] = (uint16_t)prev; sfx[next] = fst[code];
+                fst[next] = fst[prev]; next++;
+            }
+            prev = code;
+        } else if (code == next && next <= 4095) { /* KwKwK */
+            int cur = prev, sp = 0;
+            stack[sp++] = fst[prev];
+            while (pfx[cur] != 0xFFFF) { stack[sp++] = sfx[cur]; cur = pfx[cur]; }
+            stack[sp++] = sfx[cur];
+            if (opos + (size_t)sp > expected) return 0;
+            for (int i = sp - 1; i >= 0; i--) out[opos++] = stack[i];
+            pfx[next] = (uint16_t)prev; sfx[next] = fst[prev];
+            fst[next] = fst[prev]; next++;
+            prev = next - 1;
+        } else {
+            return 0;                           /* code beyond table */
+        }
+        if (next == (1 << width) && width < 12) width++;
+    }
+    return opos == expected;
+}
 """
 
 _crc_shim = None
@@ -663,6 +730,10 @@ def _crc_shim_lib():
         lib.triton_crc32c.restype = ctypes.c_uint32
         lib.triton_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                       ctypes.c_uint32]
+        lib.triton_gif_lzw_decode.restype = ctypes.c_int
+        lib.triton_gif_lzw_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t]
     except AttributeError:
         return None
     _crc_shim = lib
@@ -675,6 +746,22 @@ def crc32c_native(data: bytes, crc: int = 0) -> "Optional[int]":
     if lib is None:
         return None
     return int(lib.triton_crc32c(data, len(data), crc & 0xFFFFFFFF))
+
+
+def gif_lzw_decode_native(data: bytes, min_code_size: int,
+                          expected: int) -> "Optional[bytes]":
+    """GIF LZW decode via the compiled shim (parse_gif's one hot
+    loop). None on shim absence or ANY stream deviation — the pure
+    decoder re-judges and raises its typed error."""
+    lib = _crc_shim_lib()
+    if lib is None or expected <= 0 or expected > 1 << 28:
+        return None
+    out = (ctypes.c_ubyte * expected)()
+    ok = lib.triton_gif_lzw_decode(data, len(data), min_code_size,
+                                   out, expected)
+    if not ok:
+        return None
+    return bytes(out)
 
 
 # ------------------------------------------------- zstd / lz4 / xz

@@ -459,3 +459,66 @@ def test_fuzz_crc32c_native_equality(data):
     if native.crc32c_native(b"") is None:
         pytest.skip("crc shim unavailable")
     assert native.crc32c_native(data) == crc32c(data)
+
+
+# -------------------------------------------------------------- gif
+
+_gifshim = pytest.mark.skipif(not _ST.get("crc32c_shim"),
+                              reason="util shim unavailable (no gcc?)")
+
+
+@_gifshim
+def test_gif_native_lzw_bit_identical():
+    """The compiled-shim GIF LZW (parse_gif's one hot loop — 24x on
+    random planes) must agree with the pure decoder across palette
+    sizes, interlace, KwKwK-heavy planes and table growth to 4096."""
+    from go_triton_spark.codec.gif import build_gif, parse_gif
+
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        kbits = int(rng.integers(2, 9))
+        ncol = 1 << kbits
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = (rng.integers(0, ncol, (h, w)).astype(np.uint8)
+               if trial % 2 else
+               (np.add.outer(np.arange(h), np.arange(w)) % ncol)
+               .astype(np.uint8))
+        g = build_gif(idx, pal, interlace=bool(trial % 3 == 0))
+        a = parse_gif(g)
+        b = parse_gif(g, prefer_native=True)
+        for k in ("pixels", "alpha"):
+            assert np.array_equal(a[k], b[k]), (trial, k)
+    # table growth through every width up to 4096 entries
+    big = (np.arange(200 * 300) % 251).astype(np.uint8).reshape(200, 300)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    g = build_gif(big, pal)
+    assert np.array_equal(parse_gif(g)["pixels"],
+                          parse_gif(g, prefer_native=True)["pixels"])
+
+
+@_gifshim
+@given(st.binary(min_size=1, max_size=3000), st.integers(2, 8))
+@settings(max_examples=50, deadline=None)
+def test_fuzz_gif_lzw_native_equality(raw, mcs):
+    """Round-trip fuzz on the raw LZW layer: shim decode of every
+    encoder output equals the pure decode AND the source bytes."""
+    from go_triton_spark.codec.gif import lzw_decode, lzw_encode
+
+    data = bytes(b & ((1 << mcs) - 1) for b in raw)
+    enc = lzw_encode(data, mcs)
+    assert native.gif_lzw_decode_native(enc, mcs, len(data)) \
+        == bytes(lzw_decode(enc, mcs, len(data))) == data
+
+
+@_gifshim
+def test_gif_corrupt_still_raises_with_flag_on(monkeypatch):
+    from go_triton_spark.codec.gif import build_gif, parse_gif
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (20, 20)).astype(np.uint8)
+    g = build_gif(idx, pal)
+    monkeypatch.setenv("TRITON_NATIVE_DECODE", "1")
+    with pytest.raises(ValueError):
+        parse_gif(g[:-8])              # truncated LZW/trailer
