@@ -222,10 +222,32 @@ def _png():
         lib.png_image_finish_read.argtypes = [
             ctypes.POINTER(_PngImage), ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_void_p]
+        lib.png_image_free.restype = None
+        lib.png_image_free.argtypes = [ctypes.POINTER(_PngImage)]
     except AttributeError:
         return None
     _png_lib = lib
     return lib
+
+
+_PNG_CM_CHUNKS = (b"gAMA", b"cHRM", b"sRGB", b"iCCP")
+
+
+def _png_has_color_management(data: bytes) -> bool:
+    """True when a color-management chunk precedes the pixel data —
+    the simplified libpng API would gamma/ICC-convert those, while
+    parse_png deliberately returns raw samples. Cheap header-side
+    chunk walk (CM chunks must appear before IDAT by spec)."""
+    pos = 8
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        if ctype in _PNG_CM_CHUNKS:
+            return True
+        if ctype in (b"IDAT", b"IEND"):
+            return False
+        pos += 12 + clen
+    return False
 
 
 def decode_png_native(data: bytes) -> Optional[dict]:
@@ -242,17 +264,28 @@ def decode_png_native(data: bytes) -> Optional[dict]:
     color_type = data[25]
     if bit_depth > 8:
         return None
+    if _png_has_color_management(data):
+        # gAMA/cHRM/sRGB/iCCP: libpng's simplified API CONVERTS pixel
+        # values toward sRGB while parse_png returns the raw samples —
+        # a silent flag-on/off divergence (review find). Pure path.
+        return None
     img = _PngImage()
     img.version = 1
     if not lib.png_image_begin_read_from_memory(ctypes.byref(img), data,
                                                 len(data)):
         return None
     if img.width * img.height > 1 << 28:   # decompression-bomb guard,
-        return None                        # same bound as the tiff path
+        # same bound as the tiff path; free the control struct
+        # begin_read allocated (review find: it leaked per bomb)
+        lib.png_image_free(ctypes.byref(img))
+        return None
     img.format = _PNG_FORMAT_RGBA
     buf = (ctypes.c_ubyte * (img.width * img.height * 4))()
     if not lib.png_image_finish_read(ctypes.byref(img), None, buf, 0,
                                      None):
+        # finish_read frees on its own error path and png_image_free
+        # is documented idempotent — safe either way
+        lib.png_image_free(ctypes.byref(img))
         return None
     rgba = np.frombuffer(bytes(buf), np.uint8) \
         .reshape(img.height, img.width, 4)
@@ -447,7 +480,10 @@ int triton_jpeg_decode_rgb(const unsigned char *data, size_t len,
                            char *errbuf) {
     struct jpeg_decompress_struct cinfo;
     struct shim_err jerr;
-    unsigned char *buf = NULL;
+    /* volatile: modified between setjmp and longjmp — without it the
+     * longjmp path sees the setjmp-time NULL (C11 7.13.2.1) and the
+     * image buffer leaks on every corrupt-scan JPEG (review find) */
+    unsigned char *volatile buf = NULL;
     memset(&cinfo, 0, sizeof cinfo);
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = shim_error_exit;
@@ -893,7 +929,7 @@ def _lz4():
         lib.LZ4F_decompress.restype = ctypes.c_size_t
         lib.LZ4F_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(_Lz4FDecompressOptions)]
         lib.LZ4F_isError.restype = ctypes.c_uint
@@ -913,6 +949,8 @@ def lz4_frame_decompress_native(data: bytes) -> Optional[bytes]:
     lib = _lz4()
     if lib is None:
         return None
+    if not data:
+        return None                        # pure decoder owns the error
     ctx = ctypes.c_void_p()
     err = lib.LZ4F_createDecompressionContext(ctypes.byref(ctx),
                                               _LZ4F_VERSION)
@@ -921,24 +959,37 @@ def lz4_frame_decompress_native(data: bytes) -> Optional[bytes]:
     try:
         chunks = []
         pos = 0
+        total = 0
+        # ONE copy of the input; advance with pointer arithmetic — the
+        # old per-iteration data[pos:] slice re-copied the remaining
+        # tail every 128 KiB chunk, O(n^2) on large frames (review)
+        src = (ctypes.c_char * len(data)).from_buffer_copy(data)
+        base = ctypes.addressof(src)
         buf = ctypes.create_string_buffer(1 << 17)
+        ret = None
         while pos < len(data):
             src_size = ctypes.c_size_t(len(data) - pos)
             dst_size = ctypes.c_size_t(len(buf))
             ret = lib.LZ4F_decompress(
-                ctx, buf, ctypes.byref(dst_size), data[pos:],
+                ctx, buf, ctypes.byref(dst_size),
+                ctypes.c_void_p(base + pos),
                 ctypes.byref(src_size), None)
             if lib.LZ4F_isError(ret):
                 return None
             if dst_size.value:
                 chunks.append(buf.raw[:dst_size.value])
+                total += dst_size.value
             if src_size.value == 0 and dst_size.value == 0:
                 return None                # no progress: truncated
             pos += src_size.value
-            if ret == 0 and pos >= len(data):
-                break
-            if sum(map(len, chunks)) > 1 << 33:
+            if total > 1 << 33:
                 return None
+        if ret != 0:
+            # input exhausted mid-frame: LZ4F still expects bytes — a
+            # TRUNCATED stream. Returning the partial output here
+            # silently diverged from the pure decoder's loud Lz4Error
+            # (review find); None re-judges via the pure path.
+            return None
         return b"".join(chunks)
     finally:
         lib.LZ4F_freeDecompressionContext(ctx)

@@ -288,7 +288,10 @@ class ArchiveStore:
                     return _stable_listdir(p)
                 except _VanishedMidWalk:
                     raise
-                except FileNotFoundError:
+                except (FileNotFoundError, NotADirectoryError):
+                    # NotADirectoryError keeps the old isdir() guard's
+                    # behavior: a stray FILE named like a partition dir
+                    # reads as empty, it doesn't crash every cat
                     return []
         def _prune() -> tuple[list[str], bool]:
             pruned: list[str] = []
@@ -743,13 +746,19 @@ class ArchiveStore:
                         pass  # repopulated concurrently: leave it
                     stats["hours_vanished"] += 1
                     continue
-                if vanished_exc and os.path.isdir(hour_dir):
+                missing_file = (isinstance(exc, FileNotFoundError)
+                                or "FILE_NOT_EXIST" in msg
+                                or "FileNotFound" in msg)
+                if missing_file and os.path.isdir(hour_dir):
                     # the hour is still THERE but a listed file is
                     # gone: a concurrent compact won the swap while
                     # this one was reading (crons racing the same
                     # slice). The winner rewrote the same logical
                     # rows, so skipping is lossless — count it so
-                    # operators see the contention (r10 matrix soak)
+                    # operators see the contention (r10 matrix soak).
+                    # STRICTLY missing-file class: a broader OSError
+                    # (EACCES/ENOSPC) here is a real failure and must
+                    # propagate, not be re-badged as contention
                     stats["hours_contended"] += 1
                     continue
                 raise

@@ -97,8 +97,6 @@ def test_webp_lossy_bit_identical():
     """The hot claim: native lossy = WebPDecodeYUV planes (proven
     bit-exact vs the pure decoder elsewhere) + the ENGINE'S integer
     YUV->RGB — so pixels AND the y/u/v plane keys match exactly."""
-    enc = pytest.importorskip("tests.test_vp8_codec", reason="enc helpers") \
-        if False else None  # helpers imported directly below
     from tests.test_vp8_codec import _encode_simple
 
     for trial, (h, w, q) in enumerate(((16, 16, 20), (33, 17, 60),
@@ -522,3 +520,42 @@ def test_gif_corrupt_still_raises_with_flag_on(monkeypatch):
     monkeypatch.setenv("TRITON_NATIVE_DECODE", "1")
     with pytest.raises(ValueError):
         parse_gif(g[:-8])              # truncated LZW/trailer
+
+
+# ------------------------------------------------ review-find pins
+
+@_lz4
+def test_lz4_truncated_frame_native_parity():
+    """A frame cut mid-block must NOT come back as silent partial
+    output from the native path (review find): the wrapper must land
+    on the pure decoder's loud Lz4Error either way."""
+    from go_triton_spark.codec.lz4 import Lz4Error
+    comp = frame_compress(b"payload " * 5000)
+    cut = comp[:len(comp) // 2]
+    assert native.lz4_frame_decompress_native(cut) is None
+    with pytest.raises(Lz4Error):
+        native.decompress_with_fallback("lz4", cut, frame_decompress,
+                                        prefer_native=True)
+    assert native.lz4_frame_decompress_native(b"") is None
+
+
+@_png
+def test_png_color_management_falls_back_to_pure():
+    """A gAMA chunk makes libpng's simplified API CONVERT samples
+    toward sRGB; the pure parser returns raw samples — the native
+    path must decline such files so flag on/off stays identical
+    (review find)."""
+    import struct as _s
+    import zlib
+
+    base = build_png(_img("grad", 12, 9))
+    gama = _s.pack(">I", 45455)
+    chunk = _s.pack(">I", 4) + b"gAMA" + gama \
+        + _s.pack(">I", zlib.crc32(b"gAMA" + gama) & 0xFFFFFFFF)
+    # insert right after IHDR (8-byte sig + 25-byte IHDR chunk)
+    data = base[:33] + chunk + base[33:]
+    assert native._png_has_color_management(data)
+    assert native.decode_png_native(data) is None
+    a = parse_png(data)
+    b = parse_png(data, prefer_native=True)
+    assert np.array_equal(a["pixels"], b["pixels"])
