@@ -202,10 +202,66 @@ class ArchiveStore:
             # narrow->wide convert per file)
             .withColumn("_archive_sort", F.lit(ts).cast("long"))
         )
-        (out.write.mode(mode)
-            .partitionBy(*_PARTITION_COLS)
-            .format(self.table_format)   # "parquet" == .parquet(root)
-            .save(self.root))
+        if mode != "append" or self.table_format != "parquet" \
+                or "://" in self.root:
+            # overwrite / manifest formats / object stores: the
+            # engine-native writer owns the commit protocol
+            (out.write.mode(mode)
+                .partitionBy(*_PARTITION_COLS)
+                .format(self.table_format)
+                .save(self.root))
+            return
+        # CONCURRENT-APPEND SAFETY on local parquet roots (r10
+        # expire-compact matrix find): two batch appends to the SAME
+        # root share Hadoop's {root}/_temporary staging, and the first
+        # job's cleanupJob recursively DELETES it — killing the second
+        # job's in-flight task files (loud TASK_WRITE_FAILED here; on
+        # a cluster a commit racing the delete can "succeed" having
+        # moved NOTHING — silent loss). Each ingest therefore writes
+        # to its own hidden staging dir (its private _temporary lives
+        # inside) and then RENAMES the part files into the shared
+        # partition tree: names are job-unique (part-<uuid>), renames
+        # are same-filesystem atomic, and a crash leaves only hidden
+        # residue swept by _sweep_stale_staging's age rule.
+        import shutil
+        import time as _time
+        import uuid
+
+        # sweep CRASH residue of prior ingests (age-gated like the
+        # compact staging sweep; fresh dirs belong to live jobs)
+        try:
+            now = _time.time()
+            for name in os.listdir(self.root):
+                if not name.startswith(".ingest_tmp."):
+                    continue
+                p = os.path.join(self.root, name)
+                try:
+                    if now - os.path.getmtime(p) > 3600.0:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+        except FileNotFoundError:
+            pass    # first-ever ingest: root created by the write below
+        staging = os.path.join(
+            self.root, f".ingest_tmp.{os.getpid():x}_{uuid.uuid4().hex[:8]}")
+        try:
+            (out.write.mode("overwrite")
+                .partitionBy(*_PARTITION_COLS)
+                .parquet(staging))
+            for base, dirs, files in os.walk(staging):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                rel = os.path.relpath(base, staging)
+                for fn in files:
+                    if fn.startswith((".", "_")) \
+                            or not fn.endswith(".parquet"):
+                        continue
+                    dest_dir = (self.root if rel == "." else
+                                os.path.join(self.root, rel))
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.rename(os.path.join(base, fn),
+                              os.path.join(dest_dir, fn))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     # -------------------------------------------------------------- read
 

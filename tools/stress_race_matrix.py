@@ -246,6 +246,14 @@ class Harness:
         elif pair == "sink-compact":
             writers = [self.sink, lambda: self.compactor(5000)]
             readers = [lambda: self.reader(False, True)]
+        elif pair == "expire-compact":
+            # the two maintenance crons racing on the same stream tree:
+            # expire churns an old date while compact swaps the cold
+            # hour — compact's vanished-hour branch and expire's
+            # staging sweep are the surfaces under test
+            writers = [self.expirer, lambda: self.compactor(5000)]
+            readers = [lambda: self.reader(False, False),
+                       lambda: self.reader(True, False)]
         else:
             raise SystemExit(f"unknown pair {pair!r}")
         threads = [threading.Thread(target=f, daemon=True)
@@ -266,7 +274,8 @@ def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
     pairs = (["cat-compact", "cat-expire", "compact-compact",
-              "sink-compact"] if which == "all" else [which])
+              "sink-compact", "expire-compact"]
+             if which == "all" else [which])
     spark = get_spark("stress-race-matrix")
     spark.sparkContext.setLogLevel("ERROR")
     ok = True
