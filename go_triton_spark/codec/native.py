@@ -360,11 +360,60 @@ def _bind_tiff(lib):
 _ORIENTATION_TOPLEFT = 1
 
 
+def _tiff_pure_compatible(data: bytes) -> bool:
+    """True when the first IFD is within parse_tiff's accept set.
+    libtiff decodes compressions (JPEG-in-TIFF, CCITT, …), extra
+    configurations (tiles, planar, 16-bit) and APPLIES Orientation —
+    all of which the pure decoder either rejects loudly or treats
+    differently. Without this gate TRITON_NATIVE_DECODE=1 silently
+    widens/changes the accept set (r11 advice; mirrors the PNG
+    color-management guard). A False routes to the pure path, which
+    owns the loud rejection."""
+    import struct as _struct
+
+    from go_triton_spark.codec import tiff as _t
+
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return False
+    try:
+        (ifd_off,) = _struct.unpack_from(bo + "I", data, 4)
+        tags = _t._read_entries(data, ifd_off, bo)
+    except (ValueError, _struct.error):
+        return False
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return default if not v else v[0]
+
+    photo = one(262)
+    spp = one(277, 1)
+    return (
+        one(259, 1) in _t._SUPPORTED_COMP
+        and photo in (0, 1, 2, 3)
+        # photo 2 with spp>3: libtiff may treat the 4th sample as
+        # (possibly associated) alpha; pure ignores it — narrow to
+        # exactly 3. Gray/palette must be spp==1 (pure rejects more).
+        and (spp == 3 if photo == 2 else spp == 1)
+        and all(b == 8 for b in tags.get(258, (8,) * spp))
+        and one(317, 1) in (1, 2)
+        and one(274, 1) == 1        # pure ignores Orientation entirely
+        and one(284, 1) == 1        # chunky only (pure assumes it)
+        and one(339, 1) == 1        # unsigned-int samples only
+        and one(266, 1) == 1        # FillOrder: MSB-first only
+        and 273 in tags and 279 in tags   # strips, not tiles
+    )
+
+
 def decode_tiff_native(data: bytes) -> Optional[dict]:
     """First IFD via TIFFReadRGBAImageOriented (top-left origin, so no
-    flip) over an in-memory TIFFClientOpen stream."""
+    flip) over an in-memory TIFFClientOpen stream. Gated by
+    _tiff_pure_compatible so the flag never widens the accept set."""
     lib = _tiff()
-    if lib is None:
+    if lib is None or not _tiff_pure_compatible(data):
         return None
     # silence libtiff's default stderr handlers once per process
     lib.TIFFSetErrorHandler(None)
@@ -498,6 +547,16 @@ int triton_jpeg_decode_rgb(const unsigned char *data, size_t len,
     jpeg_create_decompress(&cinfo);
     jpeg_mem_src(&cinfo, (unsigned char *)data, (unsigned long)len);
     jpeg_read_header(&cinfo, TRUE);
+    /* parse_jpeg accepts Huffman SOF0/SOF2 only; libjpeg would also
+     * decode arithmetic-coded streams, silently widening the accept
+     * set under the flag — reject them here so flag-on row/skip
+     * counts match the pure path (r11 advice; the Python pre-scan in
+     * decode_jpeg_native is the first line, this is defense in depth
+     * for callers reaching the shim directly). */
+    if (cinfo.arith_code) {
+        strcpy(jerr.msg, "arithmetic-coded JPEG (pure path rejects)");
+        longjmp(jerr.jb, 1);
+    }
     cinfo.out_color_space = cinfo.num_components == 1 ? JCS_GRAYSCALE
                                                       : JCS_RGB;
     cinfo.do_fancy_upsampling = FALSE;
@@ -592,6 +651,42 @@ def _jpeg_shim_lib():
 _SUBSAMPLING = {0x11: "4:4:4", 0x21: "4:2:2", 0x22: "4:2:0"}
 
 
+def _jpeg_pure_compatible(data: bytes) -> bool:
+    """True when the frame type is one parse_jpeg ACCEPTS (Huffman
+    SOF0/SOF2, 8-bit precision). libjpeg also decodes SOF1 (extended
+    sequential) and arithmetic-coded streams — without this pre-scan
+    the flag would silently WIDEN the accept set and flag-on row/skip
+    counts could differ from the pure path on wild inputs (r11
+    advice; same divergence class the PNG color-management guard
+    closes). A False here routes to the pure decoder, which either
+    rejects loudly (the parity case) or — if this conservative scan
+    mis-classified — decodes correctly at pure speed."""
+    i, n = 2, len(data)
+    while i + 2 <= n:
+        if data[i] != 0xFF:
+            return False                   # marker desync: pure classifies
+        m = data[i + 1]
+        if m == 0xFF:                      # fill byte
+            i += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # TEM / RSTn / SOI: bare
+            i += 2
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            # first SOF marker decides; precision byte follows the
+            # 2-byte segment length
+            return m in (0xC0, 0xC2) and i + 5 <= n and data[i + 4] == 8
+        if m in (0xD9, 0xDA):              # EOI/SOS before any SOF
+            return False
+        if i + 4 > n:
+            return False
+        seglen = (data[i + 2] << 8) | data[i + 3]
+        if seglen < 2:
+            return False
+        i += 2 + seglen
+    return False
+
+
 def decode_jpeg_native(data: bytes) -> Optional[dict]:
     """libjpeg decode via the compiled shim. NOTE: conforming but not
     bit-identical to parse_jpeg — T.81 leaves IDCT precision to the
@@ -599,7 +694,8 @@ def decode_jpeg_native(data: bytes) -> Optional[dict]:
     libjpeg: islow integer IDCT) — measured per-channel delta is
     within +-2 (tests/test_native_fastpath.py pins it)."""
     lib = _jpeg_shim_lib()
-    if lib is None or data[:3] != b"\xff\xd8\xff":
+    if lib is None or data[:3] != b"\xff\xd8\xff" \
+            or not _jpeg_pure_compatible(data):
         return None
     out = ctypes.POINTER(ctypes.c_ubyte)()
     w, h = ctypes.c_int(), ctypes.c_int()

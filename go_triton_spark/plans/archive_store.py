@@ -244,24 +244,32 @@ class ArchiveStore:
             pass    # first-ever ingest: root created by the write below
         staging = os.path.join(
             self.root, f".ingest_tmp.{os.getpid():x}_{uuid.uuid4().hex[:8]}")
-        try:
-            (out.write.mode("overwrite")
-                .partitionBy(*_PARTITION_COLS)
-                .parquet(staging))
-            for base, dirs, files in os.walk(staging):
-                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-                rel = os.path.relpath(base, staging)
-                for fn in files:
-                    if fn.startswith((".", "_")) \
-                            or not fn.endswith(".parquet"):
-                        continue
-                    dest_dir = (self.root if rel == "." else
-                                os.path.join(self.root, rel))
-                    os.makedirs(dest_dir, exist_ok=True)
-                    os.rename(os.path.join(base, fn),
-                              os.path.join(dest_dir, fn))
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        # On FAILURE the staging dir is deliberately LEFT IN PLACE
+        # (r11 advice): the rename loop is non-atomic across part
+        # files, so a mid-loop error (e.g. concurrent expire removed
+        # the destination date dir) leaves some files live and some
+        # staged. Deleting the staged remainder would force the loud
+        # retry to re-ingest EVERYTHING, duplicating the already-moved
+        # rows; preserving it lets an operator (or a smarter retry)
+        # complete the move instead. The age-gated sweep above reaps
+        # abandoned residue after an hour — hidden names never list,
+        # so readers are unaffected either way.
+        (out.write.mode("overwrite")
+            .partitionBy(*_PARTITION_COLS)
+            .parquet(staging))
+        for base, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            rel = os.path.relpath(base, staging)
+            for fn in files:
+                if fn.startswith((".", "_")) \
+                        or not fn.endswith(".parquet"):
+                    continue
+                dest_dir = (self.root if rel == "." else
+                            os.path.join(self.root, rel))
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(os.path.join(base, fn),
+                          os.path.join(dest_dir, fn))
+        shutil.rmtree(staging, ignore_errors=True)
 
     # -------------------------------------------------------------- read
 
@@ -730,9 +738,6 @@ class ArchiveStore:
         ``compact`` safe to run as a cron next to a live ``store``
         with no coordination.
         """
-        import math
-        import shutil
-
         self._require_parquet("compact")
         if "://" in self.root:
             # rename-based swaps cannot be atomic on object stores
@@ -783,18 +788,18 @@ class ArchiveStore:
                 if vanished_exc and not os.path.isdir(hour_dir):
                     # drop any staging leftovers: the tmp write may
                     # have RESURRECTED the date path after the rmtree,
-                    # and retention's delete must stick
+                    # and retention's delete must stick. AGE-GATED
+                    # (r11 advice): "hour absent" is also the transient
+                    # window of a PEER compact's fallback double-rename
+                    # — an unconditional rmtree here deleted the peer's
+                    # _compact_old (sole copy) and _compact_tmp (new
+                    # copy), destroying the hour with zero errors. The
+                    # age rule leaves fresh (= live peer) staging alone;
+                    # retention is already effective for readers (hidden
+                    # names never list) and the residue is reaped by the
+                    # next sweep once stale.
                     parent, base = os.path.split(hour_dir)
-                    try:
-                        names = os.listdir(parent)
-                    except FileNotFoundError:
-                        names = []
-                    for leftover in names:
-                        # unique-suffixed staging (r10): sweep every
-                        # attempt's dirs, not one fixed name
-                        if leftover.startswith(f".{base}._compact_"):
-                            shutil.rmtree(os.path.join(parent, leftover),
-                                          ignore_errors=True)
+                    self._sweep_stale_staging(parent, base)
                     try:
                         if not os.listdir(parent):
                             os.rmdir(parent)
@@ -827,25 +832,51 @@ class ArchiveStore:
         hidden dirs) older than ``max_age_s``. Fresh staging belongs
         to a live concurrent compact and must not be touched — the
         old unconditional rmtree of the fixed staging name was
-        exactly the cross-process corruption (see _compact_hour)."""
+        exactly the cross-process corruption (see _compact_hour).
+
+        Only ``._compact_tmp.*`` dirs are ever DELETED. A stale
+        ``._compact_old.*`` dir is an INTEGRITY SIGNAL, not garbage: a
+        fallback swap that crashed between rename(hour->old) and
+        rename(tmp->hour) leaves old as the SOLE copy of the hour
+        (r11 advice — the age sweep used to reap it, a permanent
+        silent loss). Recovery: if the hour name is free, rename old
+        back into place (lossless — old holds exactly the pre-compact
+        rows); if the hour was recreated meanwhile, leave the residue
+        and warn loudly so an operator reconciles instead of the
+        sweep destroying data."""
         import shutil
         import time as _time
+        import warnings
 
-        prefix = f".{base}._compact_"
+        tmp_prefix = f".{base}._compact_tmp."
+        old_prefix = f".{base}._compact_old."
         try:
             names = os.listdir(parent)
         except FileNotFoundError:
             return
         now = _time.time()
         for name in names:
-            if not name.startswith(prefix):
-                continue
             path = os.path.join(parent, name)
             try:
-                if now - os.path.getmtime(path) > max_age_s:
-                    shutil.rmtree(path, ignore_errors=True)
+                stale = now - os.path.getmtime(path) > max_age_s
             except OSError:
                 continue    # vanished / being swapped: not ours to clean
+            if not stale:
+                continue    # fresh: a live concurrent compact owns it
+            if name.startswith(tmp_prefix):
+                shutil.rmtree(path, ignore_errors=True)
+            elif name.startswith(old_prefix):
+                try:
+                    # fails (ENOTEMPTY/EEXIST) when the hour exists —
+                    # exactly the case where restoring would collide
+                    os.rename(path, os.path.join(parent, base))
+                except OSError:
+                    warnings.warn(
+                        f"stale compact residue {path} could not be "
+                        f"restored over an existing {base}; it may hold "
+                        "rows from an interrupted swap — reconcile "
+                        "manually (never auto-deleted)",
+                        RuntimeWarning, stacklevel=2)
 
     def _compact_hour(self, hour_dir: str, target_file_mb: int,
                       stats: dict) -> None:
@@ -920,7 +951,19 @@ class ArchiveStore:
             # fallback pair of renames: a listing in the gap can
             # see the hour briefly absent
             os.rename(hour_dir, old_dir)
-            os.rename(tmp_dir, hour_dir)
+            try:
+                os.rename(tmp_dir, hour_dir)
+            except OSError:
+                # old_dir is now the SOLE copy of the hour — put it
+                # back before propagating so no crash window leaves
+                # the rows only under a hidden name (r11 advice; the
+                # stale-old sweep recovery is the backstop if this
+                # rename also fails, e.g. the parent vanished)
+                try:
+                    os.rename(old_dir, hour_dir)
+                except OSError:
+                    pass
+                raise
             shutil.rmtree(old_dir)
         stats["hours"] += 1
         stats["files_before"] += len(files)

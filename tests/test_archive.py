@@ -545,3 +545,134 @@ def test_quarantine_never_descends_into_hidden_staging(
     assert not os.path.exists(residue)
     assert os.path.exists(os.path.join(
         hour_dir, ".part-00009-crash.c000.snappy.parquet.crash"))
+
+
+def test_sweep_never_deletes_compact_old_residue(tmp_path):
+    """A stale ``._compact_old.*`` dir can be the SOLE copy of an hour
+    (fallback swap crashed between its two renames) — the sweep must
+    RESTORE it when the hour name is free, warn-and-keep when the hour
+    was recreated, and still reap stale ``._compact_tmp.*`` (r11
+    advice items 1+2)."""
+    import time
+    import warnings
+
+    parent = tmp_path / "date=20260101"
+    parent.mkdir()
+    base = "hour=03"
+    old = parent / f".{base}._compact_old.abc_1"
+    tmp = parent / f".{base}._compact_tmp.abc_1"
+    for d in (old, tmp):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    stale = time.time() - 7200
+    os.utime(old, (stale, stale))
+    os.utime(tmp, (stale, stale))
+
+    ArchiveStore._sweep_stale_staging(str(parent), base)
+    assert not tmp.exists(), "stale tmp staging is crash garbage"
+    hour = parent / base
+    assert hour.is_dir() and (hour / "part-0.parquet").exists(), \
+        "sole-copy old residue is restored to the hour name"
+
+    # hour now EXISTS: a second stale old residue must be kept + warned
+    old2 = parent / f".{base}._compact_old.abc_2"
+    old2.mkdir()
+    (old2 / "part-1.parquet").write_bytes(b"y")
+    os.utime(old2, (stale, stale))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ArchiveStore._sweep_stale_staging(str(parent), base)
+    assert old2.exists(), "possible sole copy is never auto-deleted"
+    assert any("reconcile" in str(w.message) for w in caught)
+
+    # FRESH staging (live concurrent compact) is untouched either way
+    fresh_tmp = parent / f".{base}._compact_tmp.abc_3"
+    fresh_tmp.mkdir()
+    ArchiveStore._sweep_stale_staging(str(parent), base)
+    assert fresh_tmp.exists()
+
+
+def test_vanished_hour_branch_spares_live_peer_staging(
+        spark, store, sf_dir, monkeypatch):
+    """compact's expire-vanished classification must not rmtree FRESH
+    peer staging: "hour absent" is also the transient window of a
+    peer's fallback double-rename, and deleting its _compact_old there
+    destroyed the hour silently (r11 advice item 1, medium)."""
+    import shutil as _sh
+
+    import go_triton_spark.plans.archive_store as A
+
+    ev = _events(spark, sf_dir).limit(8)
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=5)
+    store.ingest_dataframe(ev, "events", "archive", when=when)
+    # second file so compact rewrites rather than skips
+    store.ingest_dataframe(_events(spark, sf_dir).limit(3),
+                           "events", "archive", when=when)
+    ddir = os.path.join(
+        store.root, "stream=events", "client=archive",
+        f"date={when.strftime('%Y%m%d')}")
+    base = f"hour={when.strftime('%H')}"
+    hour_dir = os.path.join(ddir, base)
+    # fresh staging of a hypothetical live peer compact
+    peer_old = os.path.join(ddir, f".{base}._compact_old.peer_1")
+    os.makedirs(peer_old)
+    with open(os.path.join(peer_old, "part-peer.parquet"), "wb") as fh:
+        fh.write(b"z")
+
+    orig = A.ArchiveStore._compact_hour
+
+    def exploding(self, hd, mb, stats):
+        # simulate: peer's fallback swap has the hour ABSENT while this
+        # compact's rewrite fails with a missing-path error
+        _sh.rmtree(hd)
+        raise FileNotFoundError(f"simulated vanish of {hd}")
+
+    monkeypatch.setattr(A.ArchiveStore, "_compact_hour", exploding)
+    stats = store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+    monkeypatch.setattr(A.ArchiveStore, "_compact_hour", orig)
+    assert stats["hours_vanished"] == 1
+    assert os.path.isdir(peer_old), \
+        "fresh peer staging survives the vanished-hour sweep"
+    assert not os.path.isdir(hour_dir)
+
+
+def test_ingest_failure_preserves_staging_for_recovery(
+        spark, store, sf_dir, monkeypatch):
+    """A mid-loop rename failure must leave the private staging dir in
+    place (r11 advice item 4): deleting it forces a full re-ingest
+    that duplicates the already-renamed part files."""
+    ev = _events(spark, sf_dir).limit(5)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        if "/.ingest_tmp." in src and src.endswith(".parquet"):
+            calls["n"] += 1
+            raise OSError("simulated rename failure (dest dir expired)")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    when = dt.datetime.now(tz=UTC)
+    with pytest.raises(OSError, match="simulated"):
+        store.ingest_dataframe(ev, "events", "archive", when=when)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert calls["n"] >= 1
+    staged = [n for n in os.listdir(store.root)
+              if n.startswith(".ingest_tmp.")]
+    assert staged, "staging preserved for operator/retry recovery"
+    # completing the move by hand recovers every staged row exactly
+    import shutil as _sh
+    stage_root = os.path.join(store.root, staged[0])
+    for cur, dirs, files in os.walk(stage_root):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        rel = os.path.relpath(cur, stage_root)
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                dest = (store.root if rel == "." else
+                        os.path.join(store.root, rel))
+                os.makedirs(dest, exist_ok=True)
+                real_rename(os.path.join(cur, fn), os.path.join(dest, fn))
+    _sh.rmtree(stage_root)
+    got = store.cat("events", when.date(), client="archive").count()
+    assert got == 5

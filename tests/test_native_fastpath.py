@@ -559,3 +559,93 @@ def test_png_color_management_falls_back_to_pure():
     a = parse_png(data)
     b = parse_png(data, prefer_native=True)
     assert np.array_equal(a["pixels"], b["pixels"])
+
+
+# ------------------------------------- accept-set parity guards (r11)
+#
+# The flag must never WIDEN the accept set: libtiff/libjpeg decode
+# configurations the pure decoders loudly reject (orientation, tiles,
+# planar, JPEG-in-TIFF, SOF1, arithmetic coding), so flag-on row/skip
+# counts could diverge on wild inputs without these gates — the same
+# divergence class the PNG color-management guard closes.
+
+def _mini_tiff(extra_tags=()):
+    """Header + one IFD with the baseline tag set (no pixel data —
+    the gate reads only the IFD)."""
+    import struct as s
+    base = [(256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 8),
+            (277, 3, 1, 1), (279, 4, 1, 16)]
+    tags = {t[0]: t for t in base}
+    for t in extra_tags:
+        tags[t[0]] = t
+    entries = sorted(tags.values())
+    out = s.pack("<4sI", b"II*\x00", 8)
+    out += s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += s.pack("<HHII", tag, typ, cnt, val)
+    out += s.pack("<I", 0)
+    return out
+
+
+def test_tiff_gate_accepts_pure_set_only():
+    gate = native._tiff_pure_compatible
+    assert gate(_mini_tiff())
+    assert gate(_mini_tiff([(259, 3, 1, 5)]))          # LZW
+    assert not gate(_mini_tiff([(259, 3, 1, 7)]))      # JPEG-in-TIFF
+    assert not gate(_mini_tiff([(274, 3, 1, 6)]))      # Orientation
+    assert not gate(_mini_tiff([(284, 3, 1, 2)]))      # planar
+    assert not gate(_mini_tiff([(258, 3, 1, 16)]))     # 16-bit
+    assert not gate(_mini_tiff([(266, 3, 1, 2)]))      # FillOrder lsb
+    assert not gate(_mini_tiff([(339, 3, 1, 3)]))      # float samples
+    # RGB with an extra (alpha) sample: pure ignores it, libtiff may
+    # premultiply — must route pure
+    assert not gate(_mini_tiff([(262, 3, 1, 2), (277, 3, 1, 4)]))
+    assert gate(_mini_tiff([(262, 3, 1, 2), (277, 3, 1, 3)]))
+    # tiled (no strip offsets): drop tag 273
+    import struct as s
+    tiled = _mini_tiff()
+    assert not gate(tiled.replace(
+        s.pack("<HHII", 273, 4, 1, 8), s.pack("<HHII", 322, 3, 1, 16)))
+    assert not gate(b"II*\x00")                        # truncated
+
+
+def _sof_stream(sof_marker, precision=8):
+    import struct as s
+    seg = bytes([0xFF, sof_marker]) + s.pack(">H", 11) \
+        + bytes([precision]) + s.pack(">HH", 4, 4) + bytes([1, 0x11, 0])
+    return (b"\xff\xd8" + b"\xff\xe0" + b"\x00\x04\x00\x00"  # APP0
+            + seg + b"\xff\xd9")
+
+
+def test_jpeg_gate_accepts_pure_set_only():
+    gate = native._jpeg_pure_compatible
+    assert gate(_sof_stream(0xC0))
+    assert gate(_sof_stream(0xC2))
+    assert not gate(_sof_stream(0xC1)), "SOF1: libjpeg-only"
+    assert not gate(_sof_stream(0xC9)), "arithmetic sequential"
+    assert not gate(_sof_stream(0xCA)), "arithmetic progressive"
+    assert not gate(_sof_stream(0xC3)), "lossless"
+    assert not gate(_sof_stream(0xC0, precision=12)), "12-bit"
+    assert not gate(b"\xff\xd8\xff\xd9"), "no SOF at all"
+    # real encoder output (baseline + progressive) passes the gate
+    from go_triton_spark.codec.jpeg import build_jpeg
+    assert gate(build_jpeg(_img("grad", 16, 16)))
+    assert gate(build_jpeg(_img("grad", 16, 16), progressive=True))
+
+
+@_tiff
+def test_tiff_gate_no_regression_on_builder_output():
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        data = build_tiff(_img("grad", 9, 7), compression=comp)
+        assert native._tiff_pure_compatible(data)
+        assert native.decode_tiff_native(data) is not None
+
+
+@_jpeg
+def test_jpeg_native_declines_what_pure_rejects():
+    # gate-rejected stream: native returns None (pure path owns the
+    # loud rejection) even though libjpeg could decode some of these
+    assert native.decode_jpeg_native(_sof_stream(0xC1)) is None
+    with pytest.raises(ValueError):
+        parse_jpeg(_sof_stream(0xC1), prefer_native=True)
