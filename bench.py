@@ -156,6 +156,36 @@ def main() -> int:
     # through the noop sink — no driver collect anywhere.
     import statistics
 
+    # HOST-DRIFT CANARY (r11 verdict ask #3): the r10 tail saw three
+    # identical-code serial runs inflate 53->65->79 s from external
+    # host contention, and the drifted run overwrote the clean twin.
+    # Enforce the prose protocol in the tool: probe q1 (median of 3
+    # after one warmup) against the pinned clean-window reference
+    # (BENCH_REF.json) and stamp drift_ratio into the artifact; when
+    # drift > 1.15 the self-copy is rerouted to BENCH_SELF.drifted.json
+    # so a contended run can never masquerade as the twin of record.
+    drift_ratio = None
+    drift_probe = None
+    drift_ref = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_REF.json")) as fh:
+            ref = json.load(fh)
+        ref_name, drift_ref = ref["query"], float(ref["seconds"])
+    except (OSError, ValueError, KeyError):
+        ref_name = None
+    sf_is_ref = sf.replace(".", "").isdigit() and float(sf) == 0.1
+    if ref_name in REGISTRY and drift_ref and sf_is_ref:
+        probe_runs = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            (REGISTRY[ref_name].spark(spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            if i > 0:    # first pass = warmup, matching the suite rule
+                probe_runs.append(time.perf_counter() - t0)
+        drift_probe = round(statistics.median(probe_runs), 3)
+        drift_ratio = round(drift_probe / drift_ref, 3)
+
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     warmups = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)
     timings: dict[str, float] = {}
@@ -193,6 +223,10 @@ def main() -> int:
         "warmup": warmups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if drift_ratio is not None:
+        out["drift_ratio"] = drift_ratio
+        out["drift_probe_q1"] = drift_probe
+        out["drift_ref_q1"] = drift_ref
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
@@ -203,8 +237,11 @@ def main() -> int:
     # script — committed with the round, so the judge always has an
     # intact copy even if the recorded BENCH_r{N}.json is clipped.
     try:
+        fname = ("BENCH_SELF.drifted.json"
+                 if drift_ratio is not None and drift_ratio > 1.15
+                 else "BENCH_SELF.json")
         self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_SELF.json")
+                                 fname)
         with open(self_path, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
