@@ -103,11 +103,10 @@ _PLAN_CHANGED = {
     # (r9 entries pruned in r10: every one re-greened in
     # CORRECTNESS_r09, making them self-cleared no-ops.)
     #
-    # r10: no registry query's physical plan changed — the native
-    # decode fast path (codec/native.py) is env-gated OFF for the
-    # driver gate and adds only a per-row Python branch inside the
-    # same mapInPandas stages; the archive race fixes live in cat/
-    # compact, which the oracle gate does not execute.
+    # r11: the per-char posexplode + window stack was replaced by a
+    # single map-only Arrow rolling-hash pass (verdict #4) — same
+    # boundaries, new physical plan.
+    "text_cdc_chunks": 11,
 }
 
 

@@ -566,54 +566,56 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per-doc chunk count and max chunk length; a dedup pass
     would hash each chunk (dedup_span_exact's shape) downstream.
 
-    All JVM-side: per-char posexplode, the rolling hash as three lag()
-    reads over ONE (doc_id)-keyed window exchange, boundary filter,
-    chunk lengths from a second lag over boundaries (same
-    partitioning), then a map-side-combinable per-doc aggregate. No
-    Python; the hash never overflows int64 (max codepoint * 2^24).
-
-    At 100 TB the explode inflates rows 1000x but never crosses an
-    exchange unkeyed — everything hashes on doc_id; production CDC
-    over multi-MB blobs would swap the explode for an Arrow pass,
-    same downstream plan.
+    Arrow rolling-hash pass (r11, verdict #4 — the production shape
+    the previous docstring promised): ONE mapInPandas over the scan,
+    zero shuffles. The per-char posexplode it replaces inflated rows
+    1000x and paid a (doc_id)-keyed window exchange plus three lag()
+    reads PER CHARACTER; here each Arrow batch's texts become a
+    uint32 codepoint array and the 4-gram hash / residue test / chunk
+    lengths are whole-array numpy — same boundaries bit-for-bit (the
+    DuckDB oracle is unchanged). At 100 TB this is map-only: chunking
+    parallelism is the scan partitioning, no exchange at any size.
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
     (d,) = tables(spark, sf_dir, "documents")
-    chars = (
-        d.select("doc_id", F.length("text").alias("n"),
-                 F.posexplode(F.split("text", ""))
-                  .alias("p0", "ch"))
-        .where(F.col("ch") != "")
-        .select("doc_id", "n", (F.col("p0") + 1).alias("p"),
-                # long, not int: a non-ASCII codepoint (up to 0x10FFFF)
-                # times 2^24 overflows int32 under ANSI arithmetic
-                F.ascii("ch").cast("long").alias("c")))
-    w = Window.partitionBy("doc_id").orderBy("p")
-    hashed = chars.withColumn(
-        "h",
-        F.lag("c", 3).over(w) * 16777216 + F.lag("c", 2).over(w) * 65536
-        + F.lag("c", 1).over(w) * 256 + F.col("c"))
-    bounds = hashed.where((F.col("p") >= 4) & (F.col("p") < F.col("n"))
-                          & (F.col("h") % 64 == 0))
-    wb = Window.partitionBy("doc_id").orderBy("p")
-    wall = Window.partitionBy("doc_id")
-    lens = bounds.select(
-        "doc_id", "n",
-        (F.col("p") - F.coalesce(F.lag("p").over(wb), F.lit(0)))
-        .alias("clen"),
-        (F.col("n") - F.max("p").over(wall)).alias("tail_len"))
-    agg = lens.groupBy("doc_id").agg(
-        (F.count("*") + 1).alias("n_chunks"),
-        F.greatest(F.max("clen"), F.max("tail_len"))
-         .alias("max_chunk_len"))
-    return (
-        d.select("doc_id", F.length("text").alias("len"))
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_chunks",
-                       F.when(F.col("len") > 0, 1).otherwise(0))
-             .cast("long").alias("n_chunks"),
-            F.coalesce("max_chunk_len", F.col("len"))
-             .cast("long").alias("max_chunk_len")))
+
+    def chunk_stats(batches):
+        import numpy as np
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            n_chunks = np.zeros(len(pdf), np.int64)
+            max_len = np.zeros(len(pdf), np.int64)
+            for i, s in enumerate(pdf["text"]):
+                if s is None:
+                    continue
+                # utf-32-le = one true codepoint per char, matching
+                # ascii()/ord() semantics in the oracle
+                cp = np.frombuffer(s.encode("utf-32-le"),
+                                   np.uint32).astype(np.int64)
+                n = cp.size
+                if n == 0:
+                    continue
+                if n >= 4:
+                    h = ((cp[:-3] << 24) + (cp[1:-2] << 16)
+                         + (cp[2:-1] << 8) + cp[3:])
+                    # h[j] is the hash ENDING at 1-based position j+4;
+                    # cuts need p in [4, n-1] (never cut at the end)
+                    p = np.nonzero(h % 64 == 0)[0] + 4
+                    if p.size and p[-1] == n:
+                        p = p[:-1]
+                else:
+                    p = np.empty(0, np.int64)
+                if p.size:
+                    lens = np.diff(p, prepend=0)
+                    n_chunks[i] = p.size + 1
+                    max_len[i] = max(int(lens.max()), int(n - p[-1]))
+                else:
+                    n_chunks[i] = 1
+                    max_len[i] = n
+            yield pd.DataFrame({"doc_id": ids, "n_chunks": n_chunks,
+                                "max_chunk_len": max_len})
+
+    return d.select("doc_id", "text").mapInPandas(
+        chunk_stats,
+        schema="doc_id long, n_chunks long, max_chunk_len long")
