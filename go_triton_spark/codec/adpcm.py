@@ -43,6 +43,15 @@ def decode_ima(nibbles, predictor: int, index: int) -> np.ndarray:
     """Decode a nibble sequence from an initial (predictor, index)
     state. Returns int64 samples, one per nibble — the block header
     sample is NOT included (callers prepend it)."""
+    # Opt-in native fast path (r11): the shim runs the identical state
+    # machine; None (shim absent / bad index) falls through to the
+    # pure loop, which owns the loud rejection.
+    from go_triton_spark.codec import native as _native
+
+    if _native.native_enabled(None):
+        got = _native.ima_decode_native(nibbles, predictor, index)
+        if got is not None:
+            return got
     out = np.empty(len(nibbles), dtype=np.int64)
     pred = int(predictor)
     idx = int(index)

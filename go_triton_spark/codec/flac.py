@@ -44,13 +44,34 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
-def _crc16(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _crc16_table() -> list:
+    out = []
+    for i in range(256):
+        crc = i << 8
         for _ in range(8):
             crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
                 else (crc << 1) & 0xFFFF
+        out.append(crc)
+    return out
+
+
+_CRC16_TABLE = _crc16_table()
+
+
+def _crc16(data: bytes) -> int:
+    # table-driven (8x fewer Python ops than bit-at-a-time — this runs
+    # over EVERY frame byte); the native shim leg covers flag-on runs
+    if len(data) > 4096:
+        from go_triton_spark.codec import native as _native
+
+        if _native.native_enabled(None):
+            v = _native.crc16_8005_native(data)
+            if v is not None:
+                return v
+    crc = 0
+    tab = _CRC16_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFF00) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -317,7 +338,7 @@ def parse_flac(data: bytes) -> dict:
         raise ValueError("missing STREAMINFO")
     sample_rate, nch, bps, total = streaminfo
 
-    chans_all: list[list[int]] = [[] for _ in range(nch)]
+    chans_all: list[list[np.ndarray]] = [[] for _ in range(nch)]
     decoded = 0
     # STREAMINFO total-samples == 0 means UNKNOWN (spec), not empty:
     # decode frames until the input is exhausted instead of silently
@@ -433,10 +454,13 @@ def parse_flac(data: bytes) -> dict:
             subs = [(m + side) >> 1, (m - side) >> 1]
         take = blocksize if unknown_total else min(blocksize, total - decoded)
         for ci in range(nch):
-            chans_all[ci].extend(int(v) for v in subs[ci][:take])
+            chans_all[ci].append(
+                np.asarray(subs[ci][:take], dtype=np.int64))
         decoded += take
 
-    samples = np.array(chans_all, dtype=np.int64).T
+    samples = np.stack(
+        [np.concatenate(c) if c else np.empty(0, np.int64)
+         for c in chans_all]).T if nch else np.empty((0, 0), np.int64)
     lim = 1 << (bps - 1)
     if samples.size and (samples.max() >= lim or samples.min() < -lim):
         raise ValueError("decoded samples exceed declared bit depth")
@@ -453,6 +477,24 @@ def _predicted(br: _BitReader, blocksize: int, sbps: int, order: int,
                coefs, shift: int, warm=None) -> np.ndarray:
     if warm is None:
         warm = [br.sbits(sbps) for _ in range(order)]
+    # Opt-in native fast path (r11, same contract as the image legs):
+    # the Rice + predictor loops run in the compiled shim,
+    # bit-identical by transcription; ANY deviation returns None and
+    # the pure loop below re-decodes from the same bit position and
+    # raises its typed error — flag-on never changes accept/reject.
+    from go_triton_spark.codec import native as _native
+
+    if _native.native_enabled(None):
+        got = _native.flac_predicted_native(
+            br.data, br.pos * 8 - br.n, blocksize, order, coefs,
+            shift, warm)
+        if got is not None:
+            out, newbit = got
+            br.pos = (newbit + 7) // 8
+            br.n = br.pos * 8 - newbit
+            br.acc = (br.data[br.pos - 1] & ((1 << br.n) - 1)
+                      if br.n else 0)
+            return out
     method = br.bits(2)
     if method > 1:
         raise ValueError(f"reserved residual method {method}")

@@ -844,6 +844,169 @@ int triton_gif_lzw_decode(const uint8_t *data, size_t dlen,
     }
     return opos == expected;
 }
+
+/* IMA ADPCM nibble decode (codec/adpcm.py decode_ima) — the one
+ * per-sample Python loop of the ADPCM/WAV-0x11 path. Stateful integer
+ * machine from the public IMA spec (89-entry step table, index
+ * adaptation, sign-applied fractional steps); exact transcription,
+ * bit-identical by construction. Returns 1 on success; 0 on a bad
+ * initial index (callers fall back to the pure path's ValueError). */
+int triton_ima_decode(const uint8_t *nib, long long n,
+                      int predictor, int index, int64_t *out) {
+    static const int STEP[89] = {
+        7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,
+        55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,
+        279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,
+        1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,
+        3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+        11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,
+        29794,32767};
+    static const int ADJ[8] = {-1,-1,-1,-1,2,4,6,8};
+    if (index < 0 || index > 88) return 0;
+    int pred = predictor, idx = index;
+    for (long long j = 0; j < n; j++) {
+        int v = nib[j] & 0x0F;
+        int step = STEP[idx];
+        int diff = step >> 3;
+        if (v & 1) diff += step >> 2;
+        if (v & 2) diff += step >> 1;
+        if (v & 4) diff += step;
+        pred = (v & 8) ? pred - diff : pred + diff;
+        if (pred < -32768) pred = -32768;
+        else if (pred > 32767) pred = 32767;
+        idx += ADJ[v & 7];
+        if (idx < 0) idx = 0;
+        else if (idx > 88) idx = 88;
+        out[j] = pred;
+    }
+    return 1;
+}
+
+/* CRC-16/BUYPASS-style poly 0x8005, init 0, MSB-first — FLAC's frame
+ * CRC (codec/flac.py _crc16). Runs over every frame byte, so it is
+ * the second-largest pure cost after the residual loops. */
+uint32_t triton_crc16_8005(const uint8_t *p, size_t n) {
+    static uint16_t T16[256];
+    static int r16 = 0;
+    if (!r16) {
+        for (int i = 0; i < 256; i++) {
+            uint16_t c = (uint16_t)(i << 8);
+            for (int k = 0; k < 8; k++)
+                c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005)
+                                 : (uint16_t)(c << 1);
+            T16[i] = c;
+        }
+        r16 = 1;
+    }
+    uint16_t crc = 0;
+    while (n--)
+        crc = (uint16_t)((crc << 8) ^ T16[((crc >> 8) ^ *p++) & 0xFF]);
+    return crc;
+}
+
+/* FLAC predicted-subframe residual + predictor — the Rice-decode and
+ * fixed/LPC loops that dominate parse_flac wall (codec/flac.py
+ * _predicted, transcribed exactly: method/porder/params, 4- or 5-bit
+ * Rice with escape-to-raw, zigzag, int64 predictor accumulate with
+ * arithmetic shift — bit-identical by construction, pinned by
+ * tests/test_native_fastpath.py). Returns the new absolute BIT
+ * position on success; a NEGATIVE code on any deviation (truncation,
+ * reserved method, bad partition order, runaway unary) — the caller
+ * falls back to the pure path, which owns the typed ValueError. */
+typedef struct { const uint8_t *d; long long nbytes; long long bit; } fbr;
+
+static int fbr_bits(fbr *b, int len, uint64_t *out) {
+    if (b->bit + len > b->nbytes * 8) return 0;     /* truncated */
+    uint64_t v = 0;
+    while (len > 0) {
+        int boff = (int)(b->bit & 7);
+        int take = 8 - boff;
+        if (take > len) take = len;
+        uint8_t byte = b->d[b->bit >> 3];
+        v = (v << take)
+            | ((uint64_t)(byte >> (8 - boff - take)) & ((1u << take) - 1u));
+        b->bit += take;
+        len -= take;
+    }
+    *out = v;
+    return 1;
+}
+
+static int fbr_unary(fbr *b, int *q) {
+    int n = 0;
+    long long limit = b->nbytes * 8;
+    for (;;) {
+        if (b->bit >= limit) return 0;              /* truncated */
+        int bit = (b->d[b->bit >> 3] >> (7 - (b->bit & 7))) & 1;
+        b->bit++;
+        if (bit) { *q = n; return 1; }
+        if (++n > (1 << 20)) return -1;             /* runaway */
+    }
+}
+
+long long triton_flac_predicted(const uint8_t *data, long long nbytes,
+                                long long bitpos, int blocksize,
+                                int order, const int64_t *coefs,
+                                int shift, const int64_t *warm,
+                                int64_t *out) {
+    fbr b = { data, nbytes, bitpos };
+    uint64_t v;
+    if (blocksize <= 0 || order < 0 || order > blocksize || shift < 0
+        || bitpos < 0 || bitpos > nbytes * 8)
+        return -1;
+    if (!fbr_bits(&b, 2, &v)) return -2;            /* truncated */
+    if (v > 1) return -3;                           /* reserved method */
+    int pbits = v == 0 ? 4 : 5;
+    int escape = (1 << pbits) - 1;
+    if (!fbr_bits(&b, 4, &v)) return -2;
+    int porder = (int)v;
+    int nparts = 1 << porder;
+    if (blocksize % nparts
+        || (((blocksize >> porder) <= order) && porder))
+        return -4;                                  /* bad partition order */
+    long long idx = 0;
+    for (int i = 0; i < order; i++) out[idx++] = warm[i];
+    for (int p = 0; p < nparts; p++) {
+        long long count = (long long)(blocksize >> porder)
+                          - (p == 0 ? order : 0);
+        if (count < 0) return -5;                   /* negative count */
+        if (!fbr_bits(&b, pbits, &v)) return -2;
+        int param = (int)v;
+        if (param == escape) {
+            if (!fbr_bits(&b, 5, &v)) return -2;
+            int raw = (int)v;
+            for (long long k = 0; k < count; k++) {
+                int64_t r = 0;
+                if (raw) {
+                    if (!fbr_bits(&b, raw, &v)) return -2;
+                    r = (int64_t)v;
+                    if (r >= ((int64_t)1 << (raw - 1)))
+                        r -= (int64_t)1 << raw;
+                }
+                out[idx++] = r;
+            }
+        } else {
+            for (long long k = 0; k < count; k++) {
+                int q, rc = fbr_unary(&b, &q);
+                if (rc == 0) return -2;
+                if (rc < 0) return -6;              /* runaway unary */
+                uint64_t u = (uint64_t)q;
+                if (param) {
+                    if (!fbr_bits(&b, param, &v)) return -2;
+                    u = (u << param) | v;
+                }
+                out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+            }
+        }
+    }
+    for (long long i = order; i < blocksize; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++)
+            pred += coefs[j] * out[i - 1 - j];
+        out[i] += shift ? (pred >> shift) : pred;
+    }
+    return b.bit;
+}
 """
 
 _crc_shim = None
@@ -866,6 +1029,19 @@ def _crc_shim_lib():
         lib.triton_gif_lzw_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t]
+        lib.triton_ima_decode.restype = ctypes.c_int
+        lib.triton_ima_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+        lib.triton_crc16_8005.restype = ctypes.c_uint32
+        lib.triton_crc16_8005.argtypes = [ctypes.c_char_p,
+                                          ctypes.c_size_t]
+        lib.triton_flac_predicted.restype = ctypes.c_longlong
+        lib.triton_flac_predicted.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
     except AttributeError:
         return None
     _crc_shim = lib
@@ -878,6 +1054,60 @@ def crc32c_native(data: bytes, crc: int = 0) -> "Optional[int]":
     if lib is None:
         return None
     return int(lib.triton_crc32c(data, len(data), crc & 0xFFFFFFFF))
+
+
+def ima_decode_native(nibbles, predictor: int, index: int):
+    """IMA ADPCM nibble decode via the compiled shim; None when the
+    shim is absent or the initial index is out of range (pure path
+    owns the loud rejection). Returns an int64 ndarray, one sample
+    per nibble — bit-identical to adpcm.decode_ima."""
+    lib = _crc_shim_lib()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(nibbles, dtype=np.uint8)
+    out = np.empty(buf.size, np.int64)
+    ok = lib.triton_ima_decode(
+        buf.tobytes(), buf.size, int(predictor), int(index),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if not ok:
+        return None
+    return out
+
+
+def crc16_8005_native(data: bytes) -> "Optional[int]":
+    """FLAC frame CRC-16 (poly 0x8005) via the compiled shim; None
+    when unavailable. Bit-identical to flac._crc16 by construction."""
+    lib = _crc_shim_lib()
+    if lib is None:
+        return None
+    return int(lib.triton_crc16_8005(data, len(data))) & 0xFFFF
+
+
+def flac_predicted_native(data: bytes, bitpos: int, blocksize: int,
+                          order: int, coefs, shift: int, warm):
+    """Rice residual + fixed/LPC predictor via the compiled shim
+    (parse_flac's hot loops; rides the crc32c shim .so, so
+    native_status()['crc32c_shim'] covers its availability).
+
+    Returns ``(samples int64 ndarray, new_bit_position)`` on success,
+    None when the shim is absent or the bitstream deviates in ANY way
+    — the pure path re-decodes and raises its typed ValueError, so
+    flag-on keeps exact corrupt accept/reject parity."""
+    lib = _crc_shim_lib()
+    if lib is None or blocksize <= 0 or blocksize > 1 << 26:
+        return None
+    n = max(order, 1)
+    c_coefs = (ctypes.c_int64 * n)(*[int(x) for x in coefs],
+                                   *([0] * (n - order)))
+    c_warm = (ctypes.c_int64 * n)(*[int(x) for x in warm],
+                                  *([0] * (n - order)))
+    out = np.empty(blocksize, np.int64)
+    rc = lib.triton_flac_predicted(
+        data, len(data), bitpos, blocksize, order, c_coefs, shift,
+        c_warm, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        return None
+    return out, int(rc)
 
 
 def gif_lzw_decode_native(data: bytes, min_code_size: int,

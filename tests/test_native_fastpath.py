@@ -649,3 +649,129 @@ def test_jpeg_native_declines_what_pure_rejects():
     assert native.decode_jpeg_native(_sof_stream(0xC1)) is None
     with pytest.raises(ValueError):
         parse_jpeg(_sof_stream(0xC1), prefer_native=True)
+
+
+# ------------------------------------------------------- flac (r11)
+
+import contextlib
+import os as _os
+
+
+@contextlib.contextmanager
+def _flag_on():
+    prev = _os.environ.get("TRITON_NATIVE_DECODE")
+    _os.environ["TRITON_NATIVE_DECODE"] = "1"
+    try:
+        yield
+    finally:
+        if prev is None:
+            _os.environ.pop("TRITON_NATIVE_DECODE", None)
+        else:
+            _os.environ["TRITON_NATIVE_DECODE"] = prev
+
+
+@contextlib.contextmanager
+def _flag_off():
+    prev = _os.environ.pop("TRITON_NATIVE_DECODE", None)
+    try:
+        yield
+    finally:
+        if prev is not None:
+            _os.environ["TRITON_NATIVE_DECODE"] = prev
+
+
+_flacsh = pytest.mark.skipif(not _ST.get("crc32c_shim"),
+                             reason="compiled shim unavailable (no gcc?)")
+
+
+@_flacsh
+@pytest.mark.parametrize("sub", ["constant", "verbatim", "fixed1",
+                                 "fixed2", "lpc2"])
+def test_flac_bit_identical(sub):
+    from go_triton_spark.codec.flac import build_flac, parse_flac
+    rng = np.random.default_rng(11)
+    s = (np.full((4099, 2), 7, np.int32) if sub == "constant" else
+         rng.integers(-2000, 2000, (4099, 2)).astype(np.int32))
+    data = build_flac(s, subframe=sub)
+    pure = parse_flac(data)
+    with _flag_on():
+        nat = parse_flac(data)
+    assert np.array_equal(pure["samples"], nat["samples"])
+    for k in ("sample_rate", "n_channels", "bits_per_sample",
+              "n_samples"):
+        assert pure[k] == nat[k]
+
+
+@_flacsh
+def test_flac_corrupt_parity_and_crc16_twin():
+    from go_triton_spark.codec import flac as fl
+    rng = np.random.default_rng(7)
+    data = fl.build_flac(
+        rng.integers(-500, 500, (1024, 1)).astype(np.int32),
+        subframe="lpc2")
+    for cut in (40, len(data) // 2, len(data) - 2):
+        errs = []
+        for on in (False, True):
+            ctx = _flag_on() if on else _flag_off()
+            with ctx:
+                try:
+                    fl.parse_flac(data[:cut])
+                    errs.append("ok")
+                except ValueError as e:
+                    errs.append(str(e))
+        assert errs[0] == errs[1], (cut, errs)
+    # crc16 shim twin over random buffers
+    for n in (0, 1, 7, 4096, 70000):
+        buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        want = 0
+        for b in buf:
+            want = ((want << 8) & 0xFFFF) ^ fl._CRC16_TABLE[(want >> 8) ^ b]
+        assert native.crc16_8005_native(buf) == want
+
+
+@_flacsh
+def test_flac_bitflip_fuzz_parity():
+    """Random single-byte corruptions: flag-on and flag-off must agree
+    on accept/reject AND on the decoded samples when both accept."""
+    from go_triton_spark.codec.flac import build_flac, parse_flac
+    rng = np.random.default_rng(3)
+    base = build_flac(rng.integers(-800, 800, (2048, 2)).astype(np.int32),
+                      subframe="fixed2")
+    for _ in range(40):
+        b = bytearray(base)
+        i = int(rng.integers(42, len(b)))   # past fLaC+STREAMINFO magic
+        b[i] ^= int(rng.integers(1, 256))
+        outcomes = []
+        for on in (False, True):
+            ctx = _flag_on() if on else _flag_off()
+            with ctx:
+                try:
+                    outcomes.append(parse_flac(bytes(b))["samples"])
+                except ValueError:
+                    outcomes.append(None)
+        if outcomes[0] is None or outcomes[1] is None:
+            assert outcomes[0] is None and outcomes[1] is None, i
+        else:
+            assert np.array_equal(outcomes[0], outcomes[1]), i
+
+
+# ------------------------------------------------------ adpcm (r11)
+
+@_flacsh
+def test_ima_adpcm_bit_identical_and_fuzz():
+    from go_triton_spark.codec.adpcm import decode_ima
+    rng = np.random.default_rng(4)
+    for trial in range(20):
+        n = int(rng.integers(0, 4000))
+        nib = rng.integers(0, 16, n, dtype=np.uint8)
+        pred = int(rng.integers(-32768, 32768))
+        idx = int(rng.integers(0, 89))
+        pure = decode_ima(nib, pred, idx)
+        got = native.ima_decode_native(nib, pred, idx)
+        assert got is not None and np.array_equal(pure, got), trial
+        with _flag_on():
+            flagged = decode_ima(nib, pred, idx)
+        assert np.array_equal(pure, flagged), trial
+    # out-of-range index: native declines, pure (and flag-on via the
+    # block parser) still raises its typed error
+    assert native.ima_decode_native(np.zeros(4, np.uint8), 0, 89) is None

@@ -9,6 +9,7 @@ that can race on a live archive:
     compact-compact  two compact crons racing the same slice
                      (+ a fragmenter so real swaps keep happening)
     sink-compact     streaming store micro-batch commits vs compact
+    sink-expire      streaming store micro-batch commits vs retention
 
 Invariant, every pair: a reader must FAIL LOUDLY (documented retry
 classes only) or HEAL — never return fewer rows than the stable set,
@@ -254,6 +255,18 @@ class Harness:
             writers = [self.expirer, lambda: self.compactor(5000)]
             readers = [lambda: self.reader(False, False),
                        lambda: self.reader(True, False)]
+        elif pair == "sink-expire":
+            # retention cron next to the LIVE streaming sink (r10
+            # verdict #6 — the last uncovered sibling): expire churns
+            # an old date (ingest staging + date-dir rmtree) while
+            # file-sink micro-batch commits land in the current hour.
+            # The sink's manifest/checkpoint state at the root and its
+            # committed rows must never be clipped by the retention
+            # walk; both the stable window and the sink counter are
+            # grow-only under both readers
+            writers = [self.sink, self.expirer]
+            readers = [lambda: self.reader(False, True),
+                       lambda: self.reader(True, True)]
         else:
             raise SystemExit(f"unknown pair {pair!r}")
         threads = [threading.Thread(target=f, daemon=True)
@@ -274,7 +287,7 @@ def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
     pairs = (["cat-compact", "cat-expire", "compact-compact",
-              "sink-compact", "expire-compact"]
+              "sink-compact", "expire-compact", "sink-expire"]
              if which == "all" else [which])
     spark = get_spark("stress-race-matrix")
     spark.sparkContext.setLogLevel("ERROR")
