@@ -174,17 +174,27 @@ def main() -> int:
         ref_name, drift_ref = ref["query"], float(ref["seconds"])
     except (OSError, ValueError, KeyError):
         ref_name = None
+    # LIMITATION (documented): the probe cannot distinguish host
+    # contention from a genuine q1 code regression — both reroute the
+    # artifact. q1's plan has been stable since r1; if it ever changes,
+    # adjudicate with an isolated A/B at the two HEADs and re-pin
+    # BENCH_REF.json from the clean-window winner.
     sf_is_ref = sf.replace(".", "").isdigit() and float(sf) == 0.1
     if ref_name in REGISTRY and drift_ref and sf_is_ref:
-        probe_runs = []
-        for i in range(4):
-            t0 = time.perf_counter()
-            (REGISTRY[ref_name].spark(spark, sf_dir)
-             .write.format("noop").mode("overwrite").save())
-            if i > 0:    # first pass = warmup, matching the suite rule
-                probe_runs.append(time.perf_counter() - t0)
-        drift_probe = round(statistics.median(probe_runs), 3)
-        drift_ratio = round(drift_probe / drift_ref, 3)
+        try:
+            probe_runs = []
+            for i in range(4):
+                t0 = time.perf_counter()
+                (REGISTRY[ref_name].spark(spark, sf_dir)
+                 .write.format("noop").mode("overwrite").save())
+                if i > 0:   # first pass = warmup, matching the suite rule
+                    probe_runs.append(time.perf_counter() - t0)
+            drift_probe = round(statistics.median(probe_runs), 3)
+            drift_ratio = round(drift_probe / drift_ref, 3)
+        except Exception:  # noqa: BLE001 — a broken probe query must
+            # not lose the benchmark artifact; the suite loop below
+            # records the per-query error itself
+            drift_probe = drift_ratio = None
 
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     warmups = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)

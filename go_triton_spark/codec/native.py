@@ -391,8 +391,9 @@ def _tiff_pure_compatible(data: bytes) -> bool:
 
     photo = one(262)
     spp = one(277, 1)
-    return (
-        one(259, 1) in _t._SUPPORTED_COMP
+    comp = one(259, 1)
+    ok = (
+        comp in _t._SUPPORTED_COMP
         and photo in (0, 1, 2, 3)
         # photo 2 with spp>3: libtiff may treat the 4th sample as
         # (possibly associated) alpha; pure ignores it — narrow to
@@ -406,6 +407,28 @@ def _tiff_pure_compatible(data: bytes) -> bool:
         and one(266, 1) == 1        # FillOrder: MSB-first only
         and 273 in tags and 279 in tags   # strips, not tiles
     )
+    if not ok:
+        return False
+    # strip-geometry twins of parse_tiff's loud checks (review find:
+    # libtiff tolerates padded uncompressed strips / strip overruns
+    # the pure path rejects, so they must route pure)
+    width, height = one(256, 0), one(257, 0)
+    if width < 1 or height < 1:
+        return False
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        return False
+    rows_per_strip = one(278, height)
+    rowbytes = width * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            return False            # strip out of bounds
+        nrows = min(rows_per_strip, height - si * rows_per_strip)
+        if nrows <= 0:
+            return False            # more strips than rows
+        if comp == _t._COMP_NONE and cnt != nrows * rowbytes:
+            return False            # padded/short uncompressed strip
+    return True
 
 
 def decode_tiff_native(data: bytes) -> Optional[dict]:
@@ -673,9 +696,22 @@ def _jpeg_pure_compatible(data: bytes) -> bool:
             i += 2
             continue
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-            # first SOF marker decides; precision byte follows the
-            # 2-byte segment length
-            return m in (0xC0, 0xC2) and i + 5 <= n and data[i + 4] == 8
+            # first SOF marker decides. Mirror parse_jpeg's FULL frame
+            # acceptance (jpeg.py SOF handler): Huffman SOF0/SOF2,
+            # 8-bit precision, 1 or 3 components, sampling factors
+            # 1..2 — libjpeg also decodes 4-component and 3x/4x
+            # sampled streams the pure path loudly rejects
+            if m not in (0xC0, 0xC2) or i + 10 > n or data[i + 4] != 8:
+                return False
+            nc = data[i + 9]
+            if nc not in (1, 3) or i + 10 + 3 * nc > n:
+                return False
+            for ci in range(nc):
+                sf = data[i + 11 + 3 * ci]
+                hi, vi = sf >> 4, sf & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return False
+            return True
         if m in (0xD9, 0xDA):              # EOI/SOS before any SOF
             return False
         if i + 4 > n:
@@ -964,8 +1000,22 @@ long long triton_flac_predicted(const uint8_t *data, long long nbytes,
     if (blocksize % nparts
         || (((blocksize >> porder) <= order) && porder))
         return -4;                                  /* bad partition order */
+    /* magnitude guard: the pure path computes exact Python big-ints,
+     * so a crafted stream (escape-coded huge residuals + shift-0
+     * coefs) can grow samples geometrically; int64 here would wrap
+     * (UB) and silently ACCEPT garbage the pure path rejects.
+     * |warm| <= 2^33, |rice r| <= 2^50, |raw r| <= 2^30 and
+     * |coef| <= 2^14 * order 32 keep every intermediate < 2^63 as
+     * long as all PRIOR samples are within this bound — so checking
+     * each produced value before it feeds later predictions makes
+     * overflow impossible; any excursion declines to the pure path,
+     * which keeps exact arithmetic and owns the verdict. */
+    const int64_t BOUND = (int64_t)1 << 40;
     long long idx = 0;
-    for (int i = 0; i < order; i++) out[idx++] = warm[i];
+    for (int i = 0; i < order; i++) {
+        if (warm[i] > BOUND || warm[i] < -BOUND) return -7;
+        out[idx++] = warm[i];
+    }
     for (int p = 0; p < nparts; p++) {
         long long count = (long long)(blocksize >> porder)
                           - (p == 0 ? order : 0);
@@ -1004,6 +1054,7 @@ long long triton_flac_predicted(const uint8_t *data, long long nbytes,
         for (int j = 0; j < order; j++)
             pred += coefs[j] * out[i - 1 - j];
         out[i] += shift ? (pred >> shift) : pred;
+        if (out[i] > BOUND || out[i] < -BOUND) return -7;
     }
     return b.bit;
 }

@@ -585,7 +585,9 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             n_chunks = np.zeros(len(pdf), np.int64)
-            max_len = np.zeros(len(pdf), np.int64)
+            # nullable: NULL text must yield max_chunk_len NULL (the
+            # oracle's coalesce(NULL, len(NULL)) is NULL), not 0
+            max_len = pd.array([None] * len(pdf), dtype="Int64")
             for i, s in enumerate(pdf["text"]):
                 if s is None:
                     continue
@@ -595,6 +597,7 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    np.uint32).astype(np.int64)
                 n = cp.size
                 if n == 0:
+                    max_len[i] = 0   # empty text: coalesce(NULL, 0)
                     continue
                 if n >= 4:
                     h = ((cp[:-3] << 24) + (cp[1:-2] << 16)

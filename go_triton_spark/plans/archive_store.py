@@ -871,11 +871,24 @@ class ArchiveStore:
                     # exactly the case where restoring would collide
                     os.rename(path, os.path.join(parent, base))
                 except OSError:
+                    # The residue may be a benign post-swap duplicate
+                    # (crash after rename(tmp->hour), before
+                    # rmtree(old)) or rows a later ingest diverged
+                    # from — indistinguishable without reading, so
+                    # QUARANTINE: move it out of the sweep prefix
+                    # (warn fires once per incident, not per sweep)
+                    # and preserve the bytes for the operator.
+                    qname = name.replace("._compact_old.",
+                                         "._quarantined_old.")
+                    try:
+                        os.rename(path, os.path.join(parent, qname))
+                    except OSError:
+                        qname = name    # rename failed: warn in place
                     warnings.warn(
-                        f"stale compact residue {path} could not be "
-                        f"restored over an existing {base}; it may hold "
-                        "rows from an interrupted swap — reconcile "
-                        "manually (never auto-deleted)",
+                        f"stale compact residue {parent}/{qname} could "
+                        f"not be restored over an existing {base}; it "
+                        "may hold rows from an interrupted swap — "
+                        "reconcile manually (never auto-deleted)",
                         RuntimeWarning, stacklevel=2)
 
     def _compact_hour(self, hour_dir: str, target_file_mb: int,

@@ -582,8 +582,15 @@ def test_sweep_never_deletes_compact_old_residue(tmp_path):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         ArchiveStore._sweep_stale_staging(str(parent), base)
-    assert old2.exists(), "possible sole copy is never auto-deleted"
+    quarantined = parent / f".{base}._quarantined_old.abc_2"
+    assert quarantined.exists() and (quarantined / "part-1.parquet").exists(), \
+        "possible sole copy is quarantined, never auto-deleted"
     assert any("reconcile" in str(w.message) for w in caught)
+    # quarantined residue is outside the sweep prefix: no re-warn
+    with warnings.catch_warnings(record=True) as again:
+        warnings.simplefilter("always")
+        ArchiveStore._sweep_stale_staging(str(parent), base)
+    assert not again, "quarantine stops per-sweep warning spam"
 
     # FRESH staging (live concurrent compact) is untouched either way
     fresh_tmp = parent / f".{base}._compact_tmp.abc_3"

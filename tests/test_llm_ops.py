@@ -586,3 +586,35 @@ def test_cross_format_dedup_groups_mix_formats(spark):
     multi = [fmts for (c, _), fmts in by_copies.items() if c >= 2]
     assert multi
     assert any(len(set(fmts)) >= 2 for fmts in multi), multi[:3]
+
+
+def test_text_cdc_chunks_null_empty_unicode_parity(spark, tmp_path):
+    """The r11 Arrow rewrite must match the DuckDB oracle on the
+    degenerate rows the sf corpora lack: NULL text (max_chunk_len must
+    be NULL, not 0 — review find), empty string (0), and non-ASCII
+    codepoints (utf-32 path == ascii()/ord() semantics)."""
+    import duckdb
+    import pandas as pd
+
+    from go_triton_spark.operators import REGISTRY
+
+    pdf = pd.DataFrame(
+        [(1, None), (2, ""), (3, "abc"), (4, "hello world " * 50),
+         (5, "héllo wörld ünïcode " * 20)],
+        columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "web"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    got = [(r.doc_id, r.n_chunks, r.max_chunk_len)
+           for r in REGISTRY["text_cdc_chunks"]
+           .spark(spark, str(tmp_path)).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{path}')")
+    want = [tuple(t) for t in con.execute(
+        REGISTRY["text_cdc_chunks"].oracle + " ORDER BY doc_id")
+        .fetchall()]
+    assert got == want
+    assert got[0] == (1, 0, None), "NULL text yields NULL max_chunk_len"

@@ -601,7 +601,15 @@ def test_tiff_gate_accepts_pure_set_only():
     # RGB with an extra (alpha) sample: pure ignores it, libtiff may
     # premultiply — must route pure
     assert not gate(_mini_tiff([(262, 3, 1, 2), (277, 3, 1, 4)]))
-    assert gate(_mini_tiff([(262, 3, 1, 2), (277, 3, 1, 3)]))
+    assert gate(_mini_tiff([(262, 3, 1, 2), (277, 3, 1, 3),
+                            (279, 4, 1, 48)]))   # 4x4 RGB strip size
+    # strip-geometry twins of parse_tiff's loud checks (review find)
+    assert not gate(_mini_tiff([(279, 4, 1, 20)])), "padded strip"
+    assert not gate(_mini_tiff([(273, 4, 1, 1 << 20)])), "strip OOB"
+    assert not gate(_mini_tiff([(257, 3, 1, 1),
+                                (273, 3, 2, 8 | (16 << 16)),
+                                (279, 3, 2, 4 | (4 << 16))])), \
+        "more strips than rows"
     # tiled (no strip offsets): drop tag 273
     import struct as s
     tiled = _mini_tiff()
@@ -610,10 +618,12 @@ def test_tiff_gate_accepts_pure_set_only():
     assert not gate(b"II*\x00")                        # truncated
 
 
-def _sof_stream(sof_marker, precision=8):
+def _sof_stream(sof_marker, precision=8, comps=((1, 0x11, 0),)):
     import struct as s
-    seg = bytes([0xFF, sof_marker]) + s.pack(">H", 11) \
-        + bytes([precision]) + s.pack(">HH", 4, 4) + bytes([1, 0x11, 0])
+    cbytes = b"".join(bytes(c) for c in comps)
+    seg = (bytes([0xFF, sof_marker])
+           + s.pack(">H", 2 + 6 + len(cbytes)) + bytes([precision])
+           + s.pack(">HH", 4, 4) + bytes([len(comps)]) + cbytes)
     return (b"\xff\xd8" + b"\xff\xe0" + b"\x00\x04\x00\x00"  # APP0
             + seg + b"\xff\xd9")
 
@@ -628,6 +638,16 @@ def test_jpeg_gate_accepts_pure_set_only():
     assert not gate(_sof_stream(0xC3)), "lossless"
     assert not gate(_sof_stream(0xC0, precision=12)), "12-bit"
     assert not gate(b"\xff\xd8\xff\xd9"), "no SOF at all"
+    # component-level divergences (review find): libjpeg decodes
+    # these; parse_jpeg rejects them loudly
+    four = ((1, 0x11, 0), (2, 0x11, 0), (3, 0x11, 0), (4, 0x11, 0))
+    assert not gate(_sof_stream(0xC0, comps=four)), "4-component CMYK"
+    assert not gate(_sof_stream(0xC0, comps=((1, 0x41, 0), (2, 0x11, 0),
+                                             (3, 0x11, 0)))), "4x1"
+    assert not gate(_sof_stream(0xC0, comps=((1, 0x13, 0), (2, 0x11, 0),
+                                             (3, 0x11, 0)))), "1x3"
+    assert gate(_sof_stream(0xC0, comps=((1, 0x22, 0), (2, 0x11, 0),
+                                         (3, 0x11, 0)))), "4:2:0 ok"
     # real encoder output (baseline + progressive) passes the gate
     from go_triton_spark.codec.jpeg import build_jpeg
     assert gate(build_jpeg(_img("grad", 16, 16)))
