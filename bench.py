@@ -159,42 +159,50 @@ def main() -> int:
     # HOST-DRIFT CANARY (r11 verdict ask #3): the r10 tail saw three
     # identical-code serial runs inflate 53->65->79 s from external
     # host contention, and the drifted run overwrote the clean twin.
-    # Enforce the prose protocol in the tool: probe q1 (median of 3
-    # after one warmup) against the pinned clean-window reference
-    # (BENCH_REF.json) and stamp drift_ratio into the artifact; when
-    # drift > 1.15 the self-copy is rerouted to BENCH_SELF.drifted.json
-    # so a contended run can never masquerade as the twin of record.
+    # Enforce the prose protocol in the tool: probe a SMALL SET of
+    # queries spanning the resource shapes that drift independently
+    # (scan+agg, exchange+window, Python-worker decode — the r11
+    # episode inflated the latter two ~1.5x while q1 had fully
+    # recovered, so one probe is not enough) against pinned
+    # clean-window references (BENCH_REF.json); stamp the per-probe
+    # ratios and their geomean as drift_ratio. When drift > 1.15 the
+    # self-copy is rerouted to BENCH_SELF.drifted.json so a contended
+    # run can never masquerade as the twin of record.
+    # LIMITATION (documented): a genuine code regression in a probe
+    # query also trips the canary; adjudicate with an isolated A/B at
+    # the two HEADs and re-pin from the clean-window winner.
     drift_ratio = None
-    drift_probe = None
-    drift_ref = None
+    drift_probes: dict[str, float] = {}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_REF.json")) as fh:
-            ref = json.load(fh)
-        ref_name, drift_ref = ref["query"], float(ref["seconds"])
-    except (OSError, ValueError, KeyError):
-        ref_name = None
-    # LIMITATION (documented): the probe cannot distinguish host
-    # contention from a genuine q1 code regression — both reroute the
-    # artifact. q1's plan has been stable since r1; if it ever changes,
-    # adjudicate with an isolated A/B at the two HEADs and re-pin
-    # BENCH_REF.json from the clean-window winner.
+            refs = {k: float(v) for k, v in
+                    json.load(fh)["queries"].items() if float(v) > 0}
+    except (OSError, ValueError, KeyError, TypeError):
+        refs = {}
     sf_is_ref = sf.replace(".", "").isdigit() and float(sf) == 0.1
-    if ref_name in REGISTRY and drift_ref and sf_is_ref:
+    if refs and sf_is_ref:
         try:
-            probe_runs = []
-            for i in range(4):
-                t0 = time.perf_counter()
-                (REGISTRY[ref_name].spark(spark, sf_dir)
-                 .write.format("noop").mode("overwrite").save())
-                if i > 0:   # first pass = warmup, matching the suite rule
-                    probe_runs.append(time.perf_counter() - t0)
-            drift_probe = round(statistics.median(probe_runs), 3)
-            drift_ratio = round(drift_probe / drift_ref, 3)
+            ratios = []
+            for ref_name, ref_sec in refs.items():
+                if ref_name not in REGISTRY:
+                    continue
+                probe_runs = []
+                for i in range(4):
+                    t0 = time.perf_counter()
+                    (REGISTRY[ref_name].spark(spark, sf_dir)
+                     .write.format("noop").mode("overwrite").save())
+                    if i > 0:  # first pass = warmup, as in the suite
+                        probe_runs.append(time.perf_counter() - t0)
+                med = statistics.median(probe_runs)
+                drift_probes[ref_name] = round(med / ref_sec, 3)
+                ratios.append(med / ref_sec)
+            if ratios:
+                drift_ratio = round(statistics.geometric_mean(ratios), 3)
         except Exception:  # noqa: BLE001 — a broken probe query must
             # not lose the benchmark artifact; the suite loop below
             # records the per-query error itself
-            drift_probe = drift_ratio = None
+            drift_ratio = None
 
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     warmups = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)
@@ -235,8 +243,7 @@ def main() -> int:
     }
     if drift_ratio is not None:
         out["drift_ratio"] = drift_ratio
-        out["drift_probe_q1"] = drift_probe
-        out["drift_ref_q1"] = drift_ref
+        out["drift_probes"] = drift_probes
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
