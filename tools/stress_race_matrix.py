@@ -255,6 +255,16 @@ class Harness:
             writers = [self.expirer, lambda: self.compactor(5000)]
             readers = [lambda: self.reader(False, False),
                        lambda: self.reader(True, False)]
+        elif pair == "triple":
+            # everything at once: live sink commits + compact cron +
+            # retention cron + both reader profiles. Pairwise soaks
+            # can miss three-way interleavings (e.g. expire clearing
+            # a date while compact stages in it while the sink lands
+            # a micro-batch); the invariants are identical
+            writers = [self.sink, lambda: self.compactor(5000),
+                       self.expirer]
+            readers = [lambda: self.reader(False, True),
+                       lambda: self.reader(True, True)]
         elif pair == "sink-expire":
             # retention cron next to the LIVE streaming sink (r10
             # verdict #6 — the last uncovered sibling): expire churns
