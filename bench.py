@@ -156,53 +156,34 @@ def main() -> int:
     # through the noop sink — no driver collect anywhere.
     import statistics
 
-    # HOST-DRIFT CANARY (r11 verdict ask #3): the r10 tail saw three
-    # identical-code serial runs inflate 53->65->79 s from external
-    # host contention, and the drifted run overwrote the clean twin.
-    # Enforce the prose protocol in the tool: probe a SMALL SET of
-    # queries spanning the resource shapes that drift independently
-    # (scan+agg, exchange+window, Python-worker decode — the r11
-    # episode inflated the latter two ~1.5x while q1 had fully
-    # recovered, so one probe is not enough) against pinned
-    # clean-window references (BENCH_REF.json); stamp the per-probe
-    # ratios and their geomean as drift_ratio. When drift > 1.15 the
-    # self-copy is rerouted to BENCH_SELF.drifted.json so a contended
-    # run can never masquerade as the twin of record.
-    # LIMITATION (documented): a genuine code regression in a probe
-    # query also trips the canary; adjudicate with an isolated A/B at
-    # the two HEADs and re-pin from the clean-window winner.
-    drift_ratio = None
-    drift_probes: dict[str, float] = {}
+    # HOST-DRIFT CANARY v3 (r11 verdict ask #3): the r10 tail saw
+    # three identical-code serial runs inflate 53->65->79 s from
+    # external host contention, and the drifted run overwrote the
+    # clean twin. Enforce the prose protocol in the tool: AFTER the
+    # suite, compare the in-suite medians of a pinned multi-shape
+    # basket (BENCH_REF.json) against their clean-window references
+    # and stamp the geomean as drift_ratio; > 1.15 reroutes the
+    # self-copy to BENCH_SELF.drifted.json so a contended run can
+    # never masquerade as the twin of record. In-suite comparison is
+    # POSITION-CONSISTENT (same warm-in depth as the reference twin);
+    # pre-suite probes were tried and read 1.4-1.6x in a ~1.25x
+    # window purely from missing warm-in. LIMITATION (documented): a
+    # genuine code regression in a basket query also raises the
+    # ratio; adjudicate via isolated A/B at the two HEADs and re-pin
+    # from the clean-window winner.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_REF.json")) as fh:
-            refs = {k: float(v) for k, v in
-                    json.load(fh)["queries"].items() if float(v) > 0}
+            _ref = json.load(fh)
+        basket = {k: float(v) for k, v in _ref["suite_basket"].items()
+                  if float(v) > 0}
+        decode_basket = {k: float(v) for k, v in
+                         _ref.get("decode_basket", {}).items()
+                         if float(v) > 0}
     except (OSError, ValueError, KeyError, TypeError):
-        refs = {}
+        basket = {}
+        decode_basket = {}
     sf_is_ref = sf.replace(".", "").isdigit() and float(sf) == 0.1
-    if refs and sf_is_ref:
-        try:
-            ratios = []
-            for ref_name, ref_sec in refs.items():
-                if ref_name not in REGISTRY:
-                    continue
-                probe_runs = []
-                for i in range(4):
-                    t0 = time.perf_counter()
-                    (REGISTRY[ref_name].spark(spark, sf_dir)
-                     .write.format("noop").mode("overwrite").save())
-                    if i > 0:  # first pass = warmup, as in the suite
-                        probe_runs.append(time.perf_counter() - t0)
-                med = statistics.median(probe_runs)
-                drift_probes[ref_name] = round(med / ref_sec, 3)
-                ratios.append(med / ref_sec)
-            if ratios:
-                drift_ratio = round(statistics.geometric_mean(ratios), 3)
-        except Exception:  # noqa: BLE001 — a broken probe query must
-            # not lose the benchmark artifact; the suite loop below
-            # records the per-query error itself
-            drift_ratio = None
 
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     warmups = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)
@@ -241,9 +222,27 @@ def main() -> int:
         "warmup": warmups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    drift_ratio = None
+    drift_basket: dict[str, float] = {}
+    if basket and sf_is_ref:
+        ratios = [timings[k] / ref for k, ref in basket.items()
+                  if k in timings and k not in errors and timings[k] > 0]
+        drift_basket = {k: round(timings[k] / ref, 3)
+                        for k, ref in basket.items()
+                        if k in timings and k not in errors}
+        if ratios:
+            drift_ratio = round(statistics.geometric_mean(ratios), 3)
     if drift_ratio is not None:
         out["drift_ratio"] = drift_ratio
-        out["drift_probes"] = drift_probes
+        out["drift_basket"] = drift_basket
+        # NON-GATING per-shape indicator: pure-Python decode absorbs
+        # contention the relational basket barely feels; stamp it so
+        # decode-family twin deltas are read against it, not flagged
+        dratios = [timings[k] / ref for k, ref in decode_basket.items()
+                   if k in timings and k not in errors and timings[k] > 0]
+        if dratios:
+            out["decode_drift"] = round(
+                statistics.geometric_mean(dratios), 3)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
@@ -254,9 +253,14 @@ def main() -> int:
     # script — committed with the round, so the judge always has an
     # intact copy even if the recorded BENCH_r{N}.json is clipped.
     try:
-        fname = ("BENCH_SELF.drifted.json"
-                 if drift_ratio is not None and drift_ratio > 1.15
-                 else "BENCH_SELF.json")
+        if not sf_is_ref:
+            # non-reference scale factors have no canary and must
+            # never overwrite the sf0.1 twin of record
+            fname = f"BENCH_SELF.sf{sf}.json"
+        elif drift_ratio is not None and drift_ratio > 1.15:
+            fname = "BENCH_SELF.drifted.json"
+        else:
+            fname = "BENCH_SELF.json"
         self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  fname)
         with open(self_path, "w") as fh:
