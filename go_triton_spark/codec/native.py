@@ -881,6 +881,63 @@ int triton_gif_lzw_decode(const uint8_t *data, size_t dlen,
     return opos == expected;
 }
 
+/* QOI decode (codec/qoi.py parse_qoi's per-op loop — the last
+ * per-pixel pure-Python decode path). Exact transcription of the
+ * public qoiformat.org state machine as the pure decoder implements
+ * it. Returns 1 on success filling out[n*3]; 0 on ANY deviation
+ * (truncation, run overflow, trailing bytes) — the caller falls back
+ * to the pure path, which owns the typed ValueError. */
+int triton_qoi_decode(const uint8_t *body, size_t blen,
+                      long long n, uint8_t *out) {
+    uint8_t idx[64][4];
+    memset(idx, 0, sizeof idx);
+    int r = 0, g = 0, b = 0, a = 255;
+    size_t pos = 0;
+    long long i = 0;
+    while (i < n) {
+        if (pos >= blen) return 0;                 /* truncated */
+        int byte = body[pos++];
+        if (byte == 0xFE) {                        /* QOI_OP_RGB */
+            if (pos + 3 > blen) return 0;
+            r = body[pos]; g = body[pos+1]; b = body[pos+2]; pos += 3;
+        } else if (byte == 0xFF) {                 /* QOI_OP_RGBA */
+            if (pos + 4 > blen) return 0;
+            r = body[pos]; g = body[pos+1]; b = body[pos+2];
+            a = body[pos+3]; pos += 4;
+        } else {
+            int tag = byte >> 6;
+            if (tag == 0) {                        /* QOI_OP_INDEX */
+                uint8_t *e = idx[byte & 0x3F];
+                r = e[0]; g = e[1]; b = e[2]; a = e[3];
+            } else if (tag == 1) {                 /* QOI_OP_DIFF */
+                r = (r + ((byte >> 4) & 3) - 2) & 255;
+                g = (g + ((byte >> 2) & 3) - 2) & 255;
+                b = (b + (byte & 3) - 2) & 255;
+            } else if (tag == 2) {                 /* QOI_OP_LUMA */
+                if (pos >= blen) return 0;
+                int dg = (byte & 0x3F) - 32, second = body[pos++];
+                r = (r + dg + ((second >> 4) & 15) - 8) & 255;
+                g = (g + dg) & 255;
+                b = (b + dg + (second & 15) - 8) & 255;
+            } else {                               /* QOI_OP_RUN */
+                long long run = (byte & 0x3F) + 1;
+                if (i + run > n) return 0;         /* run overflow */
+                for (long long k = 0; k < run; k++) {
+                    out[3*i] = (uint8_t)r; out[3*i+1] = (uint8_t)g;
+                    out[3*i+2] = (uint8_t)b; i++;
+                }
+                continue;
+            }
+        }
+        uint8_t *e = idx[(r*3 + g*5 + b*7 + a*11) & 63];
+        e[0] = (uint8_t)r; e[1] = (uint8_t)g;
+        e[2] = (uint8_t)b; e[3] = (uint8_t)a;
+        out[3*i] = (uint8_t)r; out[3*i+1] = (uint8_t)g;
+        out[3*i+2] = (uint8_t)b; i++;
+    }
+    return pos == blen;                            /* no trailing bytes */
+}
+
 /* IMA ADPCM nibble decode (codec/adpcm.py decode_ima) — the one
  * per-sample Python loop of the ADPCM/WAV-0x11 path. Stateful integer
  * machine from the public IMA spec (89-entry step table, index
@@ -1080,6 +1137,10 @@ def _crc_shim_lib():
         lib.triton_gif_lzw_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_size_t]
+        lib.triton_qoi_decode.restype = ctypes.c_int
+        lib.triton_qoi_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_ubyte)]
         lib.triton_ima_decode.restype = ctypes.c_int
         lib.triton_ima_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
@@ -1105,6 +1166,23 @@ def crc32c_native(data: bytes, crc: int = 0) -> "Optional[int]":
     if lib is None:
         return None
     return int(lib.triton_crc32c(data, len(data), crc & 0xFFFFFFFF))
+
+
+def qoi_decode_native(body: bytes, n: int):
+    """QOI op-loop via the compiled shim; returns an (n, 3) uint8
+    pixel array, or None when the shim is absent or the stream
+    deviates in ANY way — the pure loop re-judges and raises its
+    typed error. Header validation stays in parse_qoi either way."""
+    lib = _crc_shim_lib()
+    if lib is None or n <= 0 or n > 1 << 26:
+        return None
+    out = np.empty((n, 3), np.uint8)
+    ok = lib.triton_qoi_decode(
+        body, len(body), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    if not ok:
+        return None
+    return out
 
 
 def ima_decode_native(nibbles, predictor: int, index: int):

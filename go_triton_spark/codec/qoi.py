@@ -95,6 +95,18 @@ def parse_qoi(data: bytes) -> dict:
         raise ValueError("QOI end marker missing")
     body = data[14:-8]
 
+    # Opt-in native fast path (r11): the shim runs the identical op
+    # machine; None (shim absent / any stream deviation) falls through
+    # to the pure loop, which owns the typed error. Header checks
+    # above run in Python for BOTH paths.
+    from go_triton_spark.codec import native as _native
+
+    if _native.native_enabled(None):
+        got = _native.qoi_decode_native(body, n)
+        if got is not None:
+            return {"width": int(w), "height": int(h),
+                    "n_pixels": int(n), "pixels": got.reshape(h, w, 3)}
+
     out = np.empty((n, 3), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r = g = b = 0

@@ -795,3 +795,60 @@ def test_ima_adpcm_bit_identical_and_fuzz():
     # out-of-range index: native declines, pure (and flag-on via the
     # block parser) still raises its typed error
     assert native.ima_decode_native(np.zeros(4, np.uint8), 0, 89) is None
+
+
+# -------------------------------------------------------- qoi (r11)
+
+@_flacsh
+def test_qoi_bit_identical_and_corrupt_parity():
+    from go_triton_spark.codec.qoi import build_qoi, parse_qoi
+    rng = np.random.default_rng(9)
+    for kind, h, w in (("noise", 31, 17), ("grad", 40, 40),
+                       ("flat", 8, 64), ("noise", 1, 1)):
+        img = _img(kind, h, w, seed=h)
+        data = build_qoi(img)
+        pure = parse_qoi(data)
+        with _flag_on():
+            nat = parse_qoi(data)
+        _same_dict(pure, nat)
+    # palette-ish content exercises INDEX/RUN ops heavily
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 4, (33, 29))]
+    data = build_qoi(img)
+    with _flag_on():
+        _same_dict(parse_qoi(data), parse_qoi(data))
+    # corruption: truncation + byte flips must raise identically
+    for cut in (20, len(data) // 2, len(data) - 9):
+        errs = []
+        for on in (False, True):
+            ctx = _flag_on() if on else _flag_off()
+            with ctx:
+                try:
+                    parse_qoi(data[:cut] + data[-8:])  # keep end marker
+                    errs.append("ok")
+                except ValueError as e:
+                    errs.append(str(e))
+        assert errs[0] == errs[1], (cut, errs)
+
+
+@_flacsh
+def test_qoi_bitflip_fuzz_parity():
+    from go_triton_spark.codec.qoi import build_qoi, parse_qoi
+    rng = np.random.default_rng(12)
+    base = build_qoi(_img("noise", 24, 24, seed=3))
+    for _ in range(60):
+        buf = bytearray(base)
+        i = int(rng.integers(14, len(buf) - 8))
+        buf[i] ^= int(rng.integers(1, 256))
+        outcomes = []
+        for on in (False, True):
+            ctx = _flag_on() if on else _flag_off()
+            with ctx:
+                try:
+                    outcomes.append(parse_qoi(bytes(buf))["pixels"])
+                except ValueError:
+                    outcomes.append(None)
+        if outcomes[0] is None or outcomes[1] is None:
+            assert outcomes[0] is None and outcomes[1] is None, i
+        else:
+            assert np.array_equal(outcomes[0], outcomes[1]), i
