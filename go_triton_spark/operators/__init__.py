@@ -107,6 +107,9 @@ _PLAN_CHANGED = {
     # single map-only Arrow rolling-hash pass (verdict #4) — same
     # boundaries, new physical plan.
     "text_cdc_chunks": 11,
+    # r11: probe CTE now distincts tokens BEFORE bucket explode
+    # (mirrors the oracle; 4x less probe-side shuffle at scale).
+    "sketch_cms_heavy_hitters": 11,
 }
 
 

@@ -263,7 +263,14 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_counters = tb.groupBy("source", "r", "b").count()
     counters = (shard_counters.groupBy("r", "b")
                 .agg(F.sum("count").alias("c")))
-    probes = tb.select("tok", "r", "b").distinct()
+    # distinct FIRST, then recompute buckets per distinct token
+    # (mirrors the oracle's `SELECT DISTINCT tok` probe CTE): the
+    # old distinct over exploded (tok, r, b) rows shuffled 4x the
+    # volume and md5-hashed every OCCURRENCE instead of every token
+    probes = toks.select("tok").distinct().select(
+        "tok",
+        F.explode(F.expr(f"array({bucket_structs})")).alias("rb"),
+    ).select("tok", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     return (probes.join(F.broadcast(counters), ["r", "b"])
             .groupBy("tok").agg(F.min("c").cast("long").alias("est")))
 
