@@ -110,6 +110,10 @@ _PLAN_CHANGED = {
     # r11: probe CTE now distincts tokens BEFORE bucket explode
     # (mirrors the oracle; 4x less probe-side shuffle at scale).
     "sketch_cms_heavy_hitters": 11,
+    # r11: re-center reads `sub` straight from the assignment pass
+    # instead of shuffle-joining the corpus onto itself (8->7
+    # exchanges, 3->2 joins in the executed plan).
+    "emb_pq_codes": 11,
 }
 
 

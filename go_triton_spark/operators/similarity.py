@@ -1233,14 +1233,16 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"'cid', c.cid))), 1)")
         return (subs_of(emb).crossJoin(F.broadcast(cb_row))
                 .withColumn("best", F.expr(best))
-                .select("vec_id", "s",
+                .select("vec_id", "s", "sub",
                         F.col("best.cid").alias("cid"),
                         F.col("best.dist").alias("dist")))
 
     a1 = assign(c0)
-    m1 = (a1.join(subs_of(emb).select("vec_id", "s", "sub"),
-                  ["vec_id", "s"])
-          .select("s", "cid", F.posexplode("sub").alias("pos", "v"))
+    # `sub` rides along from assign() — re-center reads it directly
+    # instead of shuffle-joining the corpus back onto itself (r11:
+    # the join was a full-corpus exchange; Catalyst prunes the column
+    # from a2's branch where the final agg never touches it)
+    m1 = (a1.select("s", "cid", F.posexplode("sub").alias("pos", "v"))
           .groupBy("s", "cid", "pos")
           .agg((F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
                 / F.count("*")).alias("cv")))
