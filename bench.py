@@ -255,8 +255,12 @@ def main() -> int:
     try:
         if not sf_is_ref:
             # non-reference scale factors have no canary and must
-            # never overwrite the sf0.1 twin of record
-            fname = f"BENCH_SELF.sf{sf}.json"
+            # never overwrite the sf0.1 twin of record. Sanitize the
+            # token: an SF dir not ending in 'sf<num>' would otherwise
+            # embed a PATH here, making the open fail silently (or
+            # write outside the repo)
+            token = sf if sf.replace(".", "").isdigit() else "unknown"
+            fname = f"BENCH_SELF.sf{token}.json"
         elif drift_ratio is not None and drift_ratio > 1.15:
             fname = "BENCH_SELF.drifted.json"
         else:

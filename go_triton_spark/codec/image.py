@@ -56,10 +56,10 @@ def parse_image(data: bytes, prefer_native: "bool | None" = None) -> dict:
     with parse_gif's frames contract).
 
     ``prefer_native`` (or TRITON_NATIVE_DECODE=1) opts into the
-    system-library fast path (codec/native.py) for PNG/JPEG/WebP/TIFF;
-    BMP/QOI are already plain numpy slicing and GIF stays pure. Native
-    misses always fall back to the clean-room decoders, which own the
-    loud corrupt-skip ValueError contract."""
+    system-library / compiled-shim fast path (codec/native.py) for
+    PNG/JPEG/WebP/TIFF/GIF/QOI; BMP is already plain numpy slicing.
+    Native misses always fall back to the clean-room decoders, which
+    own the loud corrupt-skip ValueError contract."""
     fmt = sniff_image_format(data)
     if fmt == "png":
         from go_triton_spark.codec.png import parse_png
@@ -78,6 +78,6 @@ def parse_image(data: bytes, prefer_native: "bool | None" = None) -> dict:
         return parse_tiff(data, prefer_native)
     if fmt == "qoi":
         from go_triton_spark.codec.qoi import parse_qoi
-        return parse_qoi(data)
+        return parse_qoi(data, prefer_native)
     from go_triton_spark.codec.vp8l import parse_webp
     return parse_webp(data, prefer_native)

@@ -80,8 +80,14 @@ def build_qoi(pixels, channels: int = 3) -> bytes:
     return bytes(out)
 
 
-def parse_qoi(data: bytes) -> dict:
-    """Decode one QOI payload; ValueError on any corruption."""
+def parse_qoi(data: bytes, prefer_native: "bool | None" = None) -> dict:
+    """Decode one QOI payload; ValueError on any corruption.
+
+    With ``prefer_native=True`` (or TRITON_NATIVE_DECODE=1) the op
+    loop runs in the compiled shim (codec/native.py), bit-identical;
+    misses fall back here. Explicit kwarg wins over the env flag,
+    matching every other image decoder.
+    """
     if len(data) < 14 + len(_END) or data[:4] != _MAGIC:
         raise ValueError("not a QOI stream (bad magic or too short)")
     w, h, channels, colorspace = struct.unpack_from(">IIBB", data, 4)
@@ -101,7 +107,7 @@ def parse_qoi(data: bytes) -> dict:
     # above run in Python for BOTH paths.
     from go_triton_spark.codec import native as _native
 
-    if _native.native_enabled(None):
+    if _native.native_enabled(prefer_native):
         got = _native.qoi_decode_native(body, n)
         if got is not None:
             return {"width": int(w), "height": int(h),

@@ -10,6 +10,8 @@ that can race on a live archive:
                      (+ a fragmenter so real swaps keep happening)
     sink-compact     streaming store micro-batch commits vs compact
     sink-expire      streaming store micro-batch commits vs retention
+    triple           sink + compact + expire all at once (three-way
+                     interleavings the pairwise legs can miss)
 
 Invariant, every pair: a reader must FAIL LOUDLY (documented retry
 classes only) or HEAL — never return fewer rows than the stable set,
@@ -297,7 +299,7 @@ def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
     pairs = (["cat-compact", "cat-expire", "compact-compact",
-              "sink-compact", "expire-compact", "sink-expire"]
+              "sink-compact", "expire-compact", "sink-expire", "triple"]
              if which == "all" else [which])
     spark = get_spark("stress-race-matrix")
     spark.sparkContext.setLogLevel("ERROR")
