@@ -852,3 +852,26 @@ def test_qoi_bitflip_fuzz_parity():
             assert outcomes[0] is None and outcomes[1] is None, i
         else:
             assert np.array_equal(outcomes[0], outcomes[1]), i
+
+
+@_flacsh
+def test_qoi_prefer_native_kwarg_wins_over_env(monkeypatch):
+    """Explicit kwarg beats the env flag for QOI like every other
+    image decoder (r11 review find: it was hardcoded env-only)."""
+    from go_triton_spark.codec.image import parse_image
+    from go_triton_spark.codec.qoi import build_qoi
+
+    calls = []
+    orig = native.qoi_decode_native
+    monkeypatch.setattr(native, "qoi_decode_native",
+                        lambda *a: (calls.append(1), orig(*a))[1])
+    data = build_qoi(np.zeros((4, 4, 3), np.uint8))
+    monkeypatch.setenv("TRITON_NATIVE_DECODE", "1")
+    parse_image(data, prefer_native=False)
+    assert not calls, "explicit opt-out must bypass the native path"
+    parse_image(data, prefer_native=True)
+    assert calls
+    monkeypatch.delenv("TRITON_NATIVE_DECODE")
+    calls.clear()
+    parse_image(data)
+    assert not calls, "no env, no kwarg -> pure path"
