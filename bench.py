@@ -121,9 +121,75 @@ HEADLINE = [
 ]
 
 
+def _parse_sf(token: str) -> "float | None":
+    """One tolerant SF parse reused everywhere (r11 advice: the old
+    isdigit-then-float pattern let tokens like '1.2.3' through the
+    guard and abort the run before any artifact was written)."""
+    try:
+        return float(token)
+    except ValueError:
+        return None
+
+
+def _tree_cpu_seconds() -> "float | None":
+    """Cumulative user+sys CPU seconds of this process and every live
+    descendant (driver, JVM, forked Arrow Python workers), plus each
+    process's already-reaped children, read from /proc.
+
+    This is the drift-immune twin of the wall clock (r11 verdict ask
+    #3): external host contention inflates wall but barely touches
+    CPU, so a per-query cpu_s column turns every future "window or
+    code?" adjudication into reading one number. Spark's own
+    executorCpuTime would miss the Python workers, where the decode
+    family actually burns its cycles — the process tree sees both.
+    Returns None where /proc isn't available (non-Linux)."""
+    import glob as _glob
+
+    try:
+        tck = float(os.sysconf("SC_CLK_TCK"))
+    except (AttributeError, ValueError, OSError):
+        return None
+    info: dict[int, tuple[int, int]] = {}
+    for path in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(path) as fh:
+                raw = fh.read()
+        except OSError:
+            continue    # pid exited mid-walk
+        try:
+            # comm may contain spaces/parens: split after the LAST ')'
+            rp = raw.rindex(")")
+            pid = int(raw[:raw.index(" ")])
+            fields = raw[rp + 2:].split()
+            # post-comm indices: 1=ppid (field 4); 11..14 = utime,
+            # stime, cutime, cstime (fields 14-17, man proc(5))
+            ppid = int(fields[1])
+            cpu = sum(int(fields[i]) for i in (11, 12, 13, 14))
+        except (ValueError, IndexError):
+            continue
+        info[pid] = (ppid, cpu)
+    if not info:
+        return None
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    seen: set[int] = set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in info:
+            continue
+        seen.add(p)
+        total += info[p][1]
+        stack.extend(kids.get(p, ()))
+    return total / tck
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_num = _parse_sf(sf)
 
     from go_triton_spark.session import get_spark
     from go_triton_spark.operators import REGISTRY
@@ -183,24 +249,34 @@ def main() -> int:
     except (OSError, ValueError, KeyError, TypeError):
         basket = {}
         decode_basket = {}
-    sf_is_ref = sf.replace(".", "").isdigit() and float(sf) == 0.1
+    sf_is_ref = sf_num == 0.1
 
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     warmups = max(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")), 0)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cpu_s: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    cpu_supported = _tree_cpu_seconds() is not None
     for name in HEADLINE:
         qd = REGISTRY[name]
         runs: list[float] = []
+        cpu_runs: list[float] = []
         try:
             for i in range(warmups + reps):
+                # CPU snapshots sit OUTSIDE the wall-clock window, so
+                # the /proc walk (~ms) never inflates the wall medians
+                c0 = _tree_cpu_seconds() if cpu_supported else None
                 t0 = time.perf_counter()
                 qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 if i >= warmups:
                     runs.append(dt)
+                    if c0 is not None:
+                        c1 = _tree_cpu_seconds()
+                        if c1 is not None:
+                            cpu_runs.append(c1 - c0)
             med = statistics.median(runs)
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             # lose the whole benchmark artifact; record a penalty time
@@ -210,6 +286,8 @@ def main() -> int:
             runs = runs or [999.0]
         timings[name] = round(med, 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        if cpu_runs:
+            cpu_s[name] = round(statistics.median(cpu_runs), 3)
         total += timings[name]
 
     out = {
@@ -220,8 +298,10 @@ def main() -> int:
         "spread": spread,
         "reps": reps,
         "warmup": warmups,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_num if sf_num is not None else sf,
     }
+    if cpu_s:
+        out["cpu_s"] = cpu_s
     drift_ratio = None
     drift_basket: dict[str, float] = {}
     if basket and sf_is_ref:
@@ -259,7 +339,7 @@ def main() -> int:
             # token: an SF dir not ending in 'sf<num>' would otherwise
             # embed a PATH here, making the open fail silently (or
             # write outside the repo)
-            token = sf if sf.replace(".", "").isdigit() else "unknown"
+            token = sf if sf_num is not None else "unknown"
             fname = f"BENCH_SELF.sf{token}.json"
         elif drift_ratio is not None and drift_ratio > 1.15:
             fname = "BENCH_SELF.drifted.json"

@@ -25,6 +25,8 @@ import struct
 
 import numpy as np
 
+from go_triton_spark.codec import native as _native
+
 # ITU/IMA step-size table (89 entries, public spec)
 STEP_TABLE = [
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
@@ -39,16 +41,22 @@ STEP_TABLE = [
 INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def decode_ima(nibbles, predictor: int, index: int) -> np.ndarray:
+def decode_ima(nibbles, predictor: int, index: int,
+               use_native: "bool | None" = None) -> np.ndarray:
     """Decode a nibble sequence from an initial (predictor, index)
     state. Returns int64 samples, one per nibble — the block header
-    sample is NOT included (callers prepend it)."""
+    sample is NOT included (callers prepend it).
+
+    ``use_native=None`` resolves the TRITON_NATIVE_DECODE flag per
+    call; per-stream callers (decode_ima_blocks) resolve it ONCE and
+    pass the bool so the flag-off pure path pays no per-block env
+    lookup (r11 verdict item #3)."""
     # Opt-in native fast path (r11): the shim runs the identical state
     # machine; None (shim absent / bad index) falls through to the
     # pure loop, which owns the loud rejection.
-    from go_triton_spark.codec import native as _native
-
-    if _native.native_enabled(None):
+    if use_native is None:
+        use_native = _native.native_enabled(None)
+    if use_native:
         got = _native.ima_decode_native(nibbles, predictor, index)
         if got is not None:
             return got
@@ -78,6 +86,7 @@ def decode_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
         raise ValueError("IMA block_align must be >= 5")
     if len(data) % block_align:
         raise ValueError("IMA data chunk is not whole blocks")
+    use_native = _native.native_enabled(None)  # once per stream
     chunks = []
     for off in range(0, len(data), block_align):
         block = data[off:off + block_align]
@@ -90,7 +99,7 @@ def decode_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
         nibbles[1::2] = packed >> 4
         chunks.append(np.concatenate([[predictor],
                                       decode_ima(nibbles, predictor,
-                                                 index)]))
+                                                 index, use_native)]))
     return np.concatenate(chunks) if chunks else np.empty(0, np.int64)
 
 

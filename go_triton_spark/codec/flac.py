@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from go_triton_spark.codec import native as _native
+
 _FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
@@ -62,8 +64,6 @@ def _crc16(data: bytes) -> int:
     # table-driven (8x fewer Python ops than bit-at-a-time — this runs
     # over EVERY frame byte); the native shim leg covers flag-on runs
     if len(data) > 4096:
-        from go_triton_spark.codec import native as _native
-
         if _native.native_enabled(None):
             v = _native.crc16_8005_native(data)
             if v is not None:
@@ -482,8 +482,6 @@ def _predicted(br: _BitReader, blocksize: int, sbps: int, order: int,
     # bit-identical by transcription; ANY deviation returns None and
     # the pure loop below re-decodes from the same bit position and
     # raises its typed error — flag-on never changes accept/reject.
-    from go_triton_spark.codec import native as _native
-
     if _native.native_enabled(None):
         got = _native.flac_predicted_native(
             br.data, br.pos * 8 - br.n, blocksize, order, coefs,

@@ -419,6 +419,14 @@ def _tiff_pure_compatible(data: bytes) -> bool:
     if len(offsets) != len(counts):
         return False
     rows_per_strip = one(278, height)
+    if rows_per_strip < 1:
+        return False
+    # strip COUNT must cover the image exactly (r11 advice): too few
+    # strips passes the per-strip loop below but parse_tiff's reshape
+    # raises — without this check accept/reject parity would rest on
+    # libtiff's stopOnError behavior instead of the gate
+    if len(offsets) != -(-height // rows_per_strip):
+        return False
     rowbytes = width * spp
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(data):

@@ -222,13 +222,20 @@ class ArchiveStore:
         # inside) and then RENAMES the part files into the shared
         # partition tree: names are job-unique (part-<uuid>), renames
         # are same-filesystem atomic, and a crash leaves only hidden
-        # residue swept by _sweep_stale_staging's age rule.
+        # residue reaped by the inline age-gated sweep below (NOT
+        # _sweep_stale_staging — that one owns compact's residue).
         import shutil
         import time as _time
         import uuid
+        import warnings
 
         # sweep CRASH residue of prior ingests (age-gated like the
-        # compact staging sweep; fresh dirs belong to live jobs)
+        # compact staging sweep; fresh dirs belong to live jobs).
+        # Residue that still holds COMMITTED part files may be the
+        # only staged copy of rows a mid-rename failure never moved
+        # (r11 advice) — quarantine it out of the sweep prefix with a
+        # warning, mirroring _compact_old; only part-free wreckage
+        # (_temporary scratch from a crashed write) is deleted.
         try:
             now = _time.time()
             for name in os.listdir(self.root):
@@ -236,10 +243,36 @@ class ArchiveStore:
                     continue
                 p = os.path.join(self.root, name)
                 try:
-                    if now - os.path.getmtime(p) > 3600.0:
-                        shutil.rmtree(p, ignore_errors=True)
+                    if now - os.path.getmtime(p) <= 3600.0:
+                        continue
                 except OSError:
-                    pass
+                    continue    # vanished: a concurrent sweep got it
+                def _has_committed_parts(root: str) -> bool:
+                    for base, dirs, files in os.walk(root):
+                        dirs[:] = [d for d in dirs
+                                   if not d.startswith((".", "_"))]
+                        for fn in files:
+                            if (fn.endswith(".parquet")
+                                    and not fn.startswith((".", "_"))):
+                                return True
+                    return False
+
+                if _has_committed_parts(p):
+                    qname = name.replace(".ingest_tmp.",
+                                         ".ingest_quarantine.")
+                    try:
+                        os.rename(p, os.path.join(self.root, qname))
+                    except OSError:
+                        qname = name    # rename failed: warn in place
+                    warnings.warn(
+                        f"stale ingest staging {self.root}/{qname} "
+                        "still holds committed part files — a prior "
+                        "ingest failed mid-move and these may be the "
+                        "only staged copy of unmoved rows; reconcile "
+                        "manually (never auto-deleted)",
+                        RuntimeWarning, stacklevel=2)
+                else:
+                    shutil.rmtree(p, ignore_errors=True)
         except FileNotFoundError:
             pass    # first-ever ingest: root created by the write below
         staging = os.path.join(
@@ -252,23 +285,37 @@ class ArchiveStore:
         # retry to re-ingest EVERYTHING, duplicating the already-moved
         # rows; preserving it lets an operator (or a smarter retry)
         # complete the move instead. The age-gated sweep above reaps
-        # abandoned residue after an hour — hidden names never list,
-        # so readers are unaffected either way.
+        # part-free wreckage after an hour and QUARANTINES (with a
+        # warning) residue that still holds committed part files —
+        # hidden names never list, so readers are unaffected either
+        # way, and the only staged copy is never silently destroyed.
         (out.write.mode("overwrite")
             .partitionBy(*_PARTITION_COLS)
             .parquet(staging))
-        for base, dirs, files in os.walk(staging):
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            rel = os.path.relpath(base, staging)
-            for fn in files:
-                if fn.startswith((".", "_")) \
-                        or not fn.endswith(".parquet"):
-                    continue
-                dest_dir = (self.root if rel == "." else
-                            os.path.join(self.root, rel))
-                os.makedirs(dest_dir, exist_ok=True)
-                os.rename(os.path.join(base, fn),
-                          os.path.join(dest_dir, fn))
+        try:
+            for base, dirs, files in os.walk(staging):
+                dirs[:] = [d for d in dirs
+                           if not d.startswith((".", "_"))]
+                rel = os.path.relpath(base, staging)
+                for fn in files:
+                    if fn.startswith((".", "_")) \
+                            or not fn.endswith(".parquet"):
+                        continue
+                    dest_dir = (self.root if rel == "." else
+                                os.path.join(self.root, rel))
+                    os.makedirs(dest_dir, exist_ok=True)
+                    os.rename(os.path.join(base, fn),
+                              os.path.join(dest_dir, fn))
+        except Exception:
+            # name the preserved staging dir NOW (r11 advice): the
+            # age sweep above quarantines rather than deletes it, but
+            # the recovery window should not expire unannounced
+            warnings.warn(
+                f"ingest failed mid-move; staged part files preserved "
+                f"in {staging} for recovery (the next ingest's sweep "
+                "quarantines, never deletes, non-empty residue)",
+                RuntimeWarning, stacklevel=2)
+            raise
         shutil.rmtree(staging, ignore_errors=True)
 
     # -------------------------------------------------------------- read
@@ -867,6 +914,15 @@ class ArchiveStore:
                 shutil.rmtree(path, ignore_errors=True)
             elif name.startswith(old_prefix):
                 try:
+                    # explicit existence check first (r11 advice):
+                    # POSIX rename atomically REPLACES an empty
+                    # existing dir, so a concurrent ingest's fresh
+                    # makedirs(hour) would be silently renamed over
+                    # (benign merge, but weaker than the quarantine
+                    # contract claims). The OSError fallback still
+                    # covers the lexists->rename race window.
+                    if os.path.lexists(os.path.join(parent, base)):
+                        raise OSError(f"{base} exists; quarantine")
                     # fails (ENOTEMPTY/EEXIST) when the hour exists —
                     # exactly the case where restoring would collide
                     os.rename(path, os.path.join(parent, base))

@@ -683,3 +683,115 @@ def test_ingest_failure_preserves_staging_for_recovery(
     _sh.rmtree(stage_root)
     got = store.cat("events", when.date(), client="archive").count()
     assert got == 5
+
+
+def test_compact_old_restore_never_replaces_empty_hour(tmp_path):
+    """POSIX rename atomically REPLACES an empty existing directory,
+    so a concurrent ingest's fresh makedirs(hour) could be silently
+    renamed over by the stale-residue restore (r11 advice): the sweep
+    must take the quarantine path whenever the hour name EXISTS, even
+    empty."""
+    import time
+    import warnings
+
+    parent = tmp_path / "date=20260101"
+    parent.mkdir()
+    base = "hour=07"
+    hour = parent / base
+    hour.mkdir()        # concurrent ingest just created it — EMPTY
+    old = parent / f".{base}._compact_old.race_1"
+    old.mkdir()
+    (old / "part-0.parquet").write_bytes(b"x")
+    stale = time.time() - 7200
+    os.utime(old, (stale, stale))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ArchiveStore._sweep_stale_staging(str(parent), base)
+    assert hour.is_dir(), "live hour dir survives"
+    assert not (hour / "part-0.parquet").exists(), \
+        "residue is not merged over the live hour"
+    quarantined = parent / f".{base}._quarantined_old.race_1"
+    assert quarantined.is_dir() and (quarantined / "part-0.parquet").exists()
+    assert any("reconcile" in str(w.message) for w in caught)
+
+
+def test_ingest_sweep_quarantines_committed_residue(
+        spark, store, sf_dir):
+    """The age sweep must distinguish part-free write wreckage (safe
+    to delete) from residue holding COMMITTED part files — possibly
+    the only staged copy of rows a mid-rename failure never moved
+    (r11 advice): quarantine + warn, never rmtree."""
+    import time
+    import warnings
+
+    os.makedirs(store.root, exist_ok=True)
+    # residue WITH a committed part file in its partition subtree
+    keep = os.path.join(store.root, ".ingest_tmp.dead_1")
+    sub = os.path.join(keep, "stream=events", "client=archive",
+                       "date=20260101", "hour=00")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-x.parquet"), "wb") as fh:
+        fh.write(b"p")
+    # residue with only _temporary scratch (crashed before job commit)
+    junk = os.path.join(store.root, ".ingest_tmp.dead_2")
+    os.makedirs(os.path.join(junk, "_temporary", "0"))
+    # fresh staging of a live concurrent ingest
+    fresh = os.path.join(store.root, ".ingest_tmp.live_3")
+    os.makedirs(fresh)
+    stale = time.time() - 7200
+    os.utime(keep, (stale, stale))
+    os.utime(junk, (stale, stale))
+
+    ev = _events(spark, sf_dir).limit(2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        store.ingest_dataframe(ev, "events", "archive",
+                               when=dt.datetime.now(tz=UTC))
+    q = os.path.join(store.root, ".ingest_quarantine.dead_1")
+    assert os.path.isdir(q), "committed residue quarantined, not deleted"
+    assert os.path.exists(os.path.join(
+        q, "stream=events", "client=archive", "date=20260101",
+        "hour=00", "part-x.parquet"))
+    assert not os.path.exists(keep)
+    assert not os.path.exists(junk), "part-free wreckage is reaped"
+    assert os.path.isdir(fresh), "fresh staging belongs to a live job"
+    assert any("reconcile" in str(w.message) for w in caught)
+    # quarantined names are outside the sweep prefix: next ingest
+    # neither re-warns nor touches them
+    with warnings.catch_warnings(record=True) as again:
+        warnings.simplefilter("always")
+        store.ingest_dataframe(ev, "events", "archive",
+                               when=dt.datetime.now(tz=UTC))
+    assert os.path.isdir(q)
+    assert not any("reconcile" in str(w.message) for w in again)
+
+
+def test_ingest_failure_warns_naming_staging_dir(
+        spark, store, sf_dir, monkeypatch):
+    """The mid-move failure must announce WHERE the staged copy lives
+    (r11 advice): the recovery window should not depend on an operator
+    knowing the hidden staging naming scheme."""
+    import warnings
+
+    ev = _events(spark, sf_dir).limit(3)
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if "/.ingest_tmp." in src and src.endswith(".parquet"):
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with pytest.raises(OSError, match="simulated"):
+            store.ingest_dataframe(ev, "events", "archive",
+                                   when=dt.datetime.now(tz=UTC))
+    monkeypatch.setattr(os, "rename", real_rename)
+    staged = [n for n in os.listdir(store.root)
+              if n.startswith(".ingest_tmp.")]
+    assert len(staged) == 1
+    msgs = [str(w.message) for w in caught]
+    assert any(staged[0] in m and "preserved" in m for m in msgs), \
+        f"warning must name the staging dir; got {msgs}"

@@ -610,6 +610,13 @@ def test_tiff_gate_accepts_pure_set_only():
                                 (273, 3, 2, 8 | (16 << 16)),
                                 (279, 3, 2, 4 | (4 << 16))])), \
         "more strips than rows"
+    # strip COUNT must cover the image (r11 advice): 4 rows at
+    # rows_per_strip=1 needs 4 strips — one strip of the right SIZE
+    # passes the per-strip loop but parse_tiff's reshape raises, so
+    # the gate must reject without leaning on libtiff's stopOnError
+    assert not gate(_mini_tiff([(278, 3, 1, 1), (279, 4, 1, 4)])), \
+        "too few strips"
+    assert not gate(_mini_tiff([(278, 3, 1, 0)])), "rows_per_strip 0"
     # tiled (no strip offsets): drop tag 273
     import struct as s
     tiled = _mini_tiff()
