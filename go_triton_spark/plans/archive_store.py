@@ -306,7 +306,7 @@ class ArchiveStore:
                     os.makedirs(dest_dir, exist_ok=True)
                     os.rename(os.path.join(base, fn),
                               os.path.join(dest_dir, fn))
-        except Exception:
+        except Exception as exc:
             # name the preserved staging dir NOW (r11 advice): the
             # age sweep above quarantines rather than deletes it, but
             # the recovery window should not expire unannounced
@@ -315,6 +315,11 @@ class ArchiveStore:
                 f"in {staging} for recovery (the next ingest's sweep "
                 "quarantines, never deletes, non-empty residue)",
                 RuntimeWarning, stacklevel=2)
+            # machine-readable twin of the warning: a smarter retry
+            # (or the race-matrix recovery leg) completes the move
+            # from exc.triton_staging_dir instead of re-ingesting
+            # everything and duplicating the already-moved rows
+            exc.triton_staging_dir = staging
             raise
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -804,7 +809,7 @@ class ArchiveStore:
         hot_cutoff = (_dt.datetime.now(tz=_dt.timezone.utc)
                       - _dt.timedelta(hours=min_age_hours))
         stats = {"hours": 0, "hours_skipped": 0, "hours_vanished": 0,
-                 "hours_contended": 0,
+                 "hours_contended": 0, "files_rescued": 0,
                  "files_before": 0, "files_after": 0, "bytes": 0}
         for hour_name in sorted(os.listdir(slice_dir)):
             hour_dir = os.path.join(slice_dir, hour_name)
@@ -1005,15 +1010,50 @@ class ArchiveStore:
                   flush=True)
 
         _audit("pre-write")
-        (self.spark.read.parquet(hour_dir)
+        # read PINNED to the entry listing (r12 ingest-compact soak):
+        # reading the DIRECTORY let the scan pick up part files a
+        # concurrent backfill ingest landed after `files` was taken,
+        # making "what got rewritten" torn — with an explicit file
+        # list, anything not in `files` is by construction a
+        # straggler the rescue below must carry across the swap
+        (self.spark.read.parquet(
+            *[os.path.join(hour_dir, f) for f in files])
              .repartitionByRange(n_out, "_archive_sort")
              .write.parquet(tmp_dir))
         _audit("post-write")
+
+        def _rescue_stragglers(doomed: str) -> None:
+            # A concurrent backfill ingest (ingest_dataframe with an
+            # old `when`) renames its part files directly into
+            # hour_dir; one landing between the pinned listing and
+            # the swap rides the swap into the doomed old dir, and
+            # the rmtree below silently destroyed it (found by the
+            # r12 ingest-compact race soak — the sink never hits this
+            # because compact skips hot hours). Move anything not in
+            # the rewrite's pinned listing back into the live hour:
+            # names are job-unique, so no collisions, and the rows
+            # were never in the rewrite, so no duplication.
+            try:
+                names = os.listdir(doomed)
+            except OSError:
+                return    # already gone: nothing rescuable
+            for fn in names:
+                if (fn.endswith(".parquet") and fn not in known
+                        and not fn.startswith((".", "_"))):
+                    try:
+                        os.rename(os.path.join(doomed, fn),
+                                  os.path.join(hour_dir, fn))
+                        stats["files_rescued"] += 1
+                    except OSError:
+                        pass    # straggler vanished: its writer owns it
+
+        known = set(files)
         if _exchange_dirs(tmp_dir, hour_dir):
             # atomic exchange: the partition is NEVER absent; the
             # old files (now under the hidden tmp name) vanish only
             # from readers' pre-swap path lists — one retry heals
             _audit("post-exchange pre-rmtree")
+            _rescue_stragglers(tmp_dir)
             shutil.rmtree(tmp_dir)
             _audit("post-rmtree")
         else:
@@ -1033,6 +1073,7 @@ class ArchiveStore:
                 except OSError:
                     pass
                 raise
+            _rescue_stragglers(old_dir)
             shutil.rmtree(old_dir)
         stats["hours"] += 1
         stats["files_before"] += len(files)

@@ -62,6 +62,15 @@ def builder(app_name: str = "go-triton-spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    # escape hatch for experiments/ops: semicolon-separated k=v pairs
+    # applied LAST so they override any default above (e.g. the scale
+    # profiler sets spark.ui.enabled=true to read per-stage shuffle
+    # bytes from the status REST API)
+    for kv in filter(None, os.environ.get(
+            "SPARK_GRAFT_EXTRA_CONFS", "").split(";")):
+        k, _, v = kv.partition("=")
+        if k.strip() and v.strip():
+            b = b.config(k.strip(), v.strip())
     return b
 
 

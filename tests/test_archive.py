@@ -795,3 +795,74 @@ def test_ingest_failure_warns_naming_staging_dir(
     msgs = [str(w.message) for w in caught]
     assert any(staged[0] in m and "preserved" in m for m in msgs), \
         f"warning must name the staging dir; got {msgs}"
+
+
+@pytest.mark.parametrize("exchange_works", [True, False])
+def test_compact_rescues_straggler_ingest_part(
+        spark, store, sf_dir, monkeypatch, exchange_works):
+    """A part file a concurrent backfill ingest lands in the hour
+    between compact's pinned listing and the swap rides the swap into
+    the doomed old dir — before the r12 fix the rmtree silently
+    destroyed it (found by the ingest-compact race soak). Both swap
+    branches must move it back into the live hour."""
+    import shutil
+
+    import go_triton_spark.plans.archive_store as A
+
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=5)
+    ev = _events(spark, sf_dir).limit(10)
+    store.ingest_dataframe(ev, "events", "archive", when=when)
+    store.ingest_dataframe(ev.limit(5), "events", "archive",
+                           when=when + dt.timedelta(seconds=1))
+    hour_dir = os.path.join(
+        store.root, "stream=events", "client=archive",
+        f"date={when.strftime('%Y%m%d')}", f"hour={when.strftime('%H')}")
+    parts = [f for f in os.listdir(hour_dir) if f.endswith(".parquet")]
+    assert len(parts) >= 2, "need a fragmented hour so compact rewrites"
+    straggler_rows = (spark.read.parquet(os.path.join(hour_dir, parts[0]))
+                      .count())
+
+    real_ex = A._exchange_dirs
+
+    def exchange_with_straggler(tmp, hour):
+        # simulate the concurrent ingest: a job-unique part file lands
+        # in the hour AFTER the rewrite's pinned listing, just before
+        # the swap
+        shutil.copyfile(os.path.join(hour, parts[0]),
+                        os.path.join(hour, "part-straggler.parquet"))
+        return real_ex(tmp, hour) if exchange_works else False
+
+    monkeypatch.setattr(A, "_exchange_dirs", exchange_with_straggler)
+    stats = store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+    monkeypatch.setattr(A, "_exchange_dirs", real_ex)
+    assert stats["hours"] == 1
+    assert stats["files_rescued"] == 1
+    live = os.listdir(hour_dir)
+    assert "part-straggler.parquet" in live, \
+        "straggler must survive the swap in the live hour"
+    got = store.cat("events", when.date(), client="archive").count()
+    assert got == 15 + straggler_rows
+
+
+def test_ingest_failure_exception_carries_staging_dir(
+        spark, store, sf_dir, monkeypatch):
+    """The mid-move failure's exception exposes the preserved staging
+    path machine-readably (triton_staging_dir) so a smarter retry can
+    complete the move instead of re-ingesting + duplicating."""
+    ev = _events(spark, sf_dir).limit(3)
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if "/.ingest_tmp." in src and src.endswith(".parquet"):
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated") as ei:
+        store.ingest_dataframe(ev, "events", "archive",
+                               when=dt.datetime.now(tz=UTC))
+    monkeypatch.setattr(os, "rename", real_rename)
+    staging = getattr(ei.value, "triton_staging_dir", None)
+    assert staging and os.path.isdir(staging)
+    assert os.path.basename(staging).startswith(".ingest_tmp.")

@@ -138,8 +138,38 @@ def build(spark, mult: int) -> str:
     return out
 
 
+def _shuffle_totals(spark):
+    """Cumulative shuffle write/read bytes over all completed stages,
+    via the status REST API (needs spark.ui.enabled=true — main()
+    turns it on through SPARK_GRAFT_EXTRA_CONFS). Per-query deltas of
+    this are the 'exchange bytes vs N' column the r11 verdict asked
+    for on the similarity family. Returns None when the UI is off."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    try:
+        apps = _json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = _json.load(urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10))
+        return (sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                sum(s.get("shuffleReadBytes", 0) for s in stages))
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+
+
 def main() -> int:
     global QUERIES
+    # UI on for this process so _shuffle_totals can read stage metrics
+    prior = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    if "spark.ui.enabled" not in prior:
+        os.environ["SPARK_GRAFT_EXTRA_CONFS"] = (
+            (prior + ";" if prior else "") + "spark.ui.enabled=true")
     if "--batch2" in sys.argv:
         QUERIES = QUERIES2
     if "--batch3" in sys.argv:
@@ -163,15 +193,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    shuffles: dict[str, dict[int, dict]] = {q: {} for q in QUERIES}
     for m in mults:
         sf_dir = build(spark, m) if m != 1 else BASE
         for q in QUERIES:
+            s0 = _shuffle_totals(spark)
             t0 = time.time()
             REGISTRY[q].spark(spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
             results[q][m] = round(time.time() - t0, 2)
-            print(f"x{m} {q}: {results[q][m]}s", flush=True)
-    print(json.dumps(results))
+            s1 = _shuffle_totals(spark) if s0 is not None else None
+            extra = ""
+            if s0 is not None and s1 is not None:
+                mb = round((s1[0] - s0[0]) / 1e6, 1)
+                shuffles[q][m] = {"write_mb": mb,
+                                  "read_mb": round((s1[1] - s0[1]) / 1e6, 1)}
+                extra = f" shuffle_write={mb}MB"
+            print(f"x{m} {q}: {results[q][m]}s{extra}", flush=True)
+    print(json.dumps({"wall_s": results, "shuffle": shuffles}))
     return 0
 
 

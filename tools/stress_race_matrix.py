@@ -10,6 +10,14 @@ that can race on a live archive:
                      (+ a fragmenter so real swaps keep happening)
     sink-compact     streaming store micro-batch commits vs compact
     sink-expire      streaming store micro-batch commits vs retention
+    ingest-compact   backfill ingest_dataframe renaming into the SAME
+                     cold hour the compaction cron is swapping (r11
+                     verdict #5 — found the straggler-destroy bug the
+                     r12 rescue fix closes), incl. the preserved-
+                     staging recovery leg
+    ingest-expire    backfill ingest vs the retention cron's date-dir
+                     rmtree: destination-vanished failures must take
+                     the preserved-staging path, never silent loss
     triple           sink + compact + expire all at once (three-way
                      interleavings the pairwise legs can miss)
 
@@ -74,9 +82,11 @@ class Harness:
         self.cold = self.now - dt.timedelta(hours=3)
         self.old_date = (self.now - dt.timedelta(days=5))
         self.stop = threading.Event()
+        self._real_rename = os.rename   # pre-injector (see run_pair)
         self.problems: list[str] = []
         self.ops = {"swaps": 0, "expires": 0, "commits": 0,
-                    "contended": 0}
+                    "contended": 0, "ingests": 0, "recoveries": 0,
+                    "rescues": 0}
 
     def seed(self, when, start, n, files):
         rows = [(i, dt.datetime(2020, 1, 1, tzinfo=UTC), i % 7, "click",
@@ -100,6 +110,7 @@ class Harness:
                     min_age_hours=1.0)
                 self.ops["swaps"] += 1
                 self.ops["contended"] += st.get("hours_contended", 0)
+                self.ops["rescues"] += st.get("files_rescued", 0)
             except FileNotFoundError:
                 pass
             except Exception as exc:  # noqa: BLE001
@@ -155,14 +166,80 @@ class Harness:
                 self.problems.append(
                     f"sink: {type(exc).__name__}: {msg[:300]}")
 
+    def _complete_staging(self, staging: str) -> None:
+        """The documented operator recovery: finish an interrupted
+        ingest move from the preserved staging dir
+        (exc.triton_staging_dir) instead of re-ingesting. Uses the
+        REAL os.rename captured at init so the pair's fault injector
+        (which models the ingest path's failures, not the operator's
+        shell) never re-fails the recovery itself."""
+        root = self.eng.archive.root
+        for cur, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            rel = os.path.relpath(cur, staging)
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    dest = root if rel == "." else os.path.join(root, rel)
+                    os.makedirs(dest, exist_ok=True)
+                    self._real_rename(os.path.join(cur, fn),
+                                      os.path.join(dest, fn))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def ingester(self):
+        """Backfill writer (r11 verdict #5): lands 4-row batches
+        directly into the COLD hour via ingest_dataframe, so its
+        private-staging rename loop races compact's rewrite+swap and
+        expire's retention walk. Every third loop also churns the
+        EXPIRED date (uncounted id range) to force the
+        destination-vanished failure; failures are recovered through
+        the documented exc.triton_staging_dir path — preserved
+        staging completed by hand, never re-ingested."""
+        k = 0
+        while not self.stop.is_set():
+            k += 1
+            rows = [(60_000 + 4 * k + i,
+                     dt.datetime(2020, 1, 1, tzinfo=UTC), i % 7,
+                     "click", 1.0, {"k": "v"}) for i in range(4)]
+            df = self.spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+            try:
+                self.eng.archive.ingest_dataframe(
+                    df, "events", "archive",
+                    when=self.cold + dt.timedelta(seconds=k % 50))
+                self.ops["ingests"] += 1
+                if k % 3 == 0:
+                    churn = self.spark.createDataFrame(
+                        [(55_000 + (k % 1000),
+                          dt.datetime(2020, 1, 1, tzinfo=UTC), 0,
+                          "click", 1.0, {"k": "v"})],
+                        schema=EVENTS_SCHEMA)
+                    self.eng.archive.ingest_dataframe(
+                        churn, "events", "archive", when=self.old_date)
+            except Exception as exc:  # noqa: BLE001
+                staging = getattr(exc, "triton_staging_dir", None)
+                if staging and os.path.isdir(staging):
+                    try:
+                        self._complete_staging(staging)
+                        self.ops["recoveries"] += 1
+                        continue
+                    except OSError:
+                        pass    # destination churned again: retry
+                msg = str(exc)
+                if any(t in msg for t in _RETRYABLE):
+                    continue
+                self.problems.append(
+                    f"ingest: {type(exc).__name__}: {msg[:300]}")
+            time.sleep(0.01)
+
     # ---------------------------------------------------- readers
 
-    def reader(self, include_old: bool, watch_sink: bool):
+    def reader(self, include_old: bool, watch_sink: bool,
+               watch_ingest: bool = False):
         lo = (self.old_date.date() if include_old
               else self.cold.date())
         hi = self.now.date()
         prev_extra = 0
         prev_sink = 0
+        prev_ing = 0
         while not self.stop.is_set():
             try:
                 df = self.eng.cat("events", lo, hi, client="archive",
@@ -175,7 +252,10 @@ class Harness:
                                    & (F.col("event_id") < 50_000), 1))
                      .alias("extra"),
                     F.count(F.when(F.col("event_id") >= 90_000, 1))
-                     .alias("sunk")).collect()[0])
+                     .alias("sunk"),
+                    F.count(F.when((F.col("event_id") >= 60_000)
+                                   & (F.col("event_id") < 90_000), 1))
+                     .alias("ing")).collect()[0])
             except Exception as exc:  # noqa: BLE001
                 msg = str(exc)
                 if any(t in msg for t in _RETRYABLE):
@@ -230,6 +310,12 @@ class Harness:
                         f"LOSS: sink counter went {prev_sink} -> "
                         f"{row['sunk']}")
                 prev_sink = max(prev_sink, row["sunk"])
+            if watch_ingest:
+                if row["ing"] < prev_ing:
+                    self.problems.append(
+                        f"LOSS: ingest counter went {prev_ing} -> "
+                        f"{row['ing']}")
+                prev_ing = max(prev_ing, row["ing"])
 
     # ------------------------------------------------------ pairs
 
@@ -257,6 +343,24 @@ class Harness:
             writers = [self.expirer, lambda: self.compactor(5000)]
             readers = [lambda: self.reader(False, False),
                        lambda: self.reader(True, False)]
+        elif pair == "ingest-compact":
+            # backfill ingest renaming into the SAME cold hour the
+            # compaction cron is swapping: the r12 straggler-rescue
+            # fix is the surface under test (a part landing between
+            # compact's pinned listing and the swap used to be
+            # rmtree'd silently), plus the preserved-staging recovery
+            # leg when an interleaving breaks the move
+            writers = [self.ingester, lambda: self.compactor(5000)]
+            readers = [lambda: self.reader(False, False, True)] * 2
+        elif pair == "ingest-expire":
+            # backfill ingest vs the retention cron: expire rmtree's
+            # whole date dirs while ingest renames into the tree; the
+            # churn leg writes into the EXPIRED date to force the
+            # destination-vanished failure, which must take the
+            # preserved-staging path (counted range is never expired)
+            writers = [self.ingester, self.expirer]
+            readers = [lambda: self.reader(False, False, True),
+                       lambda: self.reader(True, False, True)]
         elif pair == "triple":
             # everything at once: live sink commits + compact cron +
             # retention cron + both reader profiles. Pairwise soaks
@@ -281,16 +385,46 @@ class Harness:
                        lambda: self.reader(True, True)]
         else:
             raise SystemExit(f"unknown pair {pair!r}")
-        threads = [threading.Thread(target=f, daemon=True)
-                   for f in writers + readers]
-        for t in threads:
-            t.start()
-        deadline = time.time() + seconds
-        while time.time() < deadline and not self.problems:
-            time.sleep(0.5)
-        self.stop.set()
-        for t in threads:
-            t.join(30)
+        # FAULT INJECTOR for the ingest pairs: the natural
+        # destination-vanished window (expire's rmtree landing inside
+        # the sub-millisecond rename loop) is too narrow to hit in a
+        # soak, so the ingester thread's staging renames fail at 5% —
+        # forcing the preserved-staging + exc.triton_staging_dir +
+        # operator-completion path to run UNDER live maintenance
+        # churn, which is the surface the r11 verdict asked to soak.
+        # Injection is keyed on the thread name, so seed()/compactor
+        # ingests and the recovery itself stay un-injected.
+        inject = pair.startswith("ingest-")
+        real_rename = os.rename
+        if inject:
+            import random as _random
+
+            rng = _random.Random(12)
+
+            def flaky_rename(src, dst):
+                if (threading.current_thread().name == "ingester"
+                        and "/.ingest_tmp." in src
+                        and src.endswith(".parquet")
+                        and rng.random() < 0.05):
+                    raise OSError("fault-injected mid-move failure")
+                return real_rename(src, dst)
+
+            os.rename = flaky_rename
+        try:
+            threads = [threading.Thread(
+                target=f, daemon=True,
+                name=getattr(f, "__name__", "w"))
+                for f in writers + readers]
+            for t in threads:
+                t.start()
+            deadline = time.time() + seconds
+            while time.time() < deadline and not self.problems:
+                time.sleep(0.5)
+            self.stop.set()
+            for t in threads:
+                t.join(30)
+        finally:
+            os.rename = real_rename
         return {"pair": pair, **self.ops,
                 "problems": self.problems[:5]}
 
@@ -299,7 +433,8 @@ def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
     pairs = (["cat-compact", "cat-expire", "compact-compact",
-              "sink-compact", "expire-compact", "sink-expire", "triple"]
+              "sink-compact", "expire-compact", "sink-expire",
+              "ingest-compact", "ingest-expire", "triple"]
              if which == "all" else [which])
     spark = get_spark("stress-race-matrix")
     spark.sparkContext.setLogLevel("ERROR")
