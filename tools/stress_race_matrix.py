@@ -20,6 +20,8 @@ that can race on a live archive:
                      the preserved-staging path, never silent loss
     triple           sink + compact + expire all at once (three-way
                      interleavings the pairwise legs can miss)
+    quad             triple + the backfill ingester (every writer the
+                     store has, fault injector on, both readers)
 
 Invariant, every pair: a reader must FAIL LOUDLY (documented retry
 classes only) or HEAL — never return fewer rows than the stable set,
@@ -361,6 +363,16 @@ class Harness:
             writers = [self.ingester, self.expirer]
             readers = [lambda: self.reader(False, False, True),
                        lambda: self.reader(True, False, True)]
+        elif pair == "quad":
+            # every writer the store has, at once: live sink commits
+            # + compact cron + retention cron + backfill ingest (with
+            # the fault injector forcing preserved-staging recoveries
+            # mid-churn). Four-way interleavings none of the pairs or
+            # triple can reach; identical invariants.
+            writers = [self.sink, lambda: self.compactor(5000),
+                       self.expirer, self.ingester]
+            readers = [lambda: self.reader(False, True, True),
+                       lambda: self.reader(True, True, True)]
         elif pair == "triple":
             # everything at once: live sink commits + compact cron +
             # retention cron + both reader profiles. Pairwise soaks
@@ -394,7 +406,7 @@ class Harness:
         # churn, which is the surface the r11 verdict asked to soak.
         # Injection is keyed on the thread name, so seed()/compactor
         # ingests and the recovery itself stay un-injected.
-        inject = pair.startswith("ingest-")
+        inject = pair.startswith("ingest-") or pair == "quad"
         real_rename = os.rename
         if inject:
             import random as _random
@@ -434,7 +446,7 @@ def main() -> int:
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
     pairs = (["cat-compact", "cat-expire", "compact-compact",
               "sink-compact", "expire-compact", "sink-expire",
-              "ingest-compact", "ingest-expire", "triple"]
+              "ingest-compact", "ingest-expire", "triple", "quad"]
              if which == "all" else [which])
     spark = get_spark("stress-race-matrix")
     spark.sparkContext.setLogLevel("ERROR")
