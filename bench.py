@@ -246,9 +246,17 @@ def main() -> int:
         decode_basket = {k: float(v) for k, v in
                          _ref.get("decode_basket", {}).items()
                          if float(v) > 0}
+        basket_cpu = {k: float(v) for k, v in
+                      _ref.get("suite_basket_cpu", {}).items()
+                      if float(v) > 0}
+        decode_cpu = {k: float(v) for k, v in
+                      _ref.get("decode_basket_cpu", {}).items()
+                      if float(v) > 0}
     except (OSError, ValueError, KeyError, TypeError):
         basket = {}
         decode_basket = {}
+        basket_cpu = {}
+        decode_cpu = {}
     sf_is_ref = sf_num == 0.1
 
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
@@ -323,6 +331,17 @@ def main() -> int:
         if dratios:
             out["decode_drift"] = round(
                 statistics.geometric_mean(dratios), 3)
+        # NON-GATING cpu twins of the wall stamps (r11 verdict #3):
+        # process-tree CPU barely moves when external contention
+        # inflates wall — decode-family cpu is near-immune (SCALE.md
+        # r12 controlled A/B), so wall-drift high + decode_cpu_drift
+        # ~1.0 reads as window, not code, from the artifact alone
+        for key, refs in (("cpu_drift", basket_cpu),
+                          ("decode_cpu_drift", decode_cpu)):
+            cr = [cpu_s[k] / ref for k, ref in refs.items()
+                  if cpu_s.get(k) and k not in errors]
+            if cr:
+                out[key] = round(statistics.geometric_mean(cr), 3)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
