@@ -82,6 +82,19 @@ def _exchange_dirs(a: str, b: str) -> bool:
     return rc == 0
 
 
+def _holds_committed_parts(root: str) -> bool:
+    """Does ``root`` contain any VISIBLE parquet part file (hidden
+    dirs/files pruned, the same rules Spark listings apply)? The
+    one-place home of the walk idiom the staging sweeps use to decide
+    quarantine-vs-delete."""
+    for _base, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                return True
+    return False
+
+
 def _hadoop_subdirs(spark: SparkSession, path: str) -> list[str]:
     """Child directory NAMES of ``path`` via the Hadoop FileSystem API —
     the scheme-agnostic twin of ``os.listdir`` that makes the cat
@@ -247,17 +260,7 @@ class ArchiveStore:
                         continue
                 except OSError:
                     continue    # vanished: a concurrent sweep got it
-                def _has_committed_parts(root: str) -> bool:
-                    for base, dirs, files in os.walk(root):
-                        dirs[:] = [d for d in dirs
-                                   if not d.startswith((".", "_"))]
-                        for fn in files:
-                            if (fn.endswith(".parquet")
-                                    and not fn.startswith((".", "_"))):
-                                return True
-                    return False
-
-                if _has_committed_parts(p):
+                if _holds_committed_parts(p):
                     qname = name.replace(".ingest_tmp.",
                                          ".ingest_quarantine.")
                     try:
@@ -809,7 +812,8 @@ class ArchiveStore:
         hot_cutoff = (_dt.datetime.now(tz=_dt.timezone.utc)
                       - _dt.timedelta(hours=min_age_hours))
         stats = {"hours": 0, "hours_skipped": 0, "hours_vanished": 0,
-                 "hours_contended": 0, "files_rescued": 0,
+                 "hours_contended": 0, "hours_locked": 0,
+                 "files_rescued": 0,
                  "files_before": 0, "files_after": 0, "bytes": 0}
         for hour_name in sorted(os.listdir(slice_dir)):
             hour_dir = os.path.join(slice_dir, hour_name)
@@ -954,9 +958,90 @@ class ArchiveStore:
 
     def _compact_hour(self, hour_dir: str, target_file_mb: int,
                       stats: dict) -> None:
-        """Rewrite one hour partition in place (see ``compact``)."""
+        """Rewrite one hour partition in place (see ``compact``).
+
+        Serialized per hour by an advisory lock file (r12): two
+        uncoordinated compact crons hitting the same hour used to be
+        benign (the swap loser's rmtree discarded the winner's
+        same-logical-content output), but the straggler rescue below
+        made that interleaving a SILENT DUPLICATION — the loser's
+        doomed dir holds the winner's job-unique output parts, which
+        are not in the loser's pinned listing and would be "rescued"
+        back next to the loser's rewrite of the same rows. A rescue
+        keyed on the pinned listing cannot distinguish a peer
+        compactor's output from an ingest straggler (both are
+        job-unique ``part-*.parquet``), so the overlap itself is
+        removed: second compactor skips the hour
+        (``stats["hours_locked"]``), next cron pass retakes it. The
+        lock is dot-prefixed (invisible to listings) and stolen after
+        ``TRITON_COMPACT_LOCK_TTL`` seconds (default 3600 — must
+        exceed the worst-case single-hour rewrite) so a crashed
+        holder never wedges compaction.
+
+        Irreducible windows, documented not hidden (both a few
+        syscalls wide, both bounded by the reader contract "one
+        retry/fresh listing heals"): (a) a straggler that rides the
+        swap is INVISIBLE between the exchange and its rescue rename
+        — a listing in that instant under-counts by the straggler
+        until the very next statement restores it; (b) a crash in
+        that same instant leaves the straggler inside the stale
+        staging dir where the age sweep will reap it with the doomed
+        rewrite input — a manifest-less rename design cannot tell a
+        straggler from already-rewritten input after the fact (a
+        table format's atomic commit is the 100 TB answer, see
+        ``compact``)."""
+        parent, base = os.path.split(hour_dir)
+        lock = self._acquire_hour_lock(parent, base)
+        if lock is None:
+            stats["hours_locked"] += 1
+            return
+        try:
+            self._compact_hour_locked(hour_dir, target_file_mb, stats)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass    # stolen after TTL overrun: stealer owns it
+
+    @staticmethod
+    def _acquire_hour_lock(parent: str, base: str) -> "str | None":
+        """Best-effort per-hour advisory lock: O_EXCL-create a hidden
+        sibling file; stale (crashed-holder) locks are stolen via an
+        atomic rename so concurrent stealers cannot both win. Returns
+        the lock path, or None when another live compactor holds the
+        hour."""
+        import time as _time
+
+        ttl = float(os.environ.get("TRITON_COMPACT_LOCK_TTL", "3600"))
+        path = os.path.join(parent, f".{base}._compact_lock")
+        for _attempt in (0, 1):
+            try:
+                fd = os.open(path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                os.write(fd, f"{os.getpid()}\n".encode())
+                os.close(fd)
+                return path
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.stat(path).st_mtime
+                except OSError:
+                    continue    # holder just released: one more try
+                if age <= ttl:
+                    return None
+                # stale: exactly one stealer's rename succeeds; the
+                # winner retries the create, losers back off
+                try:
+                    os.rename(path, path + ".stale")
+                    os.unlink(path + ".stale")
+                except OSError:
+                    return None
+        return None
+
+    def _compact_hour_locked(self, hour_dir: str, target_file_mb: int,
+                             stats: dict) -> None:
         import math
         import shutil
+        import warnings
 
         files = [f for f in os.listdir(hour_dir) if f.endswith(".parquet")]
         nbytes = sum(os.path.getsize(os.path.join(hour_dir, f))
@@ -1022,7 +1107,7 @@ class ArchiveStore:
              .write.parquet(tmp_dir))
         _audit("post-write")
 
-        def _rescue_stragglers(doomed: str) -> None:
+        def _rescue_stragglers(doomed: str) -> int:
             # A concurrent backfill ingest (ingest_dataframe with an
             # old `when`) renames its part files directly into
             # hour_dir; one landing between the pinned listing and
@@ -1032,11 +1117,19 @@ class ArchiveStore:
             # because compact skips hot hours). Move anything not in
             # the rewrite's pinned listing back into the live hour:
             # names are job-unique, so no collisions, and the rows
-            # were never in the rewrite, so no duplication.
+            # were never in the rewrite, so no duplication. (The
+            # peer-compactor's-output case that would alias as a
+            # straggler here is excluded by the hour lock above.)
+            # Returns the number of stragglers that could NOT be
+            # moved yet still exist (destination-side failure: hour
+            # dir removed by a concurrent expire, EACCES, ENOSPC) —
+            # the caller must then quarantine the doomed dir instead
+            # of rmtree'ing the only copy of those rows.
             try:
                 names = os.listdir(doomed)
             except OSError:
-                return    # already gone: nothing rescuable
+                return 0    # already gone: nothing rescuable
+            stuck = 0
             for fn in names:
                 if (fn.endswith(".parquet") and fn not in known
                         and not fn.startswith((".", "_"))):
@@ -1045,7 +1138,35 @@ class ArchiveStore:
                                   os.path.join(hour_dir, fn))
                         stats["files_rescued"] += 1
                     except OSError:
-                        pass    # straggler vanished: its writer owns it
+                        if os.path.lexists(os.path.join(doomed, fn)):
+                            stuck += 1
+                        # else: straggler vanished — its writer owns it
+            return stuck
+
+        def _discard_doomed(doomed: str) -> None:
+            # rmtree only when every straggler got out; otherwise
+            # quarantine the whole dir (same convention, and same
+            # never-auto-deleted prefix, as the stale-residue sweep)
+            if _rescue_stragglers(doomed):
+                qname = os.path.basename(doomed).replace(
+                    "._compact_tmp.", "._quarantined_old.").replace(
+                    "._compact_old.", "._quarantined_old.")
+                qpath = os.path.join(parent, qname)
+                try:
+                    os.rename(doomed, qpath)
+                except OSError:
+                    qpath = doomed    # rename failed: warn in place
+                warnings.warn(
+                    f"compact could not rescue straggler part files "
+                    f"from {doomed} back into {hour_dir}; preserved "
+                    f"at {qpath} — they may be the only copy of a "
+                    "concurrently ingested batch; reconcile manually "
+                    "(never auto-deleted)",
+                    RuntimeWarning, stacklevel=3)
+                stats["hours_quarantined"] = (
+                    stats.get("hours_quarantined", 0) + 1)
+            else:
+                shutil.rmtree(doomed)
 
         known = set(files)
         if _exchange_dirs(tmp_dir, hour_dir):
@@ -1053,8 +1174,7 @@ class ArchiveStore:
             # old files (now under the hidden tmp name) vanish only
             # from readers' pre-swap path lists — one retry heals
             _audit("post-exchange pre-rmtree")
-            _rescue_stragglers(tmp_dir)
-            shutil.rmtree(tmp_dir)
+            _discard_doomed(tmp_dir)
             _audit("post-rmtree")
         else:
             # fallback pair of renames: a listing in the gap can
@@ -1073,8 +1193,7 @@ class ArchiveStore:
                 except OSError:
                     pass
                 raise
-            _rescue_stragglers(old_dir)
-            shutil.rmtree(old_dir)
+            _discard_doomed(old_dir)
         stats["hours"] += 1
         stats["files_before"] += len(files)
         stats["files_after"] += len(

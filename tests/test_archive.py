@@ -866,3 +866,120 @@ def test_ingest_failure_exception_carries_staging_dir(
     staging = getattr(ei.value, "triton_staging_dir", None)
     assert staging and os.path.isdir(staging)
     assert os.path.basename(staging).startswith(".ingest_tmp.")
+
+
+def _seed_fragmented_hour(spark, store, sf_dir, when):
+    ev = _events(spark, sf_dir).limit(10)
+    store.ingest_dataframe(ev, "events", "archive", when=when)
+    store.ingest_dataframe(ev.limit(5), "events", "archive",
+                           when=when + dt.timedelta(seconds=1))
+    hour_dir = os.path.join(
+        store.root, "stream=events", "client=archive",
+        f"date={when.strftime('%Y%m%d')}", f"hour={when.strftime('%H')}")
+    parts = sorted(f for f in os.listdir(hour_dir)
+                   if f.endswith(".parquet"))
+    assert len(parts) >= 2, "need a fragmented hour so compact rewrites"
+    return hour_dir, parts
+
+
+def test_compact_skips_hour_held_by_live_lock(spark, store, sf_dir):
+    """Two uncoordinated compact crons on the same hour: the rescue
+    made that overlap a silent DUPLICATION (the loser 'rescues' the
+    winner's job-unique output back next to its own rewrite of the
+    same rows), so the overlap itself is now removed — a fresh
+    advisory lock makes the second compactor skip the hour."""
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=5)
+    hour_dir, parts = _seed_fragmented_hour(spark, store, sf_dir, when)
+    parent, base = os.path.split(hour_dir)
+    lock = os.path.join(parent, f".{base}._compact_lock")
+    with open(lock, "w") as fh:
+        fh.write("424242\n")    # a live peer holds the hour
+    stats = store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+    assert stats["hours_locked"] == 1
+    assert stats["hours"] == 0
+    assert sorted(f for f in os.listdir(hour_dir)
+                  if f.endswith(".parquet")) == parts, \
+        "locked hour must be untouched"
+    assert os.path.exists(lock), "skipper must not release a peer's lock"
+    os.unlink(lock)
+    stats = store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+    assert stats["hours"] == 1 and stats["hours_locked"] == 0
+    assert not os.path.exists(lock), "owner must release on completion"
+    assert store.cat("events", when.date(),
+                     client="archive").count() == 15
+
+
+def test_compact_steals_stale_lock(spark, store, sf_dir):
+    """A crashed holder must not wedge compaction forever: a lock
+    older than TRITON_COMPACT_LOCK_TTL is stolen and the hour
+    compacts normally."""
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=5)
+    hour_dir, parts = _seed_fragmented_hour(spark, store, sf_dir, when)
+    parent, base = os.path.split(hour_dir)
+    lock = os.path.join(parent, f".{base}._compact_lock")
+    with open(lock, "w") as fh:
+        fh.write("424242\n")
+    stale = dt.datetime.now(tz=UTC).timestamp() - 7200.0
+    os.utime(lock, (stale, stale))
+    stats = store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+    assert stats["hours"] == 1 and stats["hours_locked"] == 0
+    assert not os.path.exists(lock)
+    assert store.cat("events", when.date(),
+                     client="archive").count() == 15
+
+
+@pytest.mark.parametrize("exchange_works", [True, False])
+def test_compact_quarantines_unrescuable_straggler(
+        spark, store, sf_dir, monkeypatch, exchange_works):
+    """When the rescue rename itself fails with the straggler still
+    present (hour dir removed by a concurrent expire, EACCES, ...),
+    the doomed dir must be QUARANTINED — never rmtree'd over the only
+    copy of a concurrently ingested batch (r12 review)."""
+    import shutil
+    import warnings
+
+    import go_triton_spark.plans.archive_store as A
+
+    when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=5)
+    hour_dir, parts = _seed_fragmented_hour(spark, store, sf_dir, when)
+
+    real_ex = A._exchange_dirs
+
+    def exchange_with_straggler(tmp, hour):
+        shutil.copyfile(os.path.join(hour, parts[0]),
+                        os.path.join(hour, "part-straggler.parquet"))
+        return real_ex(tmp, hour) if exchange_works else False
+
+    real_rename = os.rename
+
+    def rename_blocking_rescue(src, dst):
+        if src.endswith("/part-straggler.parquet") and \
+                dst.startswith(hour_dir):
+            raise OSError("simulated destination-side failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(A, "_exchange_dirs", exchange_with_straggler)
+    monkeypatch.setattr(os, "rename", rename_blocking_rescue)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stats = store.compact("events", when.date(), "archive",
+                              min_age_hours=1.0)
+    monkeypatch.setattr(os, "rename", real_rename)
+    monkeypatch.setattr(A, "_exchange_dirs", real_ex)
+    assert stats["hours"] == 1
+    assert stats["files_rescued"] == 0
+    assert stats.get("hours_quarantined") == 1
+    parent = os.path.dirname(hour_dir)
+    quarantined = [n for n in os.listdir(parent)
+                   if n.startswith(".") and "._quarantined_old." in n]
+    assert len(quarantined) == 1, os.listdir(parent)
+    assert "part-straggler.parquet" in os.listdir(
+        os.path.join(parent, quarantined[0])), \
+        "straggler bytes must survive in the quarantine dir"
+    assert any("preserved" in str(w.message) for w in caught)
+    # live hour still serves the compacted rows
+    assert store.cat("events", when.date(),
+                     client="archive").count() == 15

@@ -169,7 +169,15 @@ def main() -> int:
     prior = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
     if "spark.ui.enabled" not in prior:
         os.environ["SPARK_GRAFT_EXTRA_CONFS"] = (
-            (prior + ";" if prior else "") + "spark.ui.enabled=true")
+            (prior + ";" if prior else "") + "spark.ui.enabled=true"
+            # _shuffle_totals is a CUMULATIVE sum over retained
+            # stages: if the status store evicts stages between the
+            # before/after snapshots (default retainedStages=1000,
+            # easily crossed by a multi-replica batch run in one
+            # session), deltas silently under-report or go negative
+            # (r12 review). Retain enough for the whole batch.
+            + ";spark.ui.retainedStages=100000"
+            + ";spark.ui.retainedJobs=100000")
     if "--batch2" in sys.argv:
         QUERIES = QUERIES2
     if "--batch3" in sys.argv:
@@ -205,10 +213,17 @@ def main() -> int:
             s1 = _shuffle_totals(spark) if s0 is not None else None
             extra = ""
             if s0 is not None and s1 is not None:
-                mb = round((s1[0] - s0[0]) / 1e6, 1)
-                shuffles[q][m] = {"write_mb": mb,
-                                  "read_mb": round((s1[1] - s0[1]) / 1e6, 1)}
-                extra = f" shuffle_write={mb}MB"
+                dw, dr = s1[0] - s0[0], s1[1] - s0[1]
+                if dw < 0 or dr < 0:
+                    # status store evicted stages between snapshots:
+                    # the delta is garbage — say so in the artifact
+                    # instead of recording an understated number
+                    extra = " shuffle=EVICTED"
+                else:
+                    mb = round(dw / 1e6, 1)
+                    shuffles[q][m] = {"write_mb": mb,
+                                      "read_mb": round(dr / 1e6, 1)}
+                    extra = f" shuffle_write={mb}MB"
             print(f"x{m} {q}: {results[q][m]}s{extra}", flush=True)
     print(json.dumps({"wall_s": results, "shuffle": shuffles}))
     return 0
