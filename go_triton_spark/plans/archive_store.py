@@ -813,7 +813,7 @@ class ArchiveStore:
                       - _dt.timedelta(hours=min_age_hours))
         stats = {"hours": 0, "hours_skipped": 0, "hours_vanished": 0,
                  "hours_contended": 0, "hours_locked": 0,
-                 "files_rescued": 0,
+                 "hours_quarantined": 0, "files_rescued": 0,
                  "files_before": 0, "files_after": 0, "bytes": 0}
         for hour_name in sorted(os.listdir(slice_dir)):
             hour_dir = os.path.join(slice_dir, hour_name)
@@ -995,22 +995,43 @@ class ArchiveStore:
         if lock is None:
             stats["hours_locked"] += 1
             return
+        lock_path, lock_ino = lock
         try:
             self._compact_hour_locked(hour_dir, target_file_mb, stats)
         finally:
+            # ownership-checked release (r12 review): if this rewrite
+            # overran the TTL, a stealer cleared our lock and a NEW
+            # holder may have created its own at the same path — a
+            # blind unlink would delete the live peer's lock and let
+            # a third compactor in. Only unlink the inode we created.
             try:
-                os.unlink(lock)
+                if os.stat(lock_path).st_ino == lock_ino:
+                    os.unlink(lock_path)
             except OSError:
-                pass    # stolen after TTL overrun: stealer owns it
+                pass    # stolen after TTL overrun: stealer cleared it
 
     @staticmethod
-    def _acquire_hour_lock(parent: str, base: str) -> "str | None":
+    def _acquire_hour_lock(parent: str,
+                           base: str) -> "tuple[str, int] | None":
         """Best-effort per-hour advisory lock: O_EXCL-create a hidden
-        sibling file; stale (crashed-holder) locks are stolen via an
-        atomic rename so concurrent stealers cannot both win. Returns
-        the lock path, or None when another live compactor holds the
-        hour."""
+        sibling file. Returns ``(lock_path, lock_inode)`` — release
+        must verify the inode before unlinking — or None when the
+        hour is unavailable this pass.
+
+        Stale (crashed-holder) locks are REMOVED, not retaken: the
+        stealer renames the lock to a stealer-unique name (atomic —
+        one winner per inode), verifies BY INODE that it grabbed the
+        same file it judged stale, unlinks it, and returns None; the
+        hour compacts on the next cron pass through the plain O_EXCL
+        path. Retaking in-place was a TOCTOU (r12 review): a second
+        stealer whose staleness check predates the first stealer's
+        re-create would rename the first stealer's FRESH lock away
+        and let two compactors into the hour. If the inode check
+        shows a fresh lock was grabbed (that exact interleaving), it
+        is restored with os.link — which, unlike rename, cannot
+        clobber a third compactor's newly created lock."""
         import time as _time
+        import uuid as _uuid
 
         ttl = float(os.environ.get("TRITON_COMPACT_LOCK_TTL", "3600"))
         path = os.path.join(parent, f".{base}._compact_lock")
@@ -1019,22 +1040,41 @@ class ArchiveStore:
                 fd = os.open(path,
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
                 os.write(fd, f"{os.getpid()}\n".encode())
+                ino = os.fstat(fd).st_ino
                 os.close(fd)
-                return path
+                return path, ino
             except FileExistsError:
                 try:
-                    age = _time.time() - os.stat(path).st_mtime
+                    st = os.stat(path)
                 except OSError:
                     continue    # holder just released: one more try
-                if age <= ttl:
+                if _time.time() - st.st_mtime <= ttl:
                     return None
-                # stale: exactly one stealer's rename succeeds; the
-                # winner retries the create, losers back off
+                grab = f"{path}.stale.{_uuid.uuid4().hex[:8]}"
                 try:
-                    os.rename(path, path + ".stale")
-                    os.unlink(path + ".stale")
+                    os.rename(path, grab)
+                    grabbed_ino = os.stat(grab).st_ino
                 except OSError:
+                    return None    # lost the steal race
+                if grabbed_ino != st.st_ino:
+                    # we grabbed a DIFFERENT (fresh) lock that
+                    # appeared between our stat and rename: put it
+                    # back without clobbering anyone (link fails on
+                    # an existing path), then yield the hour
+                    try:
+                        os.link(grab, path)
+                    except OSError:
+                        pass    # a newer lock exists: theirs stands
+                    try:
+                        os.unlink(grab)
+                    except OSError:
+                        pass
                     return None
+                try:
+                    os.unlink(grab)
+                except OSError:
+                    pass
+                return None    # stale lock cleared: next pass takes it
         return None
 
     def _compact_hour_locked(self, hour_dir: str, target_file_mb: int,
@@ -1155,16 +1195,44 @@ class ArchiveStore:
                 try:
                     os.rename(doomed, qpath)
                 except OSError:
-                    qpath = doomed    # rename failed: warn in place
-                warnings.warn(
-                    f"compact could not rescue straggler part files "
-                    f"from {doomed} back into {hour_dir}; preserved "
-                    f"at {qpath} — they may be the only copy of a "
-                    "concurrently ingested batch; reconcile manually "
-                    "(never auto-deleted)",
-                    RuntimeWarning, stacklevel=3)
-                stats["hours_quarantined"] = (
-                    stats.get("hours_quarantined", 0) + 1)
+                    # second chance under a fresh name (collision is
+                    # one failure mode), because a `._compact_tmp.`
+                    # name left in place is SWEEP-ELIGIBLE — the age
+                    # sweep would rmtree it once stale, silently
+                    # destroying the straggler the quarantine exists
+                    # to preserve (r12 review)
+                    import uuid as _uuid
+                    qpath = os.path.join(
+                        parent, f"{qname}.{_uuid.uuid4().hex[:8]}")
+                    try:
+                        os.rename(doomed, qpath)
+                    except OSError:
+                        qpath = None
+                if qpath is None:
+                    # cannot leave the sweep prefix: buy a fresh TTL
+                    # window and say HONESTLY that preservation is
+                    # now time-bounded, not permanent
+                    try:
+                        os.utime(doomed)
+                    except OSError:
+                        pass
+                    warnings.warn(
+                        f"compact could not rescue straggler part "
+                        f"files from {doomed} back into {hour_dir}, "
+                        "and the quarantine rename also failed — the "
+                        "residue still carries a staging name the "
+                        "age sweep deletes once stale; reconcile "
+                        "WITHIN the sweep TTL (3600s, mtime just "
+                        "refreshed)", RuntimeWarning, stacklevel=3)
+                else:
+                    warnings.warn(
+                        f"compact could not rescue straggler part "
+                        f"files from {doomed} back into {hour_dir}; "
+                        f"preserved at {qpath} — they may be the "
+                        "only copy of a concurrently ingested batch; "
+                        "reconcile manually (never auto-deleted)",
+                        RuntimeWarning, stacklevel=3)
+                stats["hours_quarantined"] += 1
             else:
                 shutil.rmtree(doomed)
 

@@ -913,8 +913,9 @@ def test_compact_skips_hour_held_by_live_lock(spark, store, sf_dir):
 
 def test_compact_steals_stale_lock(spark, store, sf_dir):
     """A crashed holder must not wedge compaction forever: a lock
-    older than TRITON_COMPACT_LOCK_TTL is stolen and the hour
-    compacts normally."""
+    older than TRITON_COMPACT_LOCK_TTL is CLEARED (inode-verified
+    steal) and the hour compacts on the next pass — the stealer does
+    not retake in place, which was a two-stealer TOCTOU."""
     when = dt.datetime.now(tz=UTC) - dt.timedelta(hours=5)
     hour_dir, parts = _seed_fragmented_hour(spark, store, sf_dir, when)
     parent, base = os.path.split(hour_dir)
@@ -923,6 +924,12 @@ def test_compact_steals_stale_lock(spark, store, sf_dir):
         fh.write("424242\n")
     stale = dt.datetime.now(tz=UTC).timestamp() - 7200.0
     os.utime(lock, (stale, stale))
+    stats = store.compact("events", when.date(), "archive",
+                          min_age_hours=1.0)
+    assert stats["hours_locked"] == 1 and stats["hours"] == 0
+    assert not os.path.exists(lock), "stale lock must be cleared"
+    assert not any(".stale." in n for n in os.listdir(parent)), \
+        "steal must not leave grab-file residue"
     stats = store.compact("events", when.date(), "archive",
                           min_age_hours=1.0)
     assert stats["hours"] == 1 and stats["hours_locked"] == 0

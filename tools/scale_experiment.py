@@ -166,18 +166,20 @@ def _shuffle_totals(spark):
 def main() -> int:
     global QUERIES
     # UI on for this process so _shuffle_totals can read stage metrics
-    prior = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
-    if "spark.ui.enabled" not in prior:
-        os.environ["SPARK_GRAFT_EXTRA_CONFS"] = (
-            (prior + ";" if prior else "") + "spark.ui.enabled=true"
-            # _shuffle_totals is a CUMULATIVE sum over retained
-            # stages: if the status store evicts stages between the
-            # before/after snapshots (default retainedStages=1000,
-            # easily crossed by a multi-replica batch run in one
-            # session), deltas silently under-report or go negative
-            # (r12 review). Retain enough for the whole batch.
-            + ";spark.ui.retainedStages=100000"
-            + ";spark.ui.retainedJobs=100000")
+    # _shuffle_totals is a CUMULATIVE sum over retained stages: if
+    # the status store evicts stages between the before/after
+    # snapshots (default retainedStages=1000, easily crossed by a
+    # multi-replica batch run in one session), deltas silently
+    # under-report or go negative (r12 review). Each conf is added
+    # only when absent, INDEPENDENTLY — a pre-existing
+    # spark.ui.enabled in the env must not disable the retention fix.
+    confs = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for kv in ("spark.ui.enabled=true",
+               "spark.ui.retainedStages=100000",
+               "spark.ui.retainedJobs=100000"):
+        if kv.split("=")[0] not in confs:
+            confs = (confs + ";" if confs else "") + kv
+    os.environ["SPARK_GRAFT_EXTRA_CONFS"] = confs
     if "--batch2" in sys.argv:
         QUERIES = QUERIES2
     if "--batch3" in sys.argv:

@@ -247,9 +247,17 @@ class Harness:
         lo = (self.old_date.date() if include_old
               else self.cold.date())
         hi = self.now.date()
-        prev_extra = 0
-        prev_sink = 0
-        prev_ing = 0
+        # Loss detection is ID-SET based, not count based (r12
+        # review): a count-monotonic check confirmed by a fresh
+        # re-count can be MASKED by concurrent writers refilling the
+        # same id window — new rows hide lost ones and the ratcheted
+        # floor never re-detects them. A set difference cannot be
+        # refilled: an id seen once must stay visible forever (the
+        # watched windows are never legitimately expired).
+        windows = [("fragment", 5_000, 50_000, True),
+                   ("sink", 90_000, 10**9, watch_sink),
+                   ("ingest", 60_000, 90_000, watch_ingest)]
+        prev_ids: dict[str, set] = {n: set() for n, *_ in windows}
         while not self.stop.is_set():
             try:
                 df = self.eng.cat("events", lo, hi, client="archive",
@@ -257,15 +265,10 @@ class Harness:
                 row = (df.agg(
                     F.count(F.when((F.col("event_id") >= 1000)
                                    & (F.col("event_id") < 1120), 1))
-                     .alias("cold"),
-                    F.count(F.when((F.col("event_id") >= 5000)
-                                   & (F.col("event_id") < 50_000), 1))
-                     .alias("extra"),
-                    F.count(F.when(F.col("event_id") >= 90_000, 1))
-                     .alias("sunk"),
-                    F.count(F.when((F.col("event_id") >= 60_000)
-                                   & (F.col("event_id") < 90_000), 1))
-                     .alias("ing")).collect()[0])
+                     .alias("cold")).collect()[0])
+                live = {r[0] for r in
+                        df.where(F.col("event_id") >= 5000)
+                          .select("event_id").collect()}
             except Exception as exc:  # noqa: BLE001
                 msg = str(exc)
                 if any(t in msg for t in _RETRYABLE):
@@ -307,41 +310,39 @@ class Harness:
                     heal = f"<{type(e).__name__}>"
                 self.problems.append(
                     f"LOSS: stable cold window {row['cold']} != 120 "
-                    f"(extra={row['extra']} sunk={row['sunk']}) "
                     f"plan_hours={hours_seen} disk={disk} reheal={heal}")
-            def _confirmed_dip(name, lo_id, hi_id, floor):
-                # The documented reader contract around a compact
-                # swap is "one retry / fresh listing heals": a
-                # straggler riding the swap is invisible for the few
-                # syscalls between the exchange and its rescue
-                # rename. A dip that persists on a FRESH cat is real
-                # loss; one that heals is the contract working.
-                # (r12 review: the raw monotonic check could sample
-                # that window and falsely indict the product.)
-                try:
-                    again = (self.eng.cat(
-                        "events", lo, hi, client="archive",
-                        ordered=False)
-                        .where((F.col("event_id") >= lo_id)
-                               & (F.col("event_id") < hi_id)).count())
-                except Exception:  # noqa: BLE001 — retried next loop
-                    return
-                if again < floor:
-                    self.problems.append(
-                        f"LOSS: {name} counter went {floor} -> "
-                        f"{again} (confirmed on fresh cat)")
-
-            if row["extra"] < prev_extra:
-                _confirmed_dip("fragment", 5000, 50_000, prev_extra)
-            prev_extra = max(prev_extra, row["extra"])
-            if watch_sink:
-                if row["sunk"] < prev_sink:
-                    _confirmed_dip("sink", 90_000, 10**9, prev_sink)
-                prev_sink = max(prev_sink, row["sunk"])
-            if watch_ingest:
-                if row["ing"] < prev_ing:
-                    _confirmed_dip("ingest", 60_000, 90_000, prev_ing)
-                prev_ing = max(prev_ing, row["ing"])
+            for name, lo_id, hi_id, watched in windows:
+                if not watched:
+                    continue
+                cur = {i for i in live if lo_id <= i < hi_id}
+                missing = prev_ids[name] - cur
+                if missing:
+                    # The documented reader contract around a compact
+                    # swap is "one retry / fresh listing heals": a
+                    # straggler riding the swap is invisible for the
+                    # few syscalls between the exchange and its
+                    # rescue rename. Confirm the SPECIFIC missing ids
+                    # on a fresh cat — ids that reappear are the
+                    # contract working; ids still absent are loss
+                    # (and cannot be masked by writers refilling the
+                    # window with new ids).
+                    try:
+                        fresh = {r[0] for r in self.eng.cat(
+                            "events", lo, hi, client="archive",
+                            ordered=False)
+                            .where((F.col("event_id") >= lo_id)
+                                   & (F.col("event_id") < hi_id))
+                            .select("event_id").collect()}
+                    except Exception:  # noqa: BLE001 — next loop
+                        continue
+                    still = missing - fresh
+                    if still:
+                        self.problems.append(
+                            f"LOSS: {len(still)} {name} ids vanished "
+                            f"and stayed gone on fresh cat (sample "
+                            f"{sorted(still)[:10]})")
+                    cur |= fresh
+                prev_ids[name] |= cur
 
     # ------------------------------------------------------ pairs
 
