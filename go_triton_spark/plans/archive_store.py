@@ -1026,10 +1026,12 @@ class ArchiveStore:
         path. Retaking in-place was a TOCTOU (r12 review): a second
         stealer whose staleness check predates the first stealer's
         re-create would rename the first stealer's FRESH lock away
-        and let two compactors into the hour. If the inode check
-        shows a fresh lock was grabbed (that exact interleaving), it
-        is restored with os.link — which, unlike rename, cannot
-        clobber a third compactor's newly created lock."""
+        and let two compactors into the hour. The grabbed file is
+        judged stale-or-live by its OWN mtime (inode comparison is
+        porous — a fresh lock routinely reuses the freed inode); a
+        live lock grabbed by mistake is restored with os.link —
+        which, unlike rename, cannot clobber a third compactor's
+        newly created lock."""
         import time as _time
         import uuid as _uuid
 
@@ -1053,14 +1055,19 @@ class ArchiveStore:
                 grab = f"{path}.stale.{_uuid.uuid4().hex[:8]}"
                 try:
                     os.rename(path, grab)
-                    grabbed_ino = os.stat(grab).st_ino
+                    grabbed = os.stat(grab)
                 except OSError:
                     return None    # lost the steal race
-                if grabbed_ino != st.st_ino:
-                    # we grabbed a DIFFERENT (fresh) lock that
-                    # appeared between our stat and rename: put it
-                    # back without clobbering anyone (link fails on
-                    # an existing path), then yield the hour
+                # judge what we grabbed by ITS OWN mtime age, not by
+                # inode identity: a fresh lock created between our
+                # stat and rename routinely REUSES the freed inode
+                # (observed on ext4/tmpfs — an inode compare passed
+                # for a different, live file), but it cannot fake an
+                # old mtime
+                if _time.time() - grabbed.st_mtime <= ttl:
+                    # we grabbed a LIVE lock: put it back without
+                    # clobbering anyone (link fails on an existing
+                    # path, unlike rename), then yield the hour
                     try:
                         os.link(grab, path)
                     except OSError:

@@ -990,3 +990,48 @@ def test_compact_quarantines_unrescuable_straggler(
     # live hour still serves the compacted rows
     assert store.cat("events", when.date(),
                      client="archive").count() == 15
+
+
+def test_acquire_hour_lock_restores_fresh_lock_grabbed_mid_steal(
+        tmp_path, monkeypatch):
+    """Steal freshness check: when the stale lock is replaced by a
+    NEW holder's fresh lock between the stealer's stat and rename,
+    the stealer must detect it grabbed a live lock (by the grabbed
+    file's own mtime — inode identity is porous, the fresh lock
+    routinely reuses the freed inode, observed in this very test),
+    restore it via os.link (which cannot clobber), and yield."""
+    from go_triton_spark.plans.archive_store import ArchiveStore
+
+    parent = str(tmp_path)
+    base = "hour=03"
+    path = os.path.join(parent, f".{base}._compact_lock")
+    with open(path, "w") as fh:
+        fh.write("dead\n")
+    stale = dt.datetime.now(tz=UTC).timestamp() - 7200.0
+    os.utime(path, (stale, stale))
+
+    real_rename = os.rename
+    fresh_ino = {}
+
+    def rename_with_interleaving(src, dst):
+        if src == path and ".stale." in dst:
+            # simulate: the stale lock vanishes (another stealer) and
+            # a new live holder creates a FRESH lock at the same path
+            # between this stealer's stat and its rename
+            os.unlink(path)
+            with open(path, "w") as fh:
+                fh.write("live-holder\n")
+            fresh_ino["ino"] = os.stat(path).st_ino
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_with_interleaving)
+    got = ArchiveStore._acquire_hour_lock(parent, base)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert got is None, "stealer must yield after grabbing a fresh lock"
+    assert os.path.exists(path), "fresh lock must be restored"
+    assert os.stat(path).st_ino == fresh_ino["ino"], \
+        "restored lock must be the live holder's exact inode"
+    assert not any(".stale." in n for n in os.listdir(parent)), \
+        "no grab-file residue"
+    with open(path) as fh:
+        assert fh.read() == "live-holder\n"
