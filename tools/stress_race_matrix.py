@@ -201,7 +201,11 @@ class Harness:
         k = 0
         while not self.stop.is_set():
             k += 1
-            rows = [(60_000 + 4 * k + i,
+            # modulo keeps ids inside the watched ingest window
+            # [60_000, 90_000) on arbitrarily long soaks (4*k would
+            # cross into the sink window after ~2h); wrap collisions
+            # are fine — the reader tracks id SETS
+            rows = [(60_000 + (4 * k + i) % 30_000,
                      dt.datetime(2020, 1, 1, tzinfo=UTC), i % 7,
                      "click", 1.0, {"k": "v"}) for i in range(4)]
             df = self.spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
