@@ -605,7 +605,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked edit-distance near-dup
 # =====================================================================
 
-def _byte_lev(pa: str, pb: str):
+def _byte_lev(pa: str, pb: str, threshold: "int | None" = None):
     """Levenshtein over the UTF-8 BYTE sequences of two string columns.
 
     The operator contract is byte-level edit distance — what DuckDB
@@ -617,9 +617,24 @@ def _byte_lev(pa: str, pb: str):
     (codepoints) where the oracle said 6 (ï is 2 bytes) — the fixed
     testdata is ASCII-heavy enough that the driver gate never hit it.
     Byte distance >= codepoint distance, so the q-gram candidate
-    bound (derived for codepoint distance) remains a valid filter."""
+    bound (derived for codepoint distance) remains a valid filter.
+
+    ``threshold`` (r12 optimization, guide §1.2 "per-task work"):
+    both callers only keep pairs with dist <= K, so they pass K and
+    Spark runs its BANDED O(K*n) DP (Spark 3.5+ three-arg
+    levenshtein) instead of the full O(n^2) table — ~K/n of the work
+    per pair on the 80-byte prefixes. Semantics for kept rows are
+    IDENTICAL: values <= K are the exact distance; values > K come
+    back as -1, so the caller's filter becomes dist >= 0 (the old
+    dist <= K and the new dist >= 0 keep exactly the same rows, and
+    NULL-in -> NULL-out is unchanged — verified against the plain
+    form on kitten/empty/equal/over-threshold/NULL cases and by the
+    unchanged DuckDB oracle, which still computes the full
+    distance)."""
     def to_bytes(c):
         return F.decode(F.encode(F.col(c), "UTF-8"), "ISO-8859-1")
+    if threshold is not None:
+        return F.levenshtein(to_bytes(pa), to_bytes(pb), threshold).cast("long")
     return F.levenshtein(to_bytes(pa), to_bytes(pb)).cast("long")
 
 
@@ -762,8 +777,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str,
                & (F.col("bucket_a") == F.col("bucket_b"))
                & (F.col("salt_a") == F.col("salt_b"))
                & (F.col("id_a") < F.col("id_b")))
-        .withColumn("dist", _byte_lev("pa", "pb"))
-        .where(F.col("dist") <= 8)
+        # threshold=8 -> banded DP; dist >= 0 keeps exactly the rows
+        # the old dist <= 8 kept (above-threshold pairs read -1)
+        .withColumn("dist", _byte_lev("pa", "pb", 8))
+        .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
         # near-dup pairs are sparse relative to the corpus, so the
         # ordered output is tiny: repartition(1)+sortWithinPartitions
@@ -882,8 +899,8 @@ def dedup_levenshtein_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = sel.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
     return (cand
             .join(va, "id_a").join(vb, "id_b")
-            .withColumn("dist", _byte_lev("pa", "pb"))
-            .where(F.col("dist") <= _QK)
+            .withColumn("dist", _byte_lev("pa", "pb", _QK))
+            .where(F.col("dist") >= 0)
             .select("id_a", "id_b", "dist")
             .repartition(1)
             .sortWithinPartitions("id_a", "id_b"))
