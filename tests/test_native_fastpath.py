@@ -150,6 +150,25 @@ def test_png_corrupt_still_raises_with_flag_on():
         parse_png(bytes(data), prefer_native=True)
 
 
+@_png
+@pytest.mark.parametrize("cut", [1, 9, 11, 12, 13])
+def test_png_truncated_iend_rejected_with_flag_on(cut):
+    """r12 find (native-default flip): libpng's simplified API decodes
+    a PNG whose trailing IEND chunk is truncated away, silently
+    WIDENING the accept set vs parse_png's loud 'truncated PNG chunk
+    header' — exactly the corrupt-skip shape the cross-format dedup
+    gates synthesize (last 9/11 bytes cut). The structural pre-walk
+    must route these to the pure path so flag-on == flag-off accept."""
+    data = build_png(_img("grad", 12, 7))
+    with pytest.raises(ValueError):
+        parse_png(data[:-cut], prefer_native=True)
+    # and the walk must NOT reject the intact file (native still used)
+    from go_triton_spark.codec import native as _n
+    assert _n._png_chunks_structurally_pure(data)
+    m = parse_png(data, prefer_native=True)
+    assert m["width"] == 7 and m["height"] == 12
+
+
 # ------------------------------------------------------------- tiff
 
 @_tiff
@@ -311,14 +330,32 @@ def test_parse_image_dispatch_with_env_flag(monkeypatch):
 
 
 def test_flag_off_never_touches_native(monkeypatch):
-    """With the flag off (the driver-gate configuration), maybe_image
+    """With the flag explicitly off (the pure clean-room
+    configuration the test suite pins in conftest.py), maybe_image
     must not even attempt a native decode."""
-    monkeypatch.delenv("TRITON_NATIVE_DECODE", raising=False)
+    monkeypatch.setenv("TRITON_NATIVE_DECODE", "0")
     calls = []
     monkeypatch.setitem(native._IMAGE_DECODERS, "png",
                         lambda d: calls.append(1))
     assert native.maybe_image("png", b"\x89PNG\r\n\x1a\n") is None
     assert not calls
+
+
+def test_flag_defaults_on_when_unset(monkeypatch):
+    """r12: the production default is native ON — an unset env means
+    enabled, and only an explicit falsy token ('0'/'false'/'no'/empty)
+    forces the pure path. The kwarg still wins over the env in both
+    directions."""
+    monkeypatch.delenv("TRITON_NATIVE_DECODE", raising=False)
+    assert native.native_enabled()
+    assert not native.native_enabled(prefer_native=False)
+    for tok in ("0", "false", "no", "", "  0  "):
+        monkeypatch.setenv("TRITON_NATIVE_DECODE", tok)
+        assert not native.native_enabled(), repr(tok)
+        assert native.native_enabled(prefer_native=True), repr(tok)
+    for tok in ("1", "true", "yes"):
+        monkeypatch.setenv("TRITON_NATIVE_DECODE", tok)
+        assert native.native_enabled(), repr(tok)
 
 
 def test_native_status_shape():
@@ -699,11 +736,15 @@ def _flag_on():
 
 @contextlib.contextmanager
 def _flag_off():
-    prev = _os.environ.pop("TRITON_NATIVE_DECODE", None)
+    # explicit "0", not delenv: since r12 an UNSET env defaults ON
+    prev = _os.environ.get("TRITON_NATIVE_DECODE")
+    _os.environ["TRITON_NATIVE_DECODE"] = "0"
     try:
         yield
     finally:
-        if prev is not None:
+        if prev is None:
+            _os.environ.pop("TRITON_NATIVE_DECODE", None)
+        else:
             _os.environ["TRITON_NATIVE_DECODE"] = prev
 
 
@@ -878,7 +919,7 @@ def test_qoi_prefer_native_kwarg_wins_over_env(monkeypatch):
     assert not calls, "explicit opt-out must bypass the native path"
     parse_image(data, prefer_native=True)
     assert calls
-    monkeypatch.delenv("TRITON_NATIVE_DECODE")
+    monkeypatch.setenv("TRITON_NATIVE_DECODE", "0")
     calls.clear()
     parse_image(data)
-    assert not calls, "no env, no kwarg -> pure path"
+    assert not calls, "env 0, no kwarg -> pure path"
