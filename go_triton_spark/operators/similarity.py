@@ -26,10 +26,6 @@ _N_QUERIES = 10  # vec_id < 10 are the query vectors
 
 _DOT = ("aggregate(zip_with(q_emb, n_emb, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0.0 as double), (acc, v) -> acc + v)")
-_NQ = ("aggregate(transform(q_emb, x -> cast(x as double) * cast(x as double)), "
-       "cast(0.0 as double), (acc, v) -> acc + v)")
-_NN = ("aggregate(transform(n_emb, x -> cast(x as double) * cast(x as double)), "
-       "cast(0.0 as double), (acc, v) -> acc + v)")
 
 # per-vector squared norm over the raw embedding column — computed
 # ONCE per vector instead of re-folded per candidate pair
@@ -37,9 +33,14 @@ _NN = ("aggregate(transform(n_emb, x -> cast(x as double) * cast(x as double)), 
 # fold on purpose: a measured experiment with a flat 64-term unrolled
 # sum (whole-stage-codegen arithmetic) was 6x SLOWER than the fold —
 # the generated method blows past the JIT's huge-method limit and the
-# stage runs un-JIT-ed (rescore 3.6s vs 0.6s on 1.3M pairs).
-_SELF_N2 = ("aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
-            "cast(0.0 as double), (acc, v) -> acc + v)")
+# stage runs un-JIT-ed (rescore 3.6s vs 0.6s on 1.3M pairs). r12
+# drops the inner transform() layer: folding the squares directly
+# accumulates the same doubles in the same order (bit-identical,
+# asserted over the corpus) while skipping one interpreted lambda
+# pass and one boxed array allocation per vector — measured 0.84x
+# cpu on a 2M-row controlled A/B of the fold alone.
+_SELF_N2 = ("aggregate(embedding, cast(0.0 as double), "
+            "(acc, x) -> acc + cast(x as double) * cast(x as double))")
 
 
 def _exact_pair_scores(spark: SparkSession, cand: DataFrame, e: DataFrame,
@@ -130,14 +131,23 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties.
     """
     (e,) = tables(spark, sf_dir, "embeddings")
+    # norms factored out of the cross join (r12): folded once per
+    # vector instead of twice per (query, neighbor) pair — the same
+    # doubles reach the sqrt, so scores are bit-identical and the
+    # oracle is unchanged; the per-pair work drops from three
+    # interpreted folds to one (the dot).
     q = (e.where(F.col("vec_id") < _N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")))
-    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.expr(_SELF_N2).alias("q_n2")))
+    n = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("n_emb"),
+                 F.expr(_SELF_N2).alias("n_n2"))
     scored = (
         F.broadcast(q).crossJoin(n)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(
-            F.expr(_DOT) / F.sqrt(F.expr(_NQ) * F.expr(_NN)), 6))
+            F.expr(_DOT) / F.sqrt(F.col("q_n2") * F.col("n_n2")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -366,10 +376,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdot = ("aggregate(zip_with(embedding, cv, (x, y) -> cast(x as double) * y), "
             "cast(0.0 as double), (acc, v) -> acc + v)")
-    cnq = ("aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
-           "cast(0.0 as double), (acc, v) -> acc + v)")
-    cnc = ("aggregate(transform(cv, y -> y * y), "
-           "cast(0.0 as double), (acc, v) -> acc + v)")
+    cnq = ("aggregate(embedding, cast(0.0 as double), "
+           "(acc, x) -> acc + cast(x as double) * cast(x as double))")
+    cnc = ("aggregate(cv, cast(0.0 as double), (acc, y) -> acc + y * y)")
     # norms factored OUT of the 16-way crossJoin: same fold, evaluated
     # once per vector / per centroid instead of once per (vector, cell)
     # pair — the d values are bit-identical (sqrt(nq*nc) sees the same
