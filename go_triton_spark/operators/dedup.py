@@ -863,22 +863,33 @@ def dedup_levenshtein_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sequence(1, greatest(length(prefix) - {_QG - 1}, 1)), "
             f"i -> substr(prefix, i, {_QG})))")).alias("gram"))
     cnt = g.groupBy("gram").agg(F.count("*").alias("gcnt"))
-    wdoc = Window.partitionBy("doc_id").orderBy("gcnt", "gram")
+    # ONE consumer of the gram-rank subtree — the round-4 shape
+    # filtered it three ways (prefix grams twice for a self-join, low
+    # docs once more) and Spark re-ran the whole subtree per branch
+    # (10 Window nodes in the plan). r12 removes the double window as
+    # well: ranking a doc's grams by global (frequency, gram) only
+    # needs a PER-DOC order, so the (row_number + count) pass — which
+    # sort-based-windowed the entire posting table by (doc_id, gcnt,
+    # gram) — collapses into one hash aggregation collecting each
+    # doc's (gcnt, gram) structs and an in-task array_sort (struct
+    # order = gcnt asc, gram asc = the window's orderBy; grams are
+    # distinct within a doc, so the order is total and the selected
+    # 33-rarest prefix set is IDENTICAL — the driver gate checks the
+    # final pair output, and the adversarial equivalence tests pin
+    # no-false-dismissals). Low-gram docs (bound vacuous) get a
+    # synthetic per-block "gram" so the SAME posting-list pair
+    # generator yields their in-block fallback pairs; 4-char grams
+    # can never equal the 9-char sentinel.
     pre = (g.join(cnt, "gram")
-           .withColumn("rn", F.row_number().over(wdoc))
-           .withColumn("nd", F.count("*").over(Window.partitionBy("doc_id"))))
-    # ONE consumer of the (join + double window) subtree — the
-    # round-4 shape filtered it three ways (prefix grams twice for a
-    # self-join, low docs once more) and Spark re-ran the whole
-    # subtree per branch (10 Window nodes in the plan). Low-gram docs
-    # (bound vacuous) get a synthetic per-block "gram" so the SAME
-    # posting-list pair generator yields their in-block fallback
-    # pairs; 4-char grams can never equal the 9-char sentinel.
-    keyed = (pre.where(F.col("rn") <= _QPREFIX)
-             .select("doc_id", "lang", "bucket", F.explode(F.when(
-                 (F.col("rn") == 1) & (F.col("nd") <= _QPREFIX - 1),
-                 F.array(F.col("gram"), F.lit("__LOWBLK__")))
-                 .otherwise(F.array(F.col("gram")))).alias("gram")))
+           .groupBy("doc_id", "lang", "bucket")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("gcnt", "gram"))).alias("gs")))
+    keyed = (pre.select(
+        "doc_id", "lang", "bucket",
+        F.explode(F.concat(
+            F.expr(f"transform(slice(gs, 1, {_QPREFIX}), s -> s.gram)"),
+            F.expr(f"if(size(gs) <= {_QPREFIX - 1}, "
+                   f"array('__LOWBLK__'), array())"))).alias("gram")))
     # pairs via grouped posting lists (no self-join): one exchange to
     # the (lang, bucket, gram) key, in-task double explode. List
     # length is bounded by the (lang, length-bucket) block size — the
