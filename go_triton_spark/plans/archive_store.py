@@ -1314,7 +1314,32 @@ class ArchiveStore:
             if not name.startswith("date="):
                 continue
             if name[len("date="):] < cutoff:
-                shutil.rmtree(os.path.join(slice_dir, name))
+                target = os.path.join(slice_dir, name)
+                # Deletion must be IDEMPOTENT against concurrent
+                # maintenance: a peer expire may have dropped the date
+                # between our listdir and here (FileNotFoundError on
+                # the root), and a concurrent compact of the same date
+                # renames entries (hour-dir swap, straggler rescue,
+                # quarantine) WHILE our rmtree walk unlinks them — the
+                # walk then hits paths that vanished mid-stream
+                # (FileNotFoundError from a child) or a directory that
+                # briefly re-gains an entry (ENOTEMPTY). The goal
+                # state is simply "date dir gone": swallow
+                # already-gone, retry once over a torn walk, and
+                # surface anything persistent loudly.
+                try:
+                    shutil.rmtree(target)
+                except FileNotFoundError:
+                    pass        # peer got there first — goal state holds
+                except OSError:
+                    try:
+                        shutil.rmtree(target)   # re-walk post-swap state
+                    except FileNotFoundError:
+                        pass
+                if os.path.lexists(target):
+                    raise OSError(
+                        f"expire: {target} survived two deletion "
+                        f"passes (concurrent writer resurrecting it?)")
                 stats["dropped"] += 1
             else:
                 stats["kept"] += 1

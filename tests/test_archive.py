@@ -1035,3 +1035,70 @@ def test_acquire_hour_lock_restores_fresh_lock_grabbed_mid_steal(
         "no grab-file residue"
     with open(path) as fh:
         assert fh.read() == "live-holder\n"
+
+
+def test_expire_idempotent_against_concurrent_maintenance(
+        spark, store, sf_dir, monkeypatch):
+    """Pinned from the four-way soak failure: expire's rmtree raced a
+    concurrent compact of the same old date — the straggler rescue /
+    hour-dir swap renames entries while expire's deletion walk unlinks
+    them, so the walk hits vanished paths (FileNotFoundError) or a
+    briefly-nonempty dir (ENOTEMPTY); a peer expire can also drop the
+    whole date between listdir and rmtree. Contract: deletion is
+    idempotent (already-gone = dropped), one retry re-walks a torn
+    tree, and a PERSISTENT failure still surfaces loudly."""
+    import errno
+    import shutil
+
+    ev = _events(spark, sf_dir).limit(20)
+    keep = dt.datetime(2026, 8, 10, 12, tzinfo=UTC)
+
+    def seed(client, *day_offsets):
+        for off in day_offsets:
+            store.ingest_dataframe(ev, "events", client,
+                                   when=keep - dt.timedelta(days=off))
+
+    real = shutil.rmtree
+
+    # leg 1: a peer deleted the date between our listdir and rmtree —
+    # already-gone is the goal state, counted dropped, no error
+    seed("alpha", 30, 20, 0)
+    state = {"n": 0}
+
+    def peer_won(path, *a, **k):
+        state["n"] += 1
+        if state["n"] == 1:
+            real(path)
+            raise FileNotFoundError(2, "No such file or directory", path)
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", peer_won)
+    assert store.expire("events", "alpha", keep.date()) == \
+        {"dropped": 2, "kept": 1}
+
+    # leg 2: torn walk (concurrent compact renaming entries mid-walk)
+    # — first pass fails with ENOTEMPTY leaving the tree in place, the
+    # retry re-walks and succeeds
+    seed("beta", 15)
+    state["n"] = 0
+
+    def torn_once(path, *a, **k):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise OSError(errno.ENOTEMPTY, "Directory not empty", path)
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", torn_once)
+    assert store.expire("events", "beta", keep.date()) == \
+        {"dropped": 1, "kept": 0}
+
+    # leg 3: persistent failure (tree still present after both passes)
+    # must surface, not be silently swallowed
+    seed("gamma", 15)
+
+    def stuck(path, *a, **k):
+        raise OSError(errno.ENOTEMPTY, "Directory not empty", path)
+
+    monkeypatch.setattr(shutil, "rmtree", stuck)
+    with pytest.raises(OSError):
+        store.expire("events", "gamma", keep.date())
