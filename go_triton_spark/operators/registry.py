@@ -102,6 +102,63 @@ def query(name: str, oracle: str | None = None, tags: tuple = (),
     return wrap
 
 
+def _sql_literal(v) -> str:
+    """Render one driver-side value as a Spark SQL literal expression.
+
+    Doubles go through a string cast: ``repr(float)`` is the shortest
+    round-trip decimal and the JVM's string->double cast parses to the
+    nearest double, so the bits are identical to handing the float over
+    py4j — including -0.0, subnormals, NaN and the infinities (spelled
+    the way the JVM cast accepts them)."""
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        # escapedStringLiterals=false (default): backslash escapes live
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    raise TypeError(f"local_df: unsupported literal type {type(v)!r}")
+
+
+def local_df(spark: SparkSession, rows: list, cols: list) -> DataFrame:
+    """JVM LocalRelation from driver-side literal rows.
+
+    ``spark.createDataFrame(list)`` plans as a Scan ExistingRDD over
+    applySchemaToPythonRDD: every ACTION re-evaluates the pickled rows
+    through forked Python workers — measured 7.0 cpu_s PER ACTION for a
+    5-row dim table at local[32] (r12, join_range isolated probe), paid
+    again on every bench rep and every downstream reuse. Rendering the
+    rows as a VALUES clause keeps the tiny table a LocalTableScan: no
+    Python boundary, no job for the broadcast build, and exact size
+    statistics for the broadcast planner. Use for BOUNDED literal dim
+    tables only (bands, collected centroids) — never for real data.
+
+    ``cols`` is [(name, sql_type), ...]; each cell is CAST to its
+    declared type so inferred literal types can't drift from the
+    ``createDataFrame(schema=...)`` form this replaces.
+    """
+    if not rows:    # VALUES needs >=1 tuple; cost is moot when empty
+        return spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in cols))
+    sel = ", ".join(f"CAST(col{i + 1} AS {t}) AS {n}"
+                    for i, (n, t) in enumerate(cols))
+    vals = ", ".join(
+        "(" + ", ".join(_sql_literal(c) for c in row) + ")" for row in rows)
+    return spark.sql(f"SELECT {sel} FROM VALUES {vals}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) parquet columns surface as bigint nanos under

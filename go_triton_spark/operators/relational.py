@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, scaling_dim, tables
+from go_triton_spark.operators.registry import (local_df, query, scaling_dim,
+                                                tables)
 
 
 def _dsum(expr: str) -> str:
@@ -406,10 +407,14 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact side streams through without a shuffle.
     """
     (o,) = tables(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    # LocalRelation, not createDataFrame: the Python-RDD scan the
+    # latter plans cost 7.0 cpu_s PER ACTION at local[32] (r12 probe)
+    bands = local_df(
+        spark,
         [("tiny", 0.0, 50000.0), ("small", 50000.0, 120000.0),
          ("mid", 120000.0, 220000.0), ("large", 220000.0, 350000.0),
-         ("huge", 350000.0, 1e9)], ["band", "lo", "hi"])
+         ("huge", 350000.0, 1e9)],
+        [("band", "string"), ("lo", "double"), ("hi", "double")])
     return (
         o.join(F.broadcast(bands),
                (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_triton_spark.operators.registry import query, tables
+from go_triton_spark.operators.registry import local_df, query, tables
 
 _DIM = 64
 _K = 5
@@ -369,10 +369,15 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = max(total // n_cells, 1)
     cent_rows = (e.where((F.col("vec_id") % step == 0))
                  .orderBy("vec_id").limit(n_cells).collect())
-    cents_df = spark.createDataFrame(
+    # LocalRelation, not createDataFrame: the Python-RDD scan the
+    # latter plans re-pickles the centroid rows through Python workers
+    # on every action (r12: ~7 cpu_s/action at local[32] for a literal
+    # table); repr round-trip keeps every double bit-identical
+    cents_df = local_df(
+        spark,
         [(i, [float(x) for x in r["embedding"]])
          for i, r in enumerate(cent_rows)],
-        "cell int, cv array<double>")
+        [("cell", "int"), ("cv", "array<double>")])
 
     cdot = ("aggregate(zip_with(embedding, cv, (x, y) -> cast(x as double) * y), "
             "cast(0.0 as double), (acc, v) -> acc + v)")
