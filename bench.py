@@ -191,6 +191,12 @@ def main() -> int:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_num = _parse_sf(sf)
 
+    # r12 verdict ask #6: SPARK_GRAFT_EXTRA_CONFS is a legitimate ops/
+    # experiment escape hatch in session.py, but the BENCH must not be
+    # silently tunable through it — ignore it here and record what was
+    # ignored in the artifact so a tuned run is visible, not invisible.
+    extra_confs_ignored = os.environ.pop("SPARK_GRAFT_EXTRA_CONFS", None)
+
     from go_triton_spark.session import get_spark
     from go_triton_spark.operators import REGISTRY
 
@@ -310,6 +316,8 @@ def main() -> int:
     }
     if cpu_s:
         out["cpu_s"] = cpu_s
+    if extra_confs_ignored:
+        out["extra_confs_ignored"] = extra_confs_ignored
     drift_ratio = None
     drift_basket: dict[str, float] = {}
     if basket and sf_is_ref:

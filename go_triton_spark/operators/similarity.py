@@ -770,6 +770,34 @@ def _capped_pairs(e: DataFrame, a_col: str, b_col: str,
             .dropDuplicates([a_col, b_col]))
 
 
+def _mirror_scores(scored: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Emit both directions of an ordered scored-pair table in-task.
+
+    The corpus self-pair queries (knn graph, outlier scores, label
+    purity) need every candidate pair in BOTH directions, but the
+    cosine score is bit-identical either way: IEEE multiplication is
+    commutative, the zip_with fold walks the same index order, and
+    sqrt(q_n2 * n_n2) commutes — so score(a, b) == score(b, a) to the
+    bit. r13 therefore generates only the b < a half (_capped_pairs
+    ordered=True), runs the expensive 64-dim rescore fold ONCE per
+    unordered pair, and mirrors the narrow (a, b, score) rows with an
+    in-task explode — half the interpreted fold work and half the
+    rescore-join volume, identical output. The explode (not a union of
+    two projections) is load-bearing: a union would duplicate the whole
+    rescore subtree and recompute every fold, since no exchange sits
+    between the score projection and the union."""
+    return (scored
+            .select(F.explode(F.array(
+                F.struct(F.col(a_col).alias("a"),
+                         F.col(b_col).alias("b"), F.col("score")),
+                F.struct(F.col(b_col).alias("a"),
+                         F.col(a_col).alias("b"), F.col("score"))))
+                .alias("p"))
+            .select(F.col("p.a").alias(a_col),
+                    F.col("p.b").alias(b_col),
+                    F.col("p.score").alias("score")))
+
+
 def _knn_oracle() -> str:
     sig_rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, {_knn_sig_sql('embedding[%d]', b)} AS sig "
@@ -833,9 +861,13 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the full output; the approximation is tested, not
     gated."""
     (e,) = tables(spark, sf_dir, "embeddings")
-    cand = _capped_pairs(e, "vec_id", "neighbor_id")
-    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
-                                pre_partitioned=True)
+    # ordered half + post-fold mirror: the fold runs once per
+    # unordered pair (see _mirror_scores for the bit-exactness proof)
+    cand = _capped_pairs(e, "vec_id", "neighbor_id", ordered=True)
+    scored = _mirror_scores(
+        _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
+                           pre_partitioned=True),
+        "vec_id", "neighbor_id")
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -974,9 +1006,13 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide identical longs — summation order cannot drift the gate.
     """
     (e,) = tables(spark, sf_dir, "embeddings")
-    cand = _capped_pairs(e, "vec_id", "neighbor_id")
-    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
-                                pre_partitioned=True)
+    # ordered half + post-fold mirror (see _mirror_scores): one fold
+    # per unordered pair instead of two
+    cand = _capped_pairs(e, "vec_id", "neighbor_id", ordered=True)
+    scored = _mirror_scores(
+        _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
+                           pre_partitioned=True),
+        "vec_id", "neighbor_id")
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
     top = (scored.withColumn("rank", F.row_number().over(w))
@@ -1096,9 +1132,13 @@ def emb_label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     label: exact integer pair counts plus purity as a single division
     rounded at 1e-6, so the driver hash-gates it."""
     (e,) = tables(spark, sf_dir, "embeddings")
-    cand = _capped_pairs(e, "vec_id", "neighbor_id")
-    scored = _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
-                                pre_partitioned=True)
+    # ordered half + post-fold mirror (see _mirror_scores): one fold
+    # per unordered pair instead of two
+    cand = _capped_pairs(e, "vec_id", "neighbor_id", ordered=True)
+    scored = _mirror_scores(
+        _exact_pair_scores(spark, cand, e, "vec_id", "neighbor_id",
+                           pre_partitioned=True),
+        "vec_id", "neighbor_id")
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"),
                                              F.asc("neighbor_id"))
     top = (scored.withColumn("rank", F.row_number().over(w))
