@@ -92,18 +92,26 @@ def _shingle_df(spark, sf_dir) -> DataFrame:
     # verdict), and this cache feeds 4-6 downstream consumers whose
     # map sides inherit its partitioning, so it is sized to saturate
     # the session parallelism at the smallest corpus that hurts.
-    return (spread(d, spark, rows_per_task=150)
+    base = (spread(d, spark, rows_per_task=150)
             .select("doc_id", F.split("text", " ").alias("ws"))
             .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
-            # docs too short to shingle (<3 words) leave the n-gram
-            # family entirely: an empty shingle SET has no Jaccard
-            # semantics, and letting it through made two empty docs a
-            # vacuous "near-dup pair" in the minhash band join (found
-            # by the registry fuzz; the inverted-index oracle already
-            # excluded them). Exact dedup still catches identical
-            # short docs — that's its job, not Jaccard's.
-            .where(F.size("shingles") >= 1)
             .cache())
+    # docs too short to shingle (<3 words) leave the n-gram family
+    # entirely: an empty shingle SET has no Jaccard semantics, and
+    # letting it through made two empty docs a vacuous "near-dup pair"
+    # in the minhash band join (found by the registry fuzz; the
+    # inverted-index oracle already excluded them). Exact dedup still
+    # catches identical short docs — that's its job, not Jaccard's.
+    # The filter sits ABOVE the cache boundary on purpose: under the
+    # old filter-then-cache order, predicate pushdown dragged the
+    # size(shingles)>=1 condition — and with it the ENTIRE interpreted
+    # shingle chain — below the spread exchange into the parquet-scan
+    # stage, so every cache fill evaluated the chain twice (once
+    # serially in the scan's filter, once in the post-exchange
+    # projection). The cache is an optimizer barrier, so filtering the
+    # cached arrays costs one size() per row and the chain runs once,
+    # at spread parallelism. Same rows to every consumer.
+    return base.where(F.size("shingles") >= 1)
 
 
 # =====================================================================
@@ -246,14 +254,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        buckets.alias("a").join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    # Grouped-pair emission instead of the old bucket self-join: ONE
+    # evaluation of the signature pipeline (the self-join recomputed
+    # the per-shingle hash transform + all 16 folds on BOTH branches —
+    # measured 2x the signature cpu at sf0.1) and ONE shuffle of the
+    # narrow (doc_id, band, key) rows, where the self-join shuffles
+    # (or broadcast-builds) the bucket table twice at cluster scale.
+    # sort_array makes the in-bucket order deterministic; the a<b
+    # explode emits exactly the pairs the join condition produced, and
+    # the repartition on id_a colocates every (id_a, id_b) copy so
+    # dropDuplicates needs no second exchange (same trick as the
+    # similarity family's _capped_pairs, round-5). A degenerate
+    # mega-bucket buffers O(|bucket|) ids in the collect_list where
+    # the self-join streams — but its OUTPUT is O(|bucket|^2) either
+    # way, and minhash buckets at >=0.7 Jaccard are near-dup groups,
+    # not hot keys (largest sf0.1 bucket: 3 docs).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    grp = (buckets.groupBy("band", "key")
+           .agg(F.sort_array(F.collect_list("doc_id")).alias("members")))
+    cand = (grp.where(F.size("members") >= 2)
+            .select(F.explode("members").alias("id_a"), "members")
+            .select("id_a", F.explode("members").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .repartition(nparts, F.col("id_a"))
+            .dropDuplicates(["id_a", "id_b"]))
     # exact verification of candidates only
     sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("s_a"))
     sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("s_b"))

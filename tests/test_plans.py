@@ -380,3 +380,53 @@ def test_qgram_single_gram_rank_pass(spark):
     for line in plan.splitlines():
         if "Join" in line:
             assert not ("gram#" in line and "bucket#" in line), line
+
+
+def test_shingle_chain_evaluates_once(spark):
+    """r13 shape contract for _shingle_df: the interpreted shingle
+    chain (split -> transform -> array_distinct) must appear ONCE in
+    the cache-fill plan, ABOVE the spread exchange. The old
+    filter-then-cache order let predicate pushdown drag the
+    size(shingles)>=1 condition — and the whole chain with it — below
+    the exchange into the scan stage, so every cache fill paid the
+    chain twice (once serially in the scan's filter)."""
+    from go_triton_spark.operators.dedup import _shingle_df
+
+    spark.catalog.clearCache()  # print the full cache-fill plan
+    df = _shingle_df(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("concat_ws") == 1, plan
+        # the one evaluation sits above the exchange: no Filter with
+        # the chain below an Exchange (scan-stage filters carry no
+        # concat_ws at all)
+        below_exchange = False
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                below_exchange = True
+                continue
+            if below_exchange and "Filter" in line:
+                assert "concat_ws" not in line, line
+    finally:
+        df.unpersist()
+
+
+def test_minhash_no_bucket_self_join(spark):
+    """r13 shape contract for dedup_minhash_lsh: candidate pairs come
+    from grouped bucket member lists (one evaluation of the signature
+    pipeline, one shuffle of the narrow bucket rows), not the old
+    bucket self-join that recomputed the per-shingle hash transform
+    and all 16 minhash folds on both branches."""
+    spark.catalog.clearCache()  # subtree prints depend on cache state
+    plan = _plan(spark, "dedup_minhash_lsh")
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "band#" not in line and "key#" not in line, line
+    # the grouped member-list path is present
+    assert "collect_list" in plan
+    # the pair table rides the explicit id_a pin; the old
+    # distinct-on-(id_a, id_b) double shuffle is gone
+    assert "REPARTITION_BY_NUM" in plan
+    import re
+
+    assert not re.search(r"hashpartitioning\(id_a#\d+L?, id_b#", plan), plan
