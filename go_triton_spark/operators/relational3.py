@@ -217,18 +217,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     labels = edges.groupBy("a").agg(F.min("b").alias("lbl")) \
                   .select("a", F.least("a", "lbl").alias("lbl"))
+    # Self-loop-fused min-label iteration (r13, verdict ask #2): the
+    # old loop ran TWO joins per round (edges x labels to collect
+    # neighbor labels, then labels x prop to fold them back in). A
+    # tagged self-loop row per vertex — (a, b2=a) with is_self=1 —
+    # folds the vertex's own label through the SAME join, so one
+    # join + one aggregate per round computes
+    #   new_lbl(a) = min(lbl(a), min over neighbors lbl(b))
+    # exactly as before: min over {lbl(a)} u {lbl(b): b in N(a)}
+    # equals least(lbl, coalesce(min_nbr, lbl)), and every labeled
+    # vertex appears via its self-loop (old left-join semantics).
+    # max(case is_self) recovers the vertex's own label for the
+    # convergence compare — one row per vertex is tagged, so max is
+    # exact. Halves the joins and the stages per round; eager
+    # localCheckpoint + count convergence action unchanged.
+    aug = edges.select("a", F.col("b").alias("b2"),
+                       F.lit(0).alias("is_self"))
     for _ in range(10):  # diameter bound for near-dup components
-        prop = (edges.join(labels.withColumnRenamed("a", "b2"),
-                           edges.b == F.col("b2"))
-                .groupBy("a").agg(F.min("lbl").alias("nbr_lbl")))
-        # One action per iteration: eager localCheckpoint materializes the
-        # new labels AND truncates lineage (plan stays O(1) per round, not
-        # O(rounds)); the convergence count then reads the materialized
-        # partitions, never re-running the join.
-        step = (labels.join(prop, "a", "left")
-                .select("a", F.col("lbl"),
-                        F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                        .alias("new_lbl"))
+        incoming = aug.union(
+            labels.select("a", F.col("a").alias("b2"),
+                          F.lit(1).alias("is_self")))
+        step = (incoming.join(labels.select(F.col("a").alias("b2"),
+                                            F.col("lbl")), "b2")
+                .groupBy("a")
+                .agg(F.min("lbl").alias("new_lbl"),
+                     F.max(F.when(F.col("is_self") == 1, F.col("lbl")))
+                     .alias("lbl"))
                 .localCheckpoint(eager=True))
         changed = step.where(F.col("new_lbl") < F.col("lbl")).count()
         labels = step.select("a", F.col("new_lbl").alias("lbl"))
